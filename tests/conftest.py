@@ -1,0 +1,30 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+Must set the env vars before jax initializes its backends, so this conftest
+performs the setup at import time (pytest imports conftest first).
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="session")
+def ref_test_data():
+    path = os.path.join(REF, "src/feat/test_data")
+    if not os.path.isdir(path):
+        pytest.skip("reference test_data not available")
+    return path
