@@ -28,10 +28,12 @@ def _match_sorted(arcs, label):
 def compose(a: Fst, b: Fst, connect: bool = True) -> Fst:
     """Compose a ∘ b. `b` must be (or will be) ilabel-sorted.
 
-    Epsilon handling: composition filter with states {0,1,2}:
-      0: free to take matched arcs or either side's eps move,
-      1: only a's output-eps moves (or match),
-      2: only b's input-eps moves (or match).
+    Epsilon handling: epsilon-sequencing filter with states {0,1,2} that
+    admits exactly one canonical interleaving of eps moves between matches
+    (all of a's output-eps moves, then all of b's input-eps moves):
+      0: after a match — any move allowed,
+      1: taken an a-eps move — a-eps or b-eps or match allowed,
+      2: taken a b-eps move — only b-eps or match allowed.
     """
     b.arcsort("ilabel")
     a_eps_out = [[arc for arc in arcs if arc[1] == EPS] for arcs in a.arcs]
@@ -67,13 +69,12 @@ def compose(a: Fst, b: Fst, connect: bool = True) -> Fst:
                 continue
             for (ib, ob, wb, db) in _match_sorted(b.arcs[sb], oa):
                 out.add_arc(cur, ia, ob, wa + wb, get_state((da, db, 0)))
-        # eps moves under the filter
+        # eps moves under the filter (a-eps blocked only after a b-eps move)
         if filt != 2:
             for (ia, oa, wa, da) in a_eps_out[sa]:
                 out.add_arc(cur, ia, EPS, wa, get_state((da, sb, 1)))
-        if filt != 1:
-            for (ib, ob, wb, db) in b_eps_in[sb]:
-                out.add_arc(cur, EPS, ob, wb, get_state((sa, db, 2)))
+        for (ib, ob, wb, db) in b_eps_in[sb]:
+            out.add_arc(cur, EPS, ob, wb, get_state((sa, db, 2)))
     if connect:
         out.connect()
     return out

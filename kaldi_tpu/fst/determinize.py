@@ -91,7 +91,7 @@ def determinize_star(ifst: Fst, use_log: bool = False,
 
     out = Fst()
     subset_id: dict = {}
-    subsets: list[dict] = []
+    subsets: dict[int, dict] = {}
 
     def get_subset(key, resid):
         sid = subset_id.get(key)
@@ -100,7 +100,7 @@ def determinize_star(ifst: Fst, use_log: bool = False,
             if sid > max_states:
                 raise RuntimeError("determinize-star exceeded max states")
             subset_id[key] = sid
-            subsets.append(resid)
+            subsets[sid] = resid
             agenda.append(sid)
         return sid
 

@@ -118,6 +118,22 @@ class TransitionModel:
         hi = int(self._state2id[trans_state + 1])
         return list(range(lo, hi))
 
+    def non_self_loop_log_prob(self, trans_state: int) -> float:
+        """log(1 - p_selfloop) = log of total non-self-loop mass
+        (ref: transition-model.cc:328 GetNonSelfLoopLogProb)."""
+        import math
+        sl = self.self_loop_of(trans_state)
+        total = 0.0
+        for tid in self.transition_ids_of_state(trans_state):
+            if tid != sl:
+                total += math.exp(float(self.log_probs[tid]))
+        return math.log(max(total, 1e-20))
+
+    def transition_log_prob_ignoring_self_loops(self, tid: int) -> float:
+        """(ref: transition-model.cc:333) renormalized excluding self-loop."""
+        ts = int(self.id2state[tid])
+        return float(self.log_probs[tid]) - self.non_self_loop_log_prob(ts)
+
     # --- estimation (ref: hmm/transition-model.cc MleUpdate) ---
 
     def mle_update(self, counts: np.ndarray, floor: float = 0.01,
