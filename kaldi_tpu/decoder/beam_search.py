@@ -1,0 +1,254 @@
+"""Batched Viterbi beam search over HCLG as a TPU tensor program.
+
+The TPU-native replacement for FasterDecoder/LatticeFasterDecoder's token
+passing (ref: decoder/lattice-faster-decoder.cc:660-750 ProcessEmitting,
+ProcessNonemitting, GetCutoff :591): instead of a hash map of Tokens and
+linked ForwardLinks, the frontier is a fixed-capacity (max-active) tensor
+of (state, score, backpointer-slot); per frame we
+
+  1. expand every arc of every frontier token with one gather
+     (arcs are CSR-packed, emitting arcs first, padded to max out-degree),
+  2. dedup by target state with a sort + segment-min (replacing
+     FindOrAddToken's hash insert),
+  3. prune to the beam and to max-active with top_k (the reference's
+     adaptive GetCutoff),
+  4. repeat 1-3 over epsilon arcs for the non-emitting closure,
+  5. append (prev-slot, olabel) records to a preallocated backpointer arena
+     (the tensor analogue of ForwardLinks).
+
+B utterances decode as one jit program — the batched replacement for
+gmm-latgen-faster-parallel's TaskSequencer (SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from kaldi_tpu.decoder.graph_pack import PackedGraph
+
+BIG = np.float32(1e10)
+
+
+@dataclasses.dataclass(frozen=True)
+class BeamSearchOpts:
+    """(ref: decoder/faster-decoder.h:26-50 FasterDecoderOptions)"""
+
+    beam: float = 16.0
+    max_active: int = 512       # frontier capacity K (tokens kept per frame)
+    eps_expansions: int = 3     # ProcessNonemitting rounds (static)
+    acoustic_scale: float = 0.1
+
+
+def _pad_csr(graph: PackedGraph):
+    """Pack per-state arc lists into dense [S, E] tables, emitting-first.
+
+    Returns dict of np arrays: for each state s, its arcs padded to the max
+    out-degree E with dead arcs (cost BIG, nextstate 0 ...).
+    """
+    S = graph.num_states
+    deg = np.diff(graph.arc_start)
+    E = int(deg.max()) if S else 1
+    ilabel = np.zeros((S, E), np.int32)
+    olabel = np.zeros((S, E), np.int32)
+    cost = np.full((S, E), BIG, np.float32)
+    nxt = np.zeros((S, E), np.int32)
+    pdf = np.zeros((S, E), np.int32)
+    n_emit = np.zeros(S, np.int32)
+    n_arcs = np.zeros(S, np.int32)
+    for s in range(S):
+        lo, hi = graph.arc_start[s], graph.arc_start[s + 1]
+        k = hi - lo
+        ilabel[s, :k] = graph.ilabel[lo:hi]
+        olabel[s, :k] = graph.olabel[lo:hi]
+        cost[s, :k] = graph.cost[lo:hi]
+        nxt[s, :k] = graph.nextstate[lo:hi]
+        if graph.pdf is not None:
+            pdf[s, :k] = np.maximum(graph.pdf[lo:hi], 0)
+        n_arcs[s] = k
+        n_emit[s] = int(np.sum(graph.ilabel[lo:hi] > 0))
+    return dict(ilabel=ilabel, olabel=olabel, cost=cost, nxt=nxt, pdf=pdf,
+                n_emit=n_emit, n_arcs=n_arcs, max_deg=E)
+
+
+def _dedup_prune(states, scores, prevs, olabels, K):
+    """Keep the best-scoring token per state, then the best K overall.
+
+    states/scores/prevs/olabels: [N] candidate arrays (N >= K).
+    Dead candidates have score >= BIG/2. Returns [K] arrays.
+
+    This sort + first-of-group + top_k is the tensor replacement for the
+    reference's FindOrAddToken hash insert + GetCutoff pruning.
+    """
+    # two stable sorts => grouped by state, best score first within a group
+    idx1 = jnp.argsort(scores, stable=True)
+    idx = idx1[jnp.argsort(states[idx1], stable=True)]
+    st_g = states[idx]
+    sc_g = scores[idx]
+    first = jnp.concatenate(
+        [jnp.ones(1, bool), st_g[1:] != st_g[:-1]])
+    sc_masked = jnp.where(first, sc_g, BIG)
+    topv, topi = jax.lax.top_k(-sc_masked, K)
+    sel = idx[topi]
+    return states[sel], jnp.minimum(-topv, BIG), prevs[sel], olabels[sel], sel
+
+
+@functools.partial(jax.jit, static_argnames=("K", "E", "n_eps", "beam"))
+def _decode_batch(
+    ll,            # [B, T, P] scaled loglikes
+    frame_mask,    # [B, T]
+    tab_ilabel, tab_olabel, tab_cost, tab_nxt, tab_pdf,  # [S, E]
+    final,         # [S]
+    start: int, K: int, E: int, n_eps: int, beam: float,
+):
+    B, T, P = ll.shape
+
+    def expand(tok_state, tok_score, frame_ll, emitting):
+        """tok_* [K]; returns candidates [K*E]: state/score/prev-slot/olabel."""
+        arcs_i = tab_ilabel[tok_state]     # [K, E]
+        arcs_o = tab_olabel[tok_state]
+        arcs_c = tab_cost[tok_state]
+        arcs_n = tab_nxt[tok_state]
+        arcs_p = tab_pdf[tok_state]
+        if emitting:
+            am = -frame_ll[arcs_p]         # [K, E]
+            use = arcs_i > 0
+        else:
+            am = jnp.zeros_like(arcs_c)
+            use = arcs_i == 0
+        cand = tok_score[:, None] + arcs_c + am
+        cand = jnp.where(use, cand, BIG)
+        prev = jnp.broadcast_to(jnp.arange(K)[:, None], (K, E))
+        return (arcs_n.reshape(-1), cand.reshape(-1),
+                prev.reshape(-1), arcs_o.reshape(-1))
+
+    def beam_cut(scores):
+        best = jnp.min(scores)
+        return jnp.minimum(jnp.where(scores > best + beam, BIG, scores), BIG)
+
+    def frame_step(carry, inputs):
+        tok_state, tok_score = carry
+        frame_ll, mask_t = inputs
+        # --- ProcessEmitting ---
+        st, sc, pv, ol = expand(tok_state, tok_score, frame_ll, True)
+        sc = beam_cut(sc)
+        st, sc, pv, ol, _ = _dedup_prune(st, sc, pv, ol, K)
+        records = [(st, sc, pv, ol)]
+        # --- ProcessNonemitting rounds ---
+        for _ in range(n_eps):
+            est, esc, epv, eol = expand(st, sc, frame_ll, False)
+            # merge with current frontier (tokens keep themselves: prev=self,
+            # olabel=0, so the backtrace can skip)
+            mst = jnp.concatenate([st, est])
+            msc = jnp.concatenate([sc, esc])
+            mpv = jnp.concatenate([jnp.arange(K), epv])
+            mol = jnp.concatenate([jnp.zeros(K, jnp.int32), eol])
+            msc = beam_cut(msc)
+            st, sc, pv, ol, _ = _dedup_prune(mst, msc, mpv, mol, K)
+            records.append((st, sc, pv, ol))
+        # masked (padded) frames: pass tokens through, record self-links
+        out_state = jnp.where(mask_t, st, tok_state)
+        out_score = jnp.where(mask_t, sc, tok_score)
+        rec = tuple(
+            (jnp.where(mask_t, r_st, tok_state),
+             jnp.where(mask_t, r_sc, tok_score),
+             jnp.where(mask_t, r_pv, jnp.arange(K)),
+             jnp.where(mask_t, r_ol, 0))
+            for (r_st, r_sc, r_pv, r_ol) in records
+        )
+        return (out_state, out_score), rec
+
+    def decode_one(ll_b, mask_b):
+        tok_state = jnp.zeros(K, jnp.int32)
+        tok_score = jnp.full(K, BIG)
+        tok_score = tok_score.at[0].set(0.0)
+        tok_state = tok_state.at[0].set(start)
+        # initial eps closure from the start state (one record per round)
+        st, sc = tok_state, tok_score
+        init_records = []
+        for _ in range(n_eps):
+            est, esc, epv, eol = expand(st, sc, ll_b[0], False)
+            mst = jnp.concatenate([st, est])
+            msc = jnp.concatenate([sc, esc])
+            mpv = jnp.concatenate([jnp.arange(K), epv])
+            mol = jnp.concatenate([jnp.zeros(K, jnp.int32), eol])
+            st, sc, pv, ol, _ = _dedup_prune(mst, msc, mpv, mol, K)
+            init_records.append((pv, ol))
+        init_records = tuple(init_records)
+        (fs, fsc), recs = jax.lax.scan(
+            frame_step, (st, sc), (ll_b, mask_b))
+        total = fsc + final[fs]
+        best_final_slot = jnp.argmin(total)
+        best_final_cost = total[best_final_slot]
+        # fallback: best partial path when the beam pruned all final-state
+        # tokens (ref: decoder-wrappers.cc "No final token found" path)
+        best_any_slot = jnp.argmin(fsc)
+        reached_final = best_final_cost < BIG * 0.5
+        best_slot = jnp.where(reached_final, best_final_slot, best_any_slot)
+        best_cost = jnp.where(reached_final, best_final_cost,
+                              fsc[best_any_slot])
+        return init_records, recs, fs, fsc, best_slot, best_cost
+
+    return jax.vmap(decode_one)(ll, frame_mask)
+
+
+class BeamSearchDecoder:
+    """Host wrapper: pack the graph once, decode utterance batches."""
+
+    def __init__(self, graph: PackedGraph, opts: BeamSearchOpts = BeamSearchOpts()):
+        self.graph = graph
+        self.opts = opts
+        tabs = _pad_csr(graph)
+        self.E = tabs["max_deg"]
+        self._tabs = {k: jnp.asarray(v) for k, v in tabs.items()
+                      if k not in ("max_deg",)}
+        self._final = jnp.asarray(np.where(np.isfinite(graph.final),
+                                           graph.final, BIG))
+
+    def decode(self, loglikes: np.ndarray, num_frames: np.ndarray):
+        """loglikes [B, T, P] unscaled; returns list of
+        (words, tids, total_cost) per utterance (words = word-id list)."""
+        o = self.opts
+        B, T, P = loglikes.shape
+        mask = np.arange(T)[None, :] < np.asarray(num_frames)[:, None]
+        init_recs, recs, fstate, fscore, best_slot, best_cost = _decode_batch(
+            jnp.asarray(loglikes * o.acoustic_scale), jnp.asarray(mask),
+            self._tabs["ilabel"], self._tabs["olabel"], self._tabs["cost"],
+            self._tabs["nxt"], self._tabs["pdf"], self._final,
+            int(self.graph.start), int(o.max_active), int(self.E),
+            int(o.eps_expansions), float(o.beam),
+        )
+        # host backtrace over the per-round records
+        init_recs = jax.tree.map(np.asarray, init_recs)
+        recs = jax.tree.map(np.asarray, recs)
+        best_slot = np.asarray(best_slot)
+        best_cost = np.asarray(best_cost)
+        out = []
+        R = 1 + o.eps_expansions
+        for b in range(B):
+            Tb = int(num_frames[b])
+            if best_cost[b] >= BIG * 0.5:
+                out.append(None)
+                continue
+            words_rev = []
+            slot = int(best_slot[b])
+            for t in range(Tb - 1, -1, -1):
+                for r in range(R - 1, -1, -1):
+                    _st, _sc, pv, ol = recs[r]
+                    o_l = int(ol[b, t, slot])
+                    if o_l != 0:
+                        words_rev.append(o_l)
+                    slot = int(pv[b, t, slot])
+            # initial eps closure records (reverse round order)
+            for (pv, ol) in reversed(init_recs):
+                o_l = int(ol[b, slot])
+                if o_l != 0:
+                    words_rev.append(o_l)
+                slot = int(pv[b, slot])
+            words = list(reversed(words_rev))
+            out.append((words, None, float(best_cost[b])))
+        return out
