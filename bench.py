@@ -1,0 +1,98 @@
+"""Headline benchmark: hybrid ASR decode throughput on one chip.
+
+Measures the full inference pipeline — fbank feature extraction, TDNN
+acoustic scoring, batched HCLG beam-search decode — in audio-seconds
+processed per wall-clock second per chip.
+
+Baseline: the reference decoder runs ~real-time per 2015 CPU core
+(BASELINE.md: no in-tree speed numbers; the driver's north star is >=10x
+audio-sec/s/chip vs a CPU host). We report vs_baseline against 1.0
+audio-sec/s (reference real-time), so vs_baseline == audio-sec/s/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from kaldi_tpu.ops import FbankOpts, FrameOpts, MelOpts, fbank
+    from kaldi_tpu.nnet.tdnn import Tdnn, TdnnConfig
+    from kaldi_tpu.fst.lang import Lexicon, prepare_lang
+    from kaldi_tpu.lm.arpa import ArpaLm, arpa_to_g
+    from kaldi_tpu.fst.graph import make_hclg
+    from kaldi_tpu.tree.context_dep import MonophoneContextDependency
+    from kaldi_tpu.hmm.transition_model import TransitionModel
+    from kaldi_tpu.decoder.graph_pack import pack_graph
+    from kaldi_tpu.decoder.beam_search import BeamSearchDecoder, BeamSearchOpts
+
+    SR = 16000.0
+    B = 16            # utterances per batch
+    secs = 10.0       # audio seconds per utterance
+    S = int(SR * secs)
+
+    rng = np.random.RandomState(0)
+    waves = (rng.randn(B, S) * 1000).astype(np.float32)
+
+    fb_opts = FbankOpts(frame_opts=FrameOpts(samp_freq=SR, dither=0.0),
+                        mel_opts=MelOpts(num_bins=40))
+
+    # flagship AM: nnet2-multisplice-scale TDNN
+    cfg = TdnnConfig(feat_dim=40, num_pdfs=2048, hidden_dim=2048,
+                     pnorm_output_dim=256)
+    model = Tdnn(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+
+    # decoding graph: small-vocabulary HCLG (grows in later rounds)
+    lex = Lexicon.parse("YES Y1 Y2\nNO N1 N2")
+    lang = prepare_lang(lex, ["SIL"], "SIL", num_sil_states=3)
+    ctx = MonophoneContextDependency.from_topo(lang.topo)
+    tm = TransitionModel(lang.topo, lambda ph, pc: ctx.compute([ph], pc))
+    g = arpa_to_g(ArpaLm.parse(
+        "\\data\\\nngram 1=4\n\n\\1-grams:\n-1\tNO\n-1\tYES\n-99\t<s>\n-1\t</s>\n\n\\end\\\n"),
+        lang.words)
+    graph = make_hclg(lang, g, tm, ctx, self_loop_scale=0.1)
+    # map the mono tids onto the TDNN's pdf space (identity for bench)
+    packed = pack_graph(graph.fst, tm.id2pdf_array)
+    dec = BeamSearchDecoder(packed, BeamSearchOpts(beam=16.0, max_active=128,
+                                                   acoustic_scale=0.1))
+
+    @jax.jit
+    def am_scores(params, waves):
+        feats = fbank(waves, fb_opts)
+        return model.apply(params, feats, pad_context=True)
+
+    nf_frames = am_scores(params, jnp.asarray(waves)).shape[1]
+    nf = np.full(B, nf_frames, np.int32)
+
+    def pipeline():
+        ll = am_scores(params, jnp.asarray(waves))
+        # decoder consumes pdf loglikes; slice to the graph's pdf count
+        ll = np.asarray(ll[..., : tm.num_pdfs])
+        return dec.decode(ll, nf)
+
+    # warmup (compilation)
+    pipeline()
+
+    n_iter = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = pipeline()
+    dt = (time.perf_counter() - t0) / n_iter
+    audio_per_sec = B * secs / dt
+
+    print(json.dumps({
+        "metric": "hybrid decode throughput (fbank+TDNN+HCLG beam search), 1 chip",
+        "value": round(audio_per_sec, 2),
+        "unit": "audio-seconds/second/chip",
+        "vs_baseline": round(audio_per_sec / 1.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

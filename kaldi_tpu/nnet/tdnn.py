@@ -1,0 +1,115 @@
+"""Multisplice TDNN acoustic model.
+
+(ref: the nnet2 online multisplice system — steps/nnet2/
+ train_multisplice_accel2.sh with splice_indexes like "-2,-1,0,1,2 -1,2 -3,3
+ -7,2 0", components Splice->Affine->Pnorm->Normalize per layer and a final
+ Affine->Softmax; also nnet3 TDNN configs from
+ steps/nnet3/make_tdnn_configs.py. This is the reference's strongest
+ production AM family — LibriSpeech RESULTS:314.)
+
+TPU-first: the whole utterance batch [B, T, D] flows through; each layer's
+splice is a strided gather; affines are big GEMMs in bf16-friendly shapes.
+Model parallelism: the final affine (hidden x num_pdfs, the largest matrix)
+shards over the 'model' mesh axis; everything else is replicated and batch
+shards over 'data' (SURVEY.md §2.11 row "tensor parallelism").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kaldi_tpu.nnet.components import (
+    splice, splice_valid, affine_init, affine_apply, pnorm, normalize,
+    ACTIVATIONS,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class TdnnConfig:
+    feat_dim: int = 40
+    num_pdfs: int = 2000
+    # per-layer splice offsets (nnet2 multisplice notation)
+    splice_indexes: tuple = ((-2, -1, 0, 1, 2), (-1, 2), (-3, 3), (-7, 2), (0,))
+    hidden_dim: int = 2048        # pnorm input dim
+    pnorm_output_dim: int = 256   # pnorm output dim (group 8 by default)
+    nonlinearity: str = "pnorm"   # pnorm | relu
+    final_hidden: int | None = None
+
+    @property
+    def left_context(self) -> int:
+        return -sum(min(c) for c in self.splice_indexes if min(c) < 0)
+
+    @property
+    def right_context(self) -> int:
+        return sum(max(c) for c in self.splice_indexes if max(c) > 0)
+
+
+class Tdnn:
+    """init(key) -> params pytree; apply(params, feats) -> log-softmax posts."""
+
+    def __init__(self, config: TdnnConfig):
+        self.config = config
+
+    def init(self, key) -> dict:
+        cfg = self.config
+        params = {"layers": []}
+        in_dim = cfg.feat_dim
+        keys = jax.random.split(key, len(cfg.splice_indexes) + 1)
+        for i, ctx in enumerate(cfg.splice_indexes):
+            spliced = in_dim * len(ctx)
+            if cfg.nonlinearity == "pnorm":
+                layer = affine_init(keys[i], spliced, cfg.hidden_dim)
+                in_dim = cfg.pnorm_output_dim
+            else:
+                layer = affine_init(keys[i], spliced, cfg.hidden_dim)
+                in_dim = cfg.hidden_dim
+            params["layers"].append(layer)
+        params["final"] = affine_init(keys[-1], in_dim, cfg.num_pdfs,
+                                      param_stddev=0.0, bias_stddev=0.0)
+        return params
+
+    def apply(self, params, feats: jnp.ndarray, pad_context: bool = True):
+        """feats [..., T, D] -> log posteriors [..., T(out), num_pdfs].
+
+        pad_context=True clamps at utterance edges (decode mode, output T
+        == input T); False uses valid frames only (training on chunks that
+        already carry their context).
+        """
+        cfg = self.config
+        x = feats
+        sp = splice if pad_context else splice_valid
+        for ctx, layer in zip(cfg.splice_indexes, params["layers"]):
+            x = sp(x, ctx)
+            x = affine_apply(layer, x)
+            if cfg.nonlinearity == "pnorm":
+                x = pnorm(x, cfg.pnorm_output_dim)
+                x = normalize(x)
+            else:
+                x = ACTIVATIONS["relu"](x)
+                x = normalize(x)
+        logits = affine_apply(params["final"], x)
+        return jax.nn.log_softmax(logits, axis=-1)
+
+    def apply_logits(self, params, feats, pad_context: bool = True):
+        cfg = self.config
+        x = feats
+        sp = splice if pad_context else splice_valid
+        for ctx, layer in zip(cfg.splice_indexes, params["layers"]):
+            x = sp(x, ctx)
+            x = affine_apply(layer, x)
+            if cfg.nonlinearity == "pnorm":
+                x = pnorm(x, cfg.pnorm_output_dim)
+                x = normalize(x)
+            else:
+                x = ACTIVATIONS["relu"](x)
+                x = normalize(x)
+        return affine_apply(params["final"], x)
+
+    def num_params(self, params) -> int:
+        return sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(params))

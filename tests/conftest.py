@@ -16,6 +16,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The environment's sitecustomize registers the TPU PJRT plugin and pins
+# JAX_PLATFORMS; the config update below is what actually forces CPU.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 
