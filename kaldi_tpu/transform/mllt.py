@@ -1,0 +1,70 @@
+"""MLLT / global STC estimation.
+
+(ref: transform/mllt.h:42 MlltAccs; update per Gales' semi-tied covariance
+ row iteration, transform/mllt.cc:66-127 — row_i = G_i^{-1} c_i *
+ sqrt(beta / c_i^T G_i^{-1} c_i) with c_i the cofactor row.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class MlltStats:
+    def __init__(self, dim: int):
+        self.G = np.zeros((dim, dim, dim), np.float64)
+        self.beta = 0.0
+
+    def accumulate(self, feats: np.ndarray, means: np.ndarray,
+                   variances: np.ndarray, posteriors: np.ndarray):
+        """feats [T, D]; means/vars [M, D] gaussian params; post [T, M].
+
+        G[i] += sum_{t,m} post[t,m]/var[m,i] (x_t - mu_m)(x_t - mu_m)^T
+        (ref: mllt.cc MlltAccs::AccStats)
+        """
+        T, D = feats.shape
+        M = means.shape[0]
+        for m in range(M):
+            w = posteriors[:, m]
+            if w.sum() < 1e-8:
+                continue
+            d = feats - means[m]
+            wd = d * w[:, None]
+            outer = wd.T @ d  # sum_t w (x-mu)(x-mu)^T
+            for i in range(D):
+                self.G[i] += outer / variances[m, i]
+        self.beta += posteriors.sum()
+
+    def accumulate_from_gmm_post(self, feats, gmm, pdf_post):
+        """Accumulate using per-frame per-pdf posteriors against a packed
+        AmDiagGmm (host path used by train_lda_mllt)."""
+        raise NotImplementedError
+
+
+def update_mllt(stats: MlltStats, num_iters: int = 200):
+    """-> (M [D, D], objf improvement). Start from identity."""
+    D = stats.G.shape[0]
+    beta = stats.beta
+    Ginv = np.stack([np.linalg.inv(stats.G[i]) for i in range(D)])
+    M = np.eye(D)
+    tot_impr = 0.0
+    for _p in range(num_iters):
+        for i in range(D):
+            cof = np.linalg.inv(M).T[i]  # cofactor row (up to scale)
+            objf_before = (beta * np.log(abs(M[i] @ cof))
+                           - 0.5 * M[i] @ stats.G[i] @ M[i])
+            denom = cof @ Ginv[i] @ cof
+            M[i] = np.sqrt(beta / denom) * (Ginv[i] @ cof)
+            objf_after = (beta * np.log(abs(M[i] @ cof))
+                          - 0.5 * M[i] @ stats.G[i] @ M[i])
+            tot_impr += objf_after - objf_before
+    return M.astype(np.float32), tot_impr
+
+
+def mllt_objf(stats: MlltStats, M: np.ndarray) -> float:
+    D = M.shape[0]
+    _sign, logdet = np.linalg.slogdet(M)
+    obj = stats.beta * logdet
+    for i in range(D):
+        obj -= 0.5 * M[i] @ stats.G[i] @ M[i]
+    return float(obj)
