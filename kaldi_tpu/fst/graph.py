@@ -58,12 +58,17 @@ def make_hclg(
     transition_scale: float = 1.0,
     self_loop_scale: float = 0.1,
 ) -> DecodingGraph:
-    """Full HCLG build, monophone context for now (ref: utils/mkgraph.sh)."""
-    assert ctx_dep.context_width == 1, "triphone context: later milestone"
+    """Full HCLG build (ref: utils/mkgraph.sh), mono or N-phone context."""
     lg = compose(lang.L_disambig, g)
     lg = determinize_star(lg, use_log=True)
     lg = minimize_encoded(lg)
-    clg, ilabel_info = mono_context(lg, lang)
+    if ctx_dep.context_width == 1:
+        clg, ilabel_info = mono_context(lg, lang)
+    else:
+        from kaldi_tpu.fst.context import compose_context
+        clg, ilabel_info = compose_context(
+            lg, set(lang.disambig_phone_ids),
+            N=ctx_dep.context_width, P=ctx_dep.central_position)
     ha, disambig_tids = make_h_transducer(
         ilabel_info, ctx_dep, trans_model, transition_scale)
     ha.arcsort("olabel")
@@ -106,7 +111,13 @@ class TrainingGraphCompiler:
         g_utt.arcsort("ilabel")
         lg = compose(self.lang.L_disambig, g_utt)
         lg = determinize_star(lg, use_log=False)
-        clg, ilabel_info = mono_context(lg, self.lang)
+        if self.ctx.context_width == 1:
+            clg, ilabel_info = mono_context(lg, self.lang)
+        else:
+            from kaldi_tpu.fst.context import compose_context
+            clg, ilabel_info = compose_context(
+                lg, set(self.lang.disambig_phone_ids),
+                N=self.ctx.context_width, P=self.ctx.central_position)
         ha, disambig_tids = make_h_transducer(
             ilabel_info, self.ctx, self.tm, self.tscale)
         ha.arcsort("olabel")

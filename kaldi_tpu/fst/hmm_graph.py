@@ -86,8 +86,9 @@ def make_h_transducer(
     for k, info in enumerate(ilabel_info):
         if k == 0 or len(info) == 0:
             continue
-        if len(info) == 1 and info[0] < 0:
-            # disambiguation symbol: passthrough arc with a fake tid
+        if len(info) == 1 and info[0] <= 0:
+            # disambiguation symbol (or the #-1 empty-window symbol from
+            # context composition): passthrough arc with a fake tid
             f.add_arc(loop, next_fake, k, 0.0, loop)
             disambig_tids.append(next_fake)
             next_fake += 1

@@ -17,12 +17,13 @@ from kaldi_tpu.hmm.topology import HmmTopology
 
 class TransitionModel:
     def __init__(self, topo: HmmTopology, phone_state_to_pdf):
-        """phone_state_to_pdf: callable (phone, pdf_class) -> pdf_id.
+        """phone_state_to_pdf: callable (phone, pdf_class) -> pdf_id or an
+        iterable of pdf_ids.
 
-        For monophone systems this is a simple table; for tied-triphone
-        systems the tree lookup happens at graph-construction time and this
-        callable covers the (phone, pdf_class) -> pdf map used for the
-        monophone-context case (ContextDependency handles the rest).
+        Monophone systems return a single pdf; tied-triphone systems return
+        every pdf the tree can assign to that (phone, pdf_class) — the
+        reference computes the same set via ContextDependency::GetPdfInfo
+        (ref: hmm/transition-model.cc ComputeTuples).
         """
         self.topo = topo
         # tuples[ts] = (phone, hmm_state, pdf); transition-state = 1-based
@@ -32,8 +33,11 @@ class TransitionModel:
             for hmm_state, st in enumerate(entry):
                 if st.pdf_class is None:
                     continue
-                pdf = phone_state_to_pdf(phone, st.pdf_class)
-                tuples.append((phone, hmm_state, pdf))
+                pdfs = phone_state_to_pdf(phone, st.pdf_class)
+                if isinstance(pdfs, (int, np.integer)):
+                    pdfs = [pdfs]
+                for pdf in sorted(set(int(p) for p in pdfs)):
+                    tuples.append((phone, hmm_state, pdf))
         tuples.sort()
         self.tuples = tuples
         self._tuple_index = {t: i for i, t in enumerate(tuples)}
