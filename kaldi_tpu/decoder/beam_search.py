@@ -177,7 +177,7 @@ def _decode_batch(
             mpv = jnp.concatenate([jnp.arange(K), epv])
             mol = jnp.concatenate([jnp.zeros(K, jnp.int32), eol])
             st, sc, pv, ol, _ = _dedup_prune(mst, msc, mpv, mol, K)
-            init_records.append((pv, ol))
+            init_records.append((st, sc, pv, ol))
         init_records = tuple(init_records)
         (fs, fsc), recs = jax.lax.scan(
             frame_step, (st, sc), (ll_b, mask_b))
@@ -208,6 +208,23 @@ class BeamSearchDecoder:
                       if k not in ("max_deg",)}
         self._final = jnp.asarray(np.where(np.isfinite(graph.final),
                                            graph.final, BIG))
+
+    def decode_raw(self, loglikes: np.ndarray, num_frames: np.ndarray):
+        """Run the jit decode and return all host-side arrays
+        (init_recs, recs, fstate, fscore, best_slot, best_cost) plus the
+        scaled loglikes — inputs for lattice generation."""
+        o = self.opts
+        B, T, P = loglikes.shape
+        mask = np.arange(T)[None, :] < np.asarray(num_frames)[:, None]
+        ll_scaled = loglikes * o.acoustic_scale
+        out = _decode_batch(
+            jnp.asarray(ll_scaled), jnp.asarray(mask),
+            self._tabs["ilabel"], self._tabs["olabel"], self._tabs["cost"],
+            self._tabs["nxt"], self._tabs["pdf"], self._final,
+            int(self.graph.start), int(o.max_active), int(self.E),
+            int(o.eps_expansions), float(o.beam),
+        )
+        return jax.tree.map(np.asarray, out) + (ll_scaled,)
 
     def decode(self, loglikes: np.ndarray, num_frames: np.ndarray):
         """loglikes [B, T, P] unscaled; returns list of
@@ -244,7 +261,7 @@ class BeamSearchDecoder:
                         words_rev.append(o_l)
                     slot = int(pv[b, t, slot])
             # initial eps closure records (reverse round order)
-            for (pv, ol) in reversed(init_recs):
+            for (_st, _sc, pv, ol) in reversed(init_recs):
                 o_l = int(ol[b, slot])
                 if o_l != 0:
                     words_rev.append(o_l)

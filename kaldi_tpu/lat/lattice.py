@@ -1,0 +1,142 @@
+"""Lattice container with (graph_cost, acoustic_cost) pair weights.
+
+(ref: lat/kaldi-lattice.h:32-46 — Lattice is an FST over LatticeWeight
+ (graph, acoustic) cost pairs with transition-id ilabels and word olabels;
+ CompactLattice moves tid strings onto word arcs. We keep one container
+ with both ilabel (tid) and olabel (word) per arc, which covers both
+ roles; 'compact' here = determinized-to-word-level.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class LatticeArc:
+    ilabel: int        # transition-id (0 = eps)
+    olabel: int        # word id (0 = eps)
+    graph_cost: float
+    acoustic_cost: float
+    nextstate: int
+
+    @property
+    def cost(self) -> float:
+        return self.graph_cost + self.acoustic_cost
+
+
+class Lattice:
+    def __init__(self):
+        self.arcs: list[list[LatticeArc]] = []
+        self.finals: dict[int, tuple[float, float]] = {}  # (graph, acoustic)
+        self.start = -1
+
+    def add_state(self) -> int:
+        self.arcs.append([])
+        return len(self.arcs) - 1
+
+    def add_arc(self, s, ilabel, olabel, graph_cost, acoustic_cost, dst):
+        self.arcs[s].append(
+            LatticeArc(ilabel, olabel, float(graph_cost),
+                       float(acoustic_cost), dst))
+
+    def set_final(self, s, graph_cost=0.0, acoustic_cost=0.0):
+        self.finals[s] = (float(graph_cost), float(acoustic_cost))
+
+    @property
+    def num_states(self):
+        return len(self.arcs)
+
+    @property
+    def num_arcs(self):
+        return sum(len(a) for a in self.arcs)
+
+    def final_cost(self, s) -> float:
+        f = self.finals.get(s)
+        return f[0] + f[1] if f else np.inf
+
+    def connect(self):
+        n = self.num_states
+        if self.start < 0:
+            return self
+        acc = np.zeros(n, bool)
+        stack = [self.start]
+        acc[self.start] = True
+        while stack:
+            s = stack.pop()
+            for a in self.arcs[s]:
+                if not acc[a.nextstate]:
+                    acc[a.nextstate] = True
+                    stack.append(a.nextstate)
+        preds = [[] for _ in range(n)]
+        for s in range(n):
+            for a in self.arcs[s]:
+                preds[a.nextstate].append(s)
+        coacc = np.zeros(n, bool)
+        stack = [s for s in self.finals if acc[s]]
+        for s in stack:
+            coacc[s] = True
+        while stack:
+            s = stack.pop()
+            for p in preds[s]:
+                if not coacc[p]:
+                    coacc[p] = True
+                    stack.append(p)
+        keep = acc & coacc
+        remap = -np.ones(n, np.int64)
+        remap[keep] = np.arange(int(keep.sum()))
+        new_arcs = []
+        for s in range(n):
+            if not keep[s]:
+                continue
+            new_arcs.append([
+                dataclasses.replace(a, nextstate=int(remap[a.nextstate]))
+                for a in self.arcs[s] if keep[a.nextstate]
+            ])
+        self.arcs = new_arcs
+        self.finals = {int(remap[s]): w for s, w in self.finals.items()
+                       if keep[s]}
+        self.start = int(remap[self.start]) if self.start >= 0 and keep[self.start] else -1
+        return self
+
+    def topological_order(self) -> list[int]:
+        n = self.num_states
+        indeg = [0] * n
+        for s in range(n):
+            for a in self.arcs[s]:
+                indeg[a.nextstate] += 1
+        from collections import deque
+        q = deque([s for s in range(n) if indeg[s] == 0])
+        order = []
+        while q:
+            s = q.popleft()
+            order.append(s)
+            for a in self.arcs[s]:
+                indeg[a.nextstate] -= 1
+                if indeg[a.nextstate] == 0:
+                    q.append(a.nextstate)
+        if len(order) != n:
+            raise ValueError("lattice has a cycle")
+        return order
+
+    def paths(self, max_paths=100000):
+        """All (words, tids, total_cost) paths — small-lattice test oracle."""
+        out = []
+
+        def rec(s, words, tids, cost):
+            if len(out) >= max_paths:
+                return
+            if s in self.finals:
+                g, a = self.finals[s]
+                out.append((tuple(words), tuple(tids), cost + g + a))
+            for arc in self.arcs[s]:
+                rec(arc.nextstate,
+                    words + ([arc.olabel] if arc.olabel else []),
+                    tids + ([arc.ilabel] if arc.ilabel else []),
+                    cost + arc.cost)
+
+        if self.start >= 0:
+            rec(self.start, [], [], 0.0)
+        return out
