@@ -75,7 +75,7 @@ def _pad_csr(graph: PackedGraph):
                 n_emit=n_emit, n_arcs=n_arcs, max_deg=E)
 
 
-def _dedup_prune(states, scores, prevs, olabels, K):
+def _dedup_prune(states, scores, prevs, olabels, ilabels, K):
     """Keep the best-scoring token per state, then the best K overall.
 
     states/scores/prevs/olabels: [N] candidate arrays (N >= K).
@@ -94,7 +94,8 @@ def _dedup_prune(states, scores, prevs, olabels, K):
     sc_masked = jnp.where(first, sc_g, BIG)
     topv, topi = jax.lax.top_k(-sc_masked, K)
     sel = idx[topi]
-    return states[sel], jnp.minimum(-topv, BIG), prevs[sel], olabels[sel], sel
+    return (states[sel], jnp.minimum(-topv, BIG), prevs[sel], olabels[sel],
+            ilabels[sel])
 
 
 @functools.partial(jax.jit, static_argnames=("K", "E", "n_eps", "beam"))
@@ -124,7 +125,7 @@ def _decode_batch(
         cand = jnp.where(use, cand, BIG)
         prev = jnp.broadcast_to(jnp.arange(K)[:, None], (K, E))
         return (arcs_n.reshape(-1), cand.reshape(-1),
-                prev.reshape(-1), arcs_o.reshape(-1))
+                prev.reshape(-1), arcs_o.reshape(-1), arcs_i.reshape(-1))
 
     def beam_cut(scores):
         best = jnp.min(scores)
@@ -134,22 +135,23 @@ def _decode_batch(
         tok_state, tok_score = carry
         frame_ll, mask_t = inputs
         # --- ProcessEmitting ---
-        st, sc, pv, ol = expand(tok_state, tok_score, frame_ll, True)
-        sc = beam_cut(sc)
-        st, sc, pv, ol, _ = _dedup_prune(st, sc, pv, ol, K)
-        records = [(st, sc, pv, ol)]
+        cst, csc, cpv, col, cil = expand(tok_state, tok_score, frame_ll, True)
+        csc = beam_cut(csc)
+        st, sc, pv, ol, il = _dedup_prune(cst, csc, cpv, col, cil, K)
+        records = [(st, sc, pv, ol, il)]
         # --- ProcessNonemitting rounds ---
         for _ in range(n_eps):
-            est, esc, epv, eol = expand(st, sc, frame_ll, False)
+            est, esc, epv, eol, eil = expand(st, sc, frame_ll, False)
             # merge with current frontier (tokens keep themselves: prev=self,
             # olabel=0, so the backtrace can skip)
             mst = jnp.concatenate([st, est])
             msc = jnp.concatenate([sc, esc])
             mpv = jnp.concatenate([jnp.arange(K), epv])
             mol = jnp.concatenate([jnp.zeros(K, jnp.int32), eol])
+            mil = jnp.concatenate([jnp.zeros(K, jnp.int32), eil])
             msc = beam_cut(msc)
-            st, sc, pv, ol, _ = _dedup_prune(mst, msc, mpv, mol, K)
-            records.append((st, sc, pv, ol))
+            st, sc, pv, ol, il = _dedup_prune(mst, msc, mpv, mol, mil, K)
+            records.append((st, sc, pv, ol, il))
         # masked (padded) frames: pass tokens through, record self-links
         out_state = jnp.where(mask_t, st, tok_state)
         out_score = jnp.where(mask_t, sc, tok_score)
@@ -157,8 +159,9 @@ def _decode_batch(
             (jnp.where(mask_t, r_st, tok_state),
              jnp.where(mask_t, r_sc, tok_score),
              jnp.where(mask_t, r_pv, jnp.arange(K)),
-             jnp.where(mask_t, r_ol, 0))
-            for (r_st, r_sc, r_pv, r_ol) in records
+             jnp.where(mask_t, r_ol, 0),
+             jnp.where(mask_t, r_il, 0))
+            for (r_st, r_sc, r_pv, r_ol, r_il) in records
         )
         return (out_state, out_score), rec
 
@@ -171,13 +174,14 @@ def _decode_batch(
         st, sc = tok_state, tok_score
         init_records = []
         for _ in range(n_eps):
-            est, esc, epv, eol = expand(st, sc, ll_b[0], False)
+            est, esc, epv, eol, eil = expand(st, sc, ll_b[0], False)
             mst = jnp.concatenate([st, est])
             msc = jnp.concatenate([sc, esc])
             mpv = jnp.concatenate([jnp.arange(K), epv])
             mol = jnp.concatenate([jnp.zeros(K, jnp.int32), eol])
-            st, sc, pv, ol, _ = _dedup_prune(mst, msc, mpv, mol, K)
-            init_records.append((st, sc, pv, ol))
+            mil = jnp.concatenate([jnp.zeros(K, jnp.int32), eil])
+            st, sc, pv, ol, il = _dedup_prune(mst, msc, mpv, mol, mil, K)
+            init_records.append((st, sc, pv, ol, il))
         init_records = tuple(init_records)
         (fs, fsc), recs = jax.lax.scan(
             frame_step, (st, sc), (ll_b, mask_b))
@@ -252,20 +256,25 @@ class BeamSearchDecoder:
                 out.append(None)
                 continue
             words_rev = []
+            tids_rev = []
             slot = int(best_slot[b])
             for t in range(Tb - 1, -1, -1):
                 for r in range(R - 1, -1, -1):
-                    _st, _sc, pv, ol = recs[r]
+                    _st, _sc, pv, ol, il = recs[r]
                     o_l = int(ol[b, t, slot])
                     if o_l != 0:
                         words_rev.append(o_l)
+                    i_l = int(il[b, t, slot])
+                    if i_l != 0:
+                        tids_rev.append(i_l)
                     slot = int(pv[b, t, slot])
             # initial eps closure records (reverse round order)
-            for (_st, _sc, pv, ol) in reversed(init_recs):
+            for (_st, _sc, pv, ol, il) in reversed(init_recs):
                 o_l = int(ol[b, slot])
                 if o_l != 0:
                     words_rev.append(o_l)
                 slot = int(pv[b, slot])
             words = list(reversed(words_rev))
-            out.append((words, None, float(best_cost[b])))
+            tids = list(reversed(tids_rev))
+            out.append((words, tids, float(best_cost[b])))
         return out

@@ -47,10 +47,10 @@ def raw_lattice_from_decode(
     # sequence of rounds: ("init", r) then per frame ("frame", t, r)
     def rec_arrays(tag):
         if tag[0] == "init":
-            st, sc, _pv, _ol = init_recs[tag[1]]
+            st, sc = init_recs[tag[1]][0], init_recs[tag[1]][1]
             return np.asarray(st[b]), np.asarray(sc[b])
         _k, t, r = tag
-        st, sc, _pv, _ol = recs[r]
+        st, sc = recs[r][0], recs[r][1]
         return np.asarray(st[b, t]), np.asarray(sc[b, t])
 
     rounds = [("init", r) for r in range(len(init_recs))]

@@ -1,0 +1,229 @@
+"""Chunked online decoding with carried frontier state.
+
+(ref: decoder/lattice-faster-online-decoder.h:47 — InitDecoding /
+ AdvanceDecoding / partial traceback; online2/online-nnet2-decoding.h:67
+ SingleUtteranceNnet2Decoder.) The per-frame tensor program is the same as
+ offline; the frontier (state, score) pytree is the carried state, and the
+ per-round records accumulate on the host for traceback.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from kaldi_tpu.decoder.beam_search import (BeamSearchDecoder, BeamSearchOpts,
+                                           _dedup_prune, BIG)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "E", "n_eps", "beam",
+                                             "chunk"))
+def _advance_chunk(tok_state, tok_score, ll_chunk, frame_mask,
+                   tab_ilabel, tab_olabel, tab_cost, tab_nxt, tab_pdf,
+                   K: int, E: int, n_eps: int, beam: float, chunk: int):
+    def expand(st, sc, frame_ll, emitting):
+        arcs_i = tab_ilabel[st]
+        arcs_o = tab_olabel[st]
+        arcs_c = tab_cost[st]
+        arcs_n = tab_nxt[st]
+        arcs_p = tab_pdf[st]
+        if emitting:
+            am = -frame_ll[arcs_p]
+            use = arcs_i > 0
+        else:
+            am = jnp.zeros_like(arcs_c)
+            use = arcs_i == 0
+        cand = jnp.where(use, sc[:, None] + arcs_c + am, BIG)
+        prev = jnp.broadcast_to(jnp.arange(K)[:, None], (K, E))
+        return (arcs_n.reshape(-1), cand.reshape(-1), prev.reshape(-1),
+                arcs_o.reshape(-1), arcs_i.reshape(-1))
+
+    def beam_cut(scores):
+        best = jnp.min(scores)
+        return jnp.minimum(jnp.where(scores > best + beam, BIG, scores), BIG)
+
+    def frame_step(carry, inputs):
+        st0, sc0 = carry
+        frame_ll, mask_t = inputs
+        est, esc, epv, eol, eil = expand(st0, sc0, frame_ll, True)
+        esc = beam_cut(esc)
+        st, sc, pv, ol, il = _dedup_prune(est, esc, epv, eol, eil, K)
+        records = [(st, sc, pv, ol, il)]
+        for _ in range(n_eps):
+            est, esc, epv, eol, eil = expand(st, sc, frame_ll, False)
+            mst = jnp.concatenate([st, est])
+            msc = beam_cut(jnp.concatenate([sc, esc]))
+            mpv = jnp.concatenate([jnp.arange(K), epv])
+            mol = jnp.concatenate([jnp.zeros(K, jnp.int32), eol])
+            mil = jnp.concatenate([jnp.zeros(K, jnp.int32), eil])
+            st, sc, pv, ol, il = _dedup_prune(mst, msc, mpv, mol, mil, K)
+            records.append((st, sc, pv, ol, il))
+        out_st = jnp.where(mask_t, st, st0)
+        out_sc = jnp.where(mask_t, sc, sc0)
+        rec = tuple(
+            (jnp.where(mask_t, r_st, st0), jnp.where(mask_t, r_sc, sc0),
+             jnp.where(mask_t, r_pv, jnp.arange(K)),
+             jnp.where(mask_t, r_ol, 0),
+             jnp.where(mask_t, r_il, 0))
+            for (r_st, r_sc, r_pv, r_ol, r_il) in records)
+        return (out_st, out_sc), rec
+
+    return jax.lax.scan(frame_step, (tok_state, tok_score),
+                        (ll_chunk, frame_mask))
+
+
+class OnlineDecoder:
+    """Single-stream chunked decoder with partial/final traceback."""
+
+    def __init__(self, base: BeamSearchDecoder, chunk_frames: int = 32):
+        self.base = base
+        self.opts = base.opts
+        self.chunk = chunk_frames
+        self.init_decoding()
+
+    def init_decoding(self):
+        """(ref: lattice-faster-decoder.cc:547 InitDecoding)"""
+        K = self.opts.max_active
+        st = np.zeros(K, np.int32)
+        sc = np.full(K, BIG, np.float32)
+        st[0] = self.base.graph.start
+        sc[0] = 0.0
+        # initial eps closure on host via one zero-frame advance is awkward;
+        # run the eps rounds by calling _advance_chunk with a masked frame
+        self._tok = (jnp.asarray(st), jnp.asarray(sc))
+        self._records: list = []   # list over frames of per-round records
+        self._init_done = False
+        self.num_frames_decoded = 0
+
+    def _ensure_init(self, dim_p):
+        if self._init_done:
+            return
+        # run eps closure: one masked frame (mask False keeps tokens but we
+        # need the closure...) — instead run one frame with mask True on a
+        # ll of zeros but emitting disabled is not expressible; do closure
+        # host-side with the simple expansion:
+        st = np.asarray(self._tok[0])
+        sc = np.asarray(self._tok[1])
+        tabs = {k: np.asarray(v) for k, v in self.base._tabs.items()}
+        for _ in range(self.opts.eps_expansions):
+            cand = []
+            for j in range(len(st)):
+                if sc[j] >= BIG / 2:
+                    continue
+                s = st[j]
+                for e in range(tabs["ilabel"].shape[1]):
+                    if tabs["ilabel"][s, e] == 0 and tabs["cost"][s, e] < BIG / 2:
+                        cand.append((int(tabs["nxt"][s, e]),
+                                     sc[j] + tabs["cost"][s, e]))
+            best = {}
+            for j in range(len(st)):
+                if sc[j] < BIG / 2:
+                    cur = best.get(int(st[j]))
+                    if cur is None or sc[j] < cur:
+                        best[int(st[j])] = float(sc[j])
+            for (s2, c2) in cand:
+                cur = best.get(s2)
+                if cur is None or c2 < cur:
+                    best[s2] = float(c2)
+            items = sorted(best.items(), key=lambda kv: kv[1])[: len(st)]
+            st = np.zeros_like(st)
+            sc = np.full_like(sc, BIG)
+            for k, (s2, c2) in enumerate(items):
+                st[k] = s2
+                sc[k] = c2
+        self._tok = (jnp.asarray(st), jnp.asarray(sc))
+        self._init_done = True
+
+    def advance_decoding(self, loglikes: np.ndarray):
+        """Consume [n, P] new acoustic frames (already at the model's
+        output scale — the caller applies acoustic_scale)."""
+        if loglikes.shape[0] == 0:
+            return
+        self._ensure_init(loglikes.shape[1])
+        o = self.opts
+        n = loglikes.shape[0]
+        chunk = self.chunk
+        for lo in range(0, n, chunk):
+            piece = loglikes[lo: lo + chunk] * o.acoustic_scale
+            pad = chunk - piece.shape[0]
+            mask = np.ones(chunk, bool)
+            if pad > 0:
+                piece = np.pad(piece, ((0, pad), (0, 0)))
+                mask[piece.shape[0] - pad:] = False
+            (st, sc), recs = _advance_chunk(
+                self._tok[0], self._tok[1], jnp.asarray(piece),
+                jnp.asarray(mask),
+                self.base._tabs["ilabel"], self.base._tabs["olabel"],
+                self.base._tabs["cost"], self.base._tabs["nxt"],
+                self.base._tabs["pdf"],
+                o.max_active, self.base.E, o.eps_expansions, o.beam, chunk)
+            self._tok = (st, sc)
+            recs = jax.tree.map(np.asarray, recs)
+            n_real = int(mask.sum())
+            for t in range(n_real):
+                self._records.append(tuple(
+                    (r_st[t], r_sc[t], r_pv[t], r_ol[t], r_il[t])
+                    for (r_st, r_sc, r_pv, r_ol, r_il) in recs))
+            self.num_frames_decoded += n_real
+
+    def _traceback(self, slot: int):
+        words_rev, tids_rev = [], []
+        for rounds in reversed(self._records):
+            for (r_st, r_sc, r_pv, r_ol, r_il) in reversed(rounds):
+                o = int(r_ol[slot])
+                if o != 0:
+                    words_rev.append(o)
+                i = int(r_il[slot])
+                if i != 0:
+                    tids_rev.append(i)
+                slot = int(r_pv[slot])
+        return list(reversed(words_rev)), list(reversed(tids_rev))
+
+    def best_path(self, use_final_probs: bool = True):
+        """-> (words, cost) partial or final result
+        (ref: lattice-faster-online-decoder.h BestPathIterator traceback)."""
+        sc = np.asarray(self._tok[1])
+        st = np.asarray(self._tok[0])
+        final = np.asarray(self.base._final)
+        if use_final_probs:
+            total = sc + final[st]
+            if total.min() < BIG / 2:
+                slot = int(np.argmin(total))
+                words, tids = self._traceback(slot)
+                return words, tids, float(total[slot])
+        slot = int(np.argmin(sc))
+        if sc[slot] >= BIG / 2:
+            return None
+        words, tids = self._traceback(slot)
+        return words, tids, float(sc[slot])
+
+    def final_relative_cost(self) -> float:
+        """(ref: lattice-faster-online-decoder FinalRelativeCost — used by
+        the endpointing rules)."""
+        sc = np.asarray(self._tok[1])
+        st = np.asarray(self._tok[0])
+        final = np.asarray(self.base._final)
+        best = sc.min()
+        best_final = (sc + final[st]).min()
+        if best >= BIG / 2:
+            return float("inf")
+        return float(best_final - best)
+
+    def trailing_silence_frames(self, silence_phones: set,
+                                trans_model) -> int:
+        """Consecutive final frames whose best-path phone is silence
+        (ref: online2/online-endpoint.h TrailingSilenceLength)."""
+        res = self.best_path(use_final_probs=False)
+        if res is None:
+            return 0
+        _w, tids, _c = res
+        count = 0
+        for tid in reversed(tids):
+            if trans_model.transition_id_to_phone(tid) in silence_phones:
+                count += 1
+            else:
+                break
+        return count
