@@ -134,6 +134,28 @@ class AccumAmDiagGmm:
         self.tot_like += other.tot_like
         self.tot_frames += other.tot_frames
 
+    def accumulate_from_posteriors(
+        self, am: AmDiagGmm, feats: np.ndarray, post,
+    ):
+        """Soft per-frame pdf posteriors: post[t] = [(pdf, weight)].
+
+        Expands to (frame, pdf, weight) triples and reuses the batched
+        aligned-posterior program with repeated frames — one GEMM for all
+        pdfs (ref: gmm/mle-am-diag-gmm.h AccumAmDiagGmm::AccumulateFromPosteriors).
+        """
+        idx, pdfs, ws = [], [], []
+        for t, frame in enumerate(post):
+            for pdf, w in frame:
+                idx.append(t)
+                pdfs.append(pdf)
+                ws.append(w)
+        if not idx:
+            return
+        feats = np.asarray(feats, np.float32)
+        self.accumulate_from_alignment(
+            am, feats[np.asarray(idx)], np.asarray(pdfs),
+            np.asarray(ws, np.float32))
+
     def accumulate_from_alignment(
         self, am: AmDiagGmm, feats: np.ndarray, pdf_ids: np.ndarray,
         weights: np.ndarray | None = None,

@@ -1,0 +1,181 @@
+"""ConstArpaLm: immutable packed n-gram LM + deterministic on-demand FST.
+
+(ref: lm/const-arpa-lm.h:32 ConstArpaLm — a compact read-only layout of an
+ ARPA LM queried by (history, word); :202 ConstArpaLmDeterministicFst — the
+ on-demand deterministic FST over LM states used by
+ latbin/lattice-lmrescore-const-arpa.cc. We pack n-grams into flat numpy
+ arrays — per-state sorted word columns searched with np.searchsorted —
+ instead of the reference's pointer-blob, which keeps the table mmap-able
+ and lets batched rescoring gather scores vectorized.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from kaldi_tpu.lm.arpa import ArpaLm
+from kaldi_tpu.lat.lattice import Lattice
+
+
+class ConstArpaLm:
+    """Packed LM. States are n-gram histories (word-id tuples); queries are
+    fully vectorizable: per-state contiguous [lo, hi) ranges of sorted word
+    ids with parallel logprob / backoff / nextstate columns."""
+
+    def __init__(self, lm: ArpaLm, words):
+        self.order = lm.order
+        self.bos = words.get("<s>")
+        self.eos = words.get("</s>")
+        self.unk_cost = 99.0 * np.log(10.0)
+
+        # enumerate states: every history that is a context of some n-gram
+        hist_set = {(): 0}
+        for k in range(1, lm.order):
+            for ng, (_lp, bo) in lm.ngrams[k - 1].items():
+                if all(w in words or w in ("<s>", "</s>") for w in ng):
+                    hist_set.setdefault(ng, len(hist_set))
+        self._hist_index = hist_set
+        n_states = len(hist_set)
+
+        def wid(w):
+            if w == "<s>":
+                return -1 if self.bos is None else self.bos
+            if w == "</s>":
+                return -2 if self.eos is None else self.eos
+            return words.get(w)
+
+        # collect (state, word, logp, next_state) rows + per-state backoff
+        rows = [[] for _ in range(n_states)]
+        self.backoff_cost = np.zeros(n_states, np.float32)
+        self.backoff_state = np.zeros(n_states, np.int64)
+        for hist, s in hist_set.items():
+            if hist:
+                ent = lm.ngrams[len(hist) - 1].get(hist)
+                bo = ent[1] if (ent and ent[1] is not None) else 0.0
+                self.backoff_cost[s] = -bo
+                # back off to the longest suffix that is a state
+                suf = hist[1:]
+                while suf not in hist_set:
+                    suf = suf[1:]
+                self.backoff_state[s] = hist_set[suf]
+        for k in range(lm.order):
+            for ng, (logp, _bo) in lm.ngrams[k].items():
+                hist, word = ng[:-1], ng[-1]
+                if hist not in hist_set:
+                    continue
+                w = wid(word)
+                if w is None or word == "<s>":
+                    continue
+                # next state: longest suffix of ng that is a state
+                nxt = ng
+                while nxt not in hist_set:
+                    nxt = nxt[1:]
+                rows[hist_set[hist]].append((w, -logp, hist_set[nxt]))
+
+        counts = [len(r) for r in rows]
+        self.row_lo = np.zeros(n_states + 1, np.int64)
+        np.cumsum(counts, out=self.row_lo[1:])
+        total = int(self.row_lo[-1])
+        self.col_word = np.zeros(total, np.int64)
+        self.col_cost = np.zeros(total, np.float32)
+        self.col_next = np.zeros(total, np.int64)
+        for s, r in enumerate(rows):
+            r.sort()
+            lo = int(self.row_lo[s])
+            for i, (w, c, nx) in enumerate(r):
+                self.col_word[lo + i] = w
+                self.col_cost[lo + i] = c
+                self.col_next[lo + i] = nx
+
+    @property
+    def num_states(self) -> int:
+        return len(self.row_lo) - 1
+
+    def start_state(self) -> int:
+        h = ("<s>",)
+        return self._hist_index.get(h, 0)
+
+    def _find(self, state: int, word: int):
+        lo, hi = int(self.row_lo[state]), int(self.row_lo[state + 1])
+        i = lo + int(np.searchsorted(self.col_word[lo:hi], word))
+        if i < hi and self.col_word[i] == word:
+            return i
+        return -1
+
+    def step(self, state: int, word: int) -> tuple[int, float]:
+        """(next_state, cost) for emitting `word` from `state`, following
+        backoffs (ref: const-arpa-lm.h GetNgramLogprob)."""
+        cost = 0.0
+        s = state
+        while True:
+            i = self._find(s, word)
+            if i >= 0:
+                return int(self.col_next[i]), cost + float(self.col_cost[i])
+            if s == 0:
+                return 0, cost + self.unk_cost
+            cost += float(self.backoff_cost[s])
+            s = int(self.backoff_state[s])
+
+    def final_cost(self, state: int) -> float:
+        """Cost of </s> from `state`."""
+        if self.eos is None:
+            return 0.0
+        _s, c = self.step(state, self.eos)
+        return c
+
+    def sentence_logprob(self, word_ids) -> float:
+        """Natural-log P(<s> words </s>) — parity oracle vs ArpaLm."""
+        s = self.start_state()
+        tot = 0.0
+        for w in word_ids:
+            s, c = self.step(s, int(w))
+            tot -= c
+        tot -= self.final_cost(s)
+        return tot
+
+
+def lattice_lmrescore_const_arpa(lat: Lattice, lm: ConstArpaLm,
+                                 lm_scale: float = 1.0) -> Lattice:
+    """Compose a lattice with the deterministic on-demand LM, adding
+    lm_scale * lm_cost to graph costs (ref:
+    latbin/lattice-lmrescore-const-arpa.cc; lm/const-arpa-lm.h:202).
+
+    Run once with lm_scale=-1 against the old G to subtract its scores
+    first, exactly like the reference pipeline.
+    """
+    from collections import deque
+
+    out = Lattice()
+    state_map: dict = {}
+    queue: deque = deque()
+
+    def get_state(key):
+        s = state_map.get(key)
+        if s is None:
+            s = out.add_state()
+            state_map[key] = s
+            queue.append(key)
+        return s
+
+    out.start = get_state((lat.start, lm.start_state()))
+    while queue:
+        key = queue.popleft()
+        ls, ms = key
+        cur = state_map[key]
+        if ls in lat.finals:
+            g, a = lat.finals[ls]
+            out.set_final(cur, g + lm_scale * lm.final_cost(ms), a)
+        for arc in lat.arcs[ls]:
+            if arc.olabel == 0:
+                dst = get_state((arc.nextstate, ms))
+                out.add_arc(cur, arc.ilabel, 0, arc.graph_cost,
+                            arc.acoustic_cost, dst)
+            else:
+                nms, c = lm.step(ms, arc.olabel)
+                dst = get_state((arc.nextstate, nms))
+                out.add_arc(cur, arc.ilabel, arc.olabel,
+                            arc.graph_cost + lm_scale * c,
+                            arc.acoustic_cost, dst)
+            if hasattr(arc, "tids"):
+                out.arcs[cur][-1].tids = arc.tids  # type: ignore
+    return out.connect()

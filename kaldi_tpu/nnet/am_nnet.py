@@ -46,6 +46,9 @@ class AmNnet:
             n += int(np.prod(p.shape[:-1]))
         self.priors = (acc / max(n, 1)).astype(np.float64)
 
+    def replace_params(self, params) -> "AmNnet":
+        return AmNnet(self.model, params, self.priors)
+
     def set_priors_from_alignment_counts(self, counts: np.ndarray):
         c = np.asarray(counts, np.float64) + 0.5
         self.priors = c / c.sum()
