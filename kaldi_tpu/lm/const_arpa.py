@@ -28,12 +28,29 @@ class ConstArpaLm:
         self.eos = words.get("</s>")
         self.unk_cost = 99.0 * np.log(10.0)
 
-        # enumerate states: every history that is a context of some n-gram
+        # enumerate states: every history that is a context of some n-gram.
+        # A state exists if it is itself an n-gram entry of order < max, OR
+        # appears as the history of any entry even without its own entry —
+        # the reference's "missing backoffs" case (src/lm/missing_backoffs.arpa):
+        # such states get implicit backoff weight 0.
         hist_set = {(): 0}
+
+        def usable(ng):
+            return all(w in words or w in ("<s>", "</s>") for w in ng)
+
         for k in range(1, lm.order):
-            for ng, (_lp, bo) in lm.ngrams[k - 1].items():
-                if all(w in words or w in ("<s>", "</s>") for w in ng):
+            for ng in lm.ngrams[k - 1]:
+                if usable(ng):
                     hist_set.setdefault(ng, len(hist_set))
+        for k in range(2, lm.order + 1):
+            for ng in lm.ngrams[k - 1]:
+                hist = ng[:-1]
+                if usable(hist):
+                    # prefix closure: the on-demand FST reaches a history
+                    # one word at a time, so every prefix must be a state
+                    # (src/lm/unused_backoffs.arpa exercises this)
+                    for i in range(1, len(hist) + 1):
+                        hist_set.setdefault(hist[:i], len(hist_set))
         self._hist_index = hist_set
         n_states = len(hist_set)
 
@@ -43,6 +60,14 @@ class ConstArpaLm:
             if w == "</s>":
                 return -2 if self.eos is None else self.eos
             return words.get(w)
+
+        # id-tuple history per state + index for next-state extension lookup
+        self._state_hist = [()] * n_states
+        self._ext_index: dict = {}
+        for h, s in hist_set.items():
+            ids = tuple(wid(w) for w in h)
+            self._state_hist[s] = ids
+            self._ext_index.setdefault(ids, s)
 
         # collect (state, word, logp, next_state) rows + per-state backoff
         rows = [[] for _ in range(n_states)]
@@ -104,17 +129,34 @@ class ConstArpaLm:
 
     def step(self, state: int, word: int) -> tuple[int, float]:
         """(next_state, cost) for emitting `word` from `state`, following
-        backoffs (ref: const-arpa-lm.h GetNgramLogprob)."""
+        backoffs for the probability (ref: const-arpa-lm.h GetNgramLogprob).
+
+        The next state is the longest suffix of (history + word) that
+        exists as a state, computed from the ORIGINAL history — an n-gram
+        may be reachable even when its own history entry is missing
+        (src/lm/missing_backoffs.arpa)."""
         cost = 0.0
         s = state
         while True:
             i = self._find(s, word)
             if i >= 0:
-                return int(self.col_next[i]), cost + float(self.col_cost[i])
+                cost += float(self.col_cost[i])
+                break
             if s == 0:
-                return 0, cost + self.unk_cost
+                cost += self.unk_cost
+                break
             cost += float(self.backoff_cost[s])
             s = int(self.backoff_state[s])
+        ext = self._state_hist[state] + (word,)
+        if self.order > 1:
+            ext = ext[-(self.order - 1):]
+        else:
+            ext = ()
+        # word ids in states are stored as symbol strings' ids; histories
+        # were built over strings — map via the word column domain
+        while ext not in self._ext_index:
+            ext = ext[1:]
+        return self._ext_index[ext], cost
 
     def final_cost(self, state: int) -> float:
         """Cost of </s> from `state`."""

@@ -1,0 +1,107 @@
+"""ConstArpaLm: packed LM parity with the ArpaLm oracle + lattice rescoring.
+
+(ref test strategy: src/lm/lm-lib-test.cc uses input.arpa plus adversarial
+ missing_backoffs.arpa / unused_backoffs.arpa; we score sentences through
+ both the dict-based ArpaLm (oracle) and the packed ConstArpaLm and demand
+ agreement, then check const-arpa lattice rescoring end to end.)
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from kaldi_tpu.fst.fst import SymbolTable
+from kaldi_tpu.lm.arpa import ArpaLm, arpa_to_g
+from kaldi_tpu.lm.const_arpa import ConstArpaLm, lattice_lmrescore_const_arpa
+from kaldi_tpu.lat.lattice import Lattice
+from kaldi_tpu.lat.functions import lattice_best_path, compose_lattice_with_lm
+
+REF_LM_DIR = "/root/reference/src/lm"
+
+
+def _words_table(*syms):
+    t = SymbolTable()
+    t.add("<eps>")  # no-op if present
+    for s in syms:
+        t.add(s)
+    t.add("#0")
+    return t
+
+
+@pytest.mark.parametrize("arpa_file", ["input.arpa", "missing_backoffs.arpa",
+                                       "unused_backoffs.arpa"])
+def test_const_arpa_matches_oracle(arpa_file):
+    with open(f"{REF_LM_DIR}/{arpa_file}") as f:
+        text = f.read()
+    lm = ArpaLm.parse(text)
+    words = _words_table("a", "b", "<s>", "</s>")
+    clm = ConstArpaLm(lm, words)
+    rng = np.random.RandomState(0)
+    for _ in range(30):
+        sent = [rng.choice(["a", "b"]) for _ in range(rng.randint(1, 6))]
+        oracle = lm.score_sentence(sent)
+        got = clm.sentence_logprob([words[w] for w in sent])
+        assert got == pytest.approx(oracle, abs=1e-4), sent
+
+
+def test_const_arpa_ngram_state_tracking():
+    """Higher-order context must be used when available: P(b | <s> a) is the
+    trigram from input.arpa, not a backed-off bigram."""
+    with open(f"{REF_LM_DIR}/input.arpa") as f:
+        lm = ArpaLm.parse(f.read())
+    words = _words_table("a", "b", "<s>", "</s>")
+    clm = ConstArpaLm(lm, words)
+    s = clm.start_state()
+    s, _c = clm.step(s, words["a"])
+    _s2, c = clm.step(s, words["b"])
+    assert c == pytest.approx(0.34958 * math.log(10), abs=1e-4)
+
+
+def test_lattice_lmrescore_const_arpa_swaps_lm_scores():
+    """Build a 2-path word lattice; rescoring with a LM that prefers the
+    other path must flip the best path (latbin/lattice-lmrescore-const-arpa)."""
+    words = _words_table("a", "b", "<s>", "</s>")
+    A, B = words["a"], words["b"]
+    lat = Lattice()
+    s0, s1, s2 = lat.add_state(), lat.add_state(), lat.add_state()
+    lat.start = s0
+    lat.add_arc(s0, 1, A, 0.0, 1.0, s1)   # "a": acoustic 1.0
+    lat.add_arc(s0, 2, B, 0.0, 1.1, s2)   # "b": acoustic 1.1 (worse)
+    lat.set_final(s1)
+    lat.set_final(s2)
+    assert lattice_best_path(lat)[0] == [A]
+
+    # LM strongly prefers "b"
+    arpa = ("\\data\\\nngram 1=4\n\n\\1-grams:\n"
+            "-9\ta\n-0.01\tb\n-99\t<s>\n-0.01\t</s>\n\n\\end\\\n")
+    lm = ArpaLm.parse(arpa)
+    clm = ConstArpaLm(lm, words)
+    res = lattice_lmrescore_const_arpa(lat, clm, lm_scale=1.0)
+    assert lattice_best_path(res)[0] == [B]
+    # and removing it again (scale -1) restores the acoustic ranking
+    back = lattice_lmrescore_const_arpa(res, clm, lm_scale=-1.0)
+    assert lattice_best_path(back)[0] == [A]
+
+
+def test_const_arpa_agrees_with_g_fst_composition():
+    """Rescoring through ConstArpaLm must match composing with the G FST
+    built from the same ARPA (same total costs on the best path)."""
+    with open(f"{REF_LM_DIR}/input.arpa") as f:
+        lm = ArpaLm.parse(f.read())
+    words = _words_table("a", "b", "<s>", "</s>")
+    clm = ConstArpaLm(lm, words)
+    g = arpa_to_g(lm, words)
+
+    lat = Lattice()
+    s0, s1, s2 = lat.add_state(), lat.add_state(), lat.add_state()
+    lat.start = s0
+    lat.add_arc(s0, 1, words["a"], 0.0, 0.3, s1)
+    lat.add_arc(s1, 2, words["b"], 0.0, 0.4, s2)
+    lat.set_final(s2)
+
+    via_fst = compose_lattice_with_lm(lat, g, words["#0"], lm_scale=1.0)
+    via_clm = lattice_lmrescore_const_arpa(lat, clm, lm_scale=1.0)
+    c_fst = lattice_best_path(via_fst)[2]
+    c_clm = lattice_best_path(via_clm)[2]
+    assert c_clm == pytest.approx(c_fst, abs=1e-4)
