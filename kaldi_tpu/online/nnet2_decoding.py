@@ -1,0 +1,132 @@
+"""Online nnet2 decoding: feature pipeline with i-vectors + chunked decode.
+
+(ref: online2/online-nnet2-feature-pipeline.h:61 OnlineNnet2FeaturePipeline
+ — base features (MFCC/PLP/fbank) ⊕ online i-vector, concatenated per
+ frame; online2/online-nnet2-decoding.h:67 SingleUtteranceNnet2Decoder —
+ pipeline + DecodableNnet2Online + LatticeFasterOnlineDecoder;
+ online2bin/online2-wav-nnet2-latgen-faster.cc is the driving binary.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from kaldi_tpu.online.features import OnlineMfcc
+from kaldi_tpu.online.ivector import (OnlineIvectorFeature,
+                                      OnlineIvectorAdaptationState,
+                                      OnlineSilenceWeighting)
+from kaldi_tpu.online.decoder import OnlineDecoder
+from kaldi_tpu.online.endpoint import EndpointConfig, endpoint_detected
+
+
+class OnlineNnet2FeaturePipeline:
+    """Base acoustic features ⊕ per-frame i-vector (both streaming)."""
+
+    def __init__(self, base_feature, ivector_feature: OnlineIvectorFeature
+                 | None = None):
+        self.base = base_feature
+        self.ivector = ivector_feature
+        self._silence_weights: np.ndarray | None = None
+
+    @property
+    def dim(self) -> int:
+        d = self.base.dim
+        if self.ivector is not None:
+            d += self.ivector.dim
+        return d
+
+    def accept_waveform(self, wave: np.ndarray):
+        n_before = self.base.num_frames_ready()
+        self.base.accept_waveform(wave)
+        self._feed_ivector(n_before)
+
+    def input_finished(self):
+        n_before = self.base.num_frames_ready()
+        self.base.input_finished()
+        self._feed_ivector(n_before)
+
+    def _feed_ivector(self, n_before: int):
+        if self.ivector is None:
+            return
+        n_now = self.base.num_frames_ready()
+        if n_now > n_before:
+            new = self.base.get_frames(n_before, n_now)
+            w = None
+            if self._silence_weights is not None:
+                w = np.ones(new.shape[0])
+                avail = self._silence_weights[n_before:n_now]
+                w[: len(avail)] = avail
+            self.ivector.accept_features(new, w)
+
+    def set_silence_weights(self, weights: np.ndarray):
+        """Per-frame weights from OnlineSilenceWeighting (decoder feedback)
+        applied to *future* i-vector stats."""
+        self._silence_weights = weights
+
+    def num_frames_ready(self) -> int:
+        return self.base.num_frames_ready()
+
+    def get_frames(self, start: int, end: int) -> np.ndarray:
+        base = self.base.get_frames(start, end)
+        if self.ivector is None:
+            return base
+        ivecs = np.stack([self.ivector.get_frame(t)
+                          for t in range(start, end)])
+        return np.concatenate([base, ivecs], axis=1).astype(np.float32)
+
+
+class SingleUtteranceNnet2Decoder:
+    """One utterance of streaming hybrid decoding
+    (ref: online2/online-nnet2-decoding.h:67)."""
+
+    def __init__(self, am_nnet, trans_model, beam_decoder,
+                 feature_pipeline: OnlineNnet2FeaturePipeline,
+                 chunk_frames: int = 32,
+                 endpoint_config: EndpointConfig | None = None,
+                 silence_phones: set = frozenset(),
+                 frame_shift: float = 0.01):
+        self.am_nnet = am_nnet
+        self.tm = trans_model
+        self.pipeline = feature_pipeline
+        self.decoder = OnlineDecoder(beam_decoder, chunk_frames)
+        self.endpoint_config = endpoint_config
+        self.silence_phones = set(silence_phones)
+        self.frame_shift = frame_shift
+        self._frames_consumed = 0
+        self._sil_weighting = OnlineSilenceWeighting(
+            trans_model, self.silence_phones)
+
+    def advance_decoding(self):
+        """Score and decode all feature frames not yet consumed
+        (ref: online-nnet2-decoding.h AdvanceDecoding)."""
+        ready = self.pipeline.num_frames_ready()
+        if ready <= self._frames_consumed:
+            return
+        feats = self.pipeline.get_frames(self._frames_consumed, ready)
+        ll = self.am_nnet.loglikes_np(feats[None])[0]
+        self.decoder.advance_decoding(ll)
+        self._frames_consumed = ready
+        # decoder feedback: downweight silence frames in the i-vector stats
+        if self.pipeline.ivector is not None:
+            res = self.decoder.best_path(use_final_probs=False)
+            if res is not None:
+                _w, tids, _c = res
+                self.pipeline.set_silence_weights(
+                    self._sil_weighting.weights_from_alignment(tids))
+
+    def endpoint_detected(self) -> bool:
+        if self.endpoint_config is None:
+            return False
+        trailing = self.decoder.trailing_silence_frames(
+            self.silence_phones, self.tm)
+        return endpoint_detected(
+            self.endpoint_config, self.frame_shift,
+            self.decoder.num_frames_decoded, trailing,
+            self.decoder.final_relative_cost())
+
+    def finalize_decoding(self):
+        self.pipeline.input_finished()
+        self.advance_decoding()
+
+    def best_path(self):
+        return self.decoder.best_path()
