@@ -1,0 +1,200 @@
+"""Regression-tree MLLR / fMLLR: per-class transforms with occupancy backoff.
+
+(ref: transform/regression-tree.h RegressionTree — binary tree over the
+ acoustic model's Gaussians built by clustering means;
+ transform/regtree-mllr-diag-gmm.h RegtreeMllrDiagGmm (mean-only MLLR),
+ transform/regtree-fmllr-diag-gmm.h RegtreeFmllrDiagGmm. A node's
+ transform is estimated only when its occupancy passes a threshold,
+ else the parent's transform applies.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from kaldi_tpu.transform.fmllr import FmllrStats, estimate_fmllr
+
+
+class RegressionTree:
+    """Binary tree over all Gaussians of an AmDiagGmm; leaves = base classes.
+
+    Built by recursive 2-means on Gaussian means (the reference clusters
+    with GaussClusterable; means-only 2-means gives the same tree shape)."""
+
+    def __init__(self, am, num_base_classes: int = 4, seed: int = 0):
+        means, owner = [], []
+        for pdf, g in enumerate(am.pdfs):
+            for m in range(g.num_gauss):
+                means.append(g.means[m])
+                owner.append((pdf, m))
+        self.means = np.asarray(means)
+        self.owner = owner
+        G = len(means)
+        rng = np.random.RandomState(seed)
+
+        # nodes: list of dicts {parent, gauss_indices}; node 0 = root
+        self.parent = [-1]
+        members = [np.arange(G)]
+        leaves = [0]
+        while len(leaves) < num_base_classes:
+            # split the leaf with most members
+            leaves.sort(key=lambda n: -len(members[n]))
+            node = leaves.pop(0)
+            idx = members[node]
+            if len(idx) < 2:
+                leaves.append(node)
+                break
+            lab = _two_means(self.means[idx], rng)
+            if lab.all() or not lab.any():
+                leaves.append(node)
+                break
+            for side in (0, 1):
+                self.parent.append(node)
+                members.append(idx[lab == side])
+                leaves.append(len(self.parent) - 1)
+        self.members = members
+        self.leaves = sorted(leaves)
+        # gaussian -> leaf node
+        self.gauss2leaf = np.zeros(G, np.int64)
+        for leaf in self.leaves:
+            self.gauss2leaf[members[leaf]] = leaf
+
+    @property
+    def num_nodes(self) -> int:
+        return len(self.parent)
+
+    def ancestors(self, node: int):
+        out = [node]
+        while self.parent[out[-1]] >= 0:
+            out.append(self.parent[out[-1]])
+        return out
+
+
+class RegtreeStats:
+    """Per-node fMLLR (or MLLR) stats, accumulated at leaves then summed
+    up the tree."""
+
+    def __init__(self, tree: RegressionTree, dim: int):
+        self.tree = tree
+        self.stats = [FmllrStats(dim) for _ in range(tree.num_nodes)]
+
+    def accumulate(self, am, feats: np.ndarray, post):
+        """post[t] = [(pdf, weight)] pdf-level posteriors; within-pdf
+        component posteriors computed from the model."""
+        tree = self.tree
+        # flat gaussian indexing must match the tree's construction order
+        offsets = {}
+        off = 0
+        for pdf, g in enumerate(am.pdfs):
+            offsets[pdf] = off
+            off += g.num_gauss
+        for t, frame in enumerate(post):
+            x = feats[t]
+            for pdf, w in frame:
+                g = am.pdfs[pdf]
+                comp_post = g.posteriors(x[None])[0] * w
+                for m in range(g.num_gauss):
+                    if comp_post[m] < 1e-6:
+                        continue
+                    leaf = tree.gauss2leaf[offsets[pdf] + m]
+                    st = self.stats[leaf]
+                    st.accumulate(x[None], g.means[m: m + 1],
+                                  g.vars[m: m + 1],
+                                  np.array([[comp_post[m]]]))
+
+    def summed_up(self):
+        """Propagate leaf stats to ancestors; -> list of FmllrStats."""
+        tree = self.tree
+        out = [FmllrStats(self.stats[0].K.shape[0])
+               for _ in range(tree.num_nodes)]
+        for leaf in tree.leaves:
+            for node in tree.ancestors(leaf):
+                out[node].add(self.stats[leaf])
+        return out
+
+
+def estimate_regtree_fmllr(acc: RegtreeStats, min_count: float = 200.0):
+    """-> transforms: gaussian-flat-index -> [D, D+1] transform. A leaf
+    uses the deepest ancestor (including itself) with enough occupancy;
+    identity if even the root is under min_count
+    (ref: regtree-fmllr-diag-gmm.h RegtreeFmllrDiagGmmAccs::Update)."""
+    tree = acc.tree
+    summed = acc.summed_up()
+    D = summed[0].K.shape[0]
+    ident = np.concatenate([np.eye(D), np.zeros((D, 1))], axis=1)
+    node_xform: dict = {}
+
+    def xform_of(node):
+        if node in node_xform:
+            return node_xform[node]
+        if summed[node].beta >= min_count:
+            W, _i, _c = estimate_fmllr(summed[node], min_count=min_count)
+            node_xform[node] = W
+        elif tree.parent[node] >= 0:
+            node_xform[node] = xform_of(tree.parent[node])
+        else:
+            node_xform[node] = ident
+        return node_xform[node]
+
+    return {int(g): xform_of(int(tree.gauss2leaf[g]))
+            for g in range(len(tree.gauss2leaf))}
+
+
+class MllrStats:
+    """Mean-only MLLR stats: mu' = W [mu; 1]
+    (ref: transform/regtree-mllr-diag-gmm.h). Per-dim normal equations:
+    G_d = Σ_m γ_m/σ²_md μ+ μ+ᵀ ; k_d = Σ_{t,m} γ_tm x_td/σ²_md μ+."""
+
+    def __init__(self, dim: int):
+        self.beta = 0.0
+        self.K = np.zeros((dim, dim + 1))
+        self.G = np.zeros((dim, dim + 1, dim + 1))
+
+    def accumulate(self, feats, means, variances, posteriors):
+        T, D = feats.shape
+        mu_p = np.concatenate([means, np.ones((len(means), 1))], axis=1)
+        gamma_m = posteriors.sum(axis=0)
+        self.beta += gamma_m.sum()
+        inv_var = 1.0 / variances
+        gx = posteriors.T @ feats        # [M, D]
+        for d in range(D):
+            w = gamma_m * inv_var[:, d]
+            self.G[d] += (mu_p * w[:, None]).T @ mu_p
+            self.K[d] += (gx[:, d] * inv_var[:, d]) @ mu_p
+
+
+def estimate_mllr(stats: MllrStats, min_count: float = 100.0) -> np.ndarray:
+    D = stats.K.shape[0]
+    ident = np.concatenate([np.eye(D), np.zeros((D, 1))], axis=1)
+    if stats.beta < min_count:
+        return ident
+    W = np.zeros((D, D + 1))
+    for d in range(D):
+        W[d] = np.linalg.solve(
+            stats.G[d] + 1e-8 * np.eye(D + 1), stats.K[d])
+    return W
+
+
+def apply_mllr_to_means(am, W: np.ndarray):
+    """Return a copy of the AM with transformed means mu' = W [mu;1]."""
+    from kaldi_tpu.gmm.diag_gmm import DiagGmm
+    from kaldi_tpu.gmm.am_gmm import AmDiagGmm
+    out = []
+    for g in am.pdfs:
+        mu_p = np.concatenate([g.means, np.ones((g.num_gauss, 1))], axis=1)
+        out.append(DiagGmm(g.weights.copy(), mu_p @ W.T, g.vars.copy()))
+    return AmDiagGmm(out)
+
+
+def _two_means(x: np.ndarray, rng, iters: int = 10):
+    n = len(x)
+    c = x[rng.choice(n, 2, replace=False)]
+    lab = np.zeros(n, np.int64)
+    for _ in range(iters):
+        d0 = ((x - c[0]) ** 2).sum(1)
+        d1 = ((x - c[1]) ** 2).sum(1)
+        lab = (d1 < d0).astype(np.int64)
+        for s in (0, 1):
+            if (lab == s).any():
+                c[s] = x[lab == s].mean(0)
+    return lab
