@@ -1,0 +1,160 @@
+"""Lattice surgery + compressed storage tests.
+
+(ref: lat/{word-align-lattice,phone-align-lattice,push-lattice,
+ minimize-lattice,confidence}.h, latbin/lattice-{oracle,union,interp}.cc,
+ matrix/compressed-matrix.h.)
+"""
+
+import numpy as np
+import pytest
+
+from kaldi_tpu.lat.lattice import Lattice
+from kaldi_tpu.lat.functions import lattice_best_path, nbest
+from kaldi_tpu.lat.align import (
+    ali_to_phones, words_to_ctm, lattice_oracle, lattice_confidence,
+    push_lattice, minimize_lattice, lattice_union, lattice_interp,
+)
+from kaldi_tpu.io.compressed import CompressedMatrix
+
+
+class TmStub:
+    """tids encode (phone*100 + hmm_state*10 + selfloop)."""
+
+    def transition_id_to_phone(self, tid):
+        return tid // 100
+
+    def transition_id_to_hmm_state(self, tid):
+        return (tid % 100) // 10
+
+    def is_self_loop(self, tid):
+        return tid % 10 == 1
+
+    def is_final(self, tid):
+        # last hmm state, non-self-loop
+        return (tid % 100) // 10 == 1 and tid % 10 == 0
+
+
+def test_ali_to_phones():
+    tm = TmStub()
+    # phone 3: states 0,0(sl),1; phone 5: states 0,1
+    tids = [300, 301, 310, 500, 510]
+    segs = ali_to_phones(tm, tids)
+    assert segs == [(3, 0, 3), (5, 3, 2)]
+    pf = ali_to_phones(tm, tids, per_frame=True)
+    assert pf == [3, 3, 3, 5, 5]
+
+
+def test_words_to_ctm():
+    tm = TmStub()
+    # word 42 = phones (3, 5); word 43 = phone (7)
+    lex = {42: [(3, 5)], 43: [(7,)]}
+    tids = [300, 301, 310, 500, 510, 700, 710, 711]
+    ctm = words_to_ctm(tids, [42, 43], tm, lex)
+    assert ctm == [(42, 0, 5), (43, 5, 3)]
+
+
+def _abc_lattice():
+    """Paths: A-B (cost 1), A-C (cost 2), D (cost 5)."""
+    lat = Lattice()
+    s = [lat.add_state() for _ in range(5)]
+    lat.start = s[0]
+    lat.add_arc(s[0], 1, 10, 0.5, 0.0, s[1])   # A
+    lat.add_arc(s[1], 2, 11, 0.5, 0.0, s[2])   # B
+    lat.add_arc(s[1], 3, 12, 1.5, 0.0, s[3])   # C
+    lat.add_arc(s[0], 4, 13, 5.0, 0.0, s[4])   # D
+    for t in (s[2], s[3], s[4]):
+        lat.set_final(t)
+    return lat
+
+
+def test_lattice_oracle():
+    lat = _abc_lattice()
+    edits, oracle = lattice_oracle(lat, [10, 11])
+    assert edits == 0 and oracle == [10, 11]
+    edits, oracle = lattice_oracle(lat, [10, 99])
+    assert edits == 1 and oracle in ([10, 11], [10, 12])
+    edits, _ = lattice_oracle(lat, [13])
+    assert edits == 0
+    edits, _ = lattice_oracle(lat, [99, 98, 97])
+    assert edits == 3  # 2-word path: 2 subs + 1 del; 1-word path: 1 sub + 2 dels
+
+
+def test_lattice_confidence():
+    lat = _abc_lattice()
+    conf = lattice_confidence(lat)
+    assert conf == pytest.approx(1.0)   # best 1.0 (A,B), next seq (A,C) 2.0
+    # single path lattice -> inf
+    one = Lattice()
+    a, b = one.add_state(), one.add_state()
+    one.start = a
+    one.add_arc(a, 1, 5, 0.3, 0.0, b)
+    one.set_final(b)
+    assert lattice_confidence(one) == float("inf")
+
+
+def test_push_preserves_path_costs():
+    lat = _abc_lattice()
+    before = sorted((tuple(w), round(c, 6)) for (w, _t, c) in nbest(lat, 10))
+    pushed = push_lattice(lat)
+    after = sorted((tuple(w), round(c, 6)) for (w, _t, c) in nbest(pushed, 10))
+    assert before == after
+    # after pushing, the best continuation from every state costs ~0
+    # (check start: minimum outgoing arc cost+suffix is the total best)
+    w, _t, c = lattice_best_path(pushed)
+    assert c == pytest.approx(1.0)
+
+
+def test_minimize_merges_shared_suffixes():
+    lat = Lattice()
+    s = [lat.add_state() for _ in range(6)]
+    lat.start = s[0]
+    # two prefixes reaching identical suffix structures
+    lat.add_arc(s[0], 1, 10, 1.0, 0.0, s[1])
+    lat.add_arc(s[0], 2, 11, 2.0, 0.0, s[2])
+    lat.add_arc(s[1], 3, 12, 1.0, 0.0, s[3])
+    lat.add_arc(s[2], 3, 12, 1.0, 0.0, s[4])
+    lat.set_final(s[3])
+    lat.set_final(s[4])
+    before = sorted((tuple(w), round(c, 6)) for (w, _t, c) in nbest(lat, 10))
+    mini = minimize_lattice(lat)
+    after = sorted((tuple(w), round(c, 6)) for (w, _t, c) in nbest(mini, 10))
+    assert before == after
+    assert mini.num_states < lat.num_states
+
+
+def test_union_and_interp():
+    a = _abc_lattice()
+    b = Lattice()
+    s0, s1, s2 = b.add_state(), b.add_state(), b.add_state()
+    b.start = s0
+    b.add_arc(s0, 1, 10, 0.2, 0.0, s1)
+    b.add_arc(s1, 2, 11, 0.2, 0.0, s2)
+    b.set_final(s2)
+
+    u = lattice_union(a, b)
+    seqs = {tuple(w) for (w, _t, _c) in nbest(u, 20)}
+    assert (10, 11) in seqs and (13,) in seqs
+
+    interp = lattice_interp(a, b, alpha=0.5)
+    paths = nbest(interp, 10)
+    assert len(paths) == 1                      # only A-B is in both
+    assert tuple(paths[0][0]) == (10, 11)
+    assert paths[0][2] == pytest.approx(0.5 * 1.0 + 0.5 * 0.4)
+
+
+def test_compressed_matrix_roundtrip():
+    rng = np.random.RandomState(0)
+    # feature-like data: smooth column stats and outliers
+    x = rng.randn(500, 13).astype(np.float32) * np.linspace(1, 5, 13)
+    x[10, 3] = 40.0
+    c = CompressedMatrix.compress(x)
+    y = c.decompress()
+    assert y.shape == x.shape
+    # quantization error bounded by segment width / 64 per column
+    err = np.abs(y - x)
+    col_range = x.max(0) - x.min(0)
+    assert np.all(err.max(0) <= col_range / 16.0 + 1e-3)
+    # typical error is small (inner quartiles quantized at 128 steps)
+    assert np.median(err) < np.median(col_range) / 100.0
+    # storage ~ 1 byte per element
+    assert c.nbytes < x.size * 1.2 + 200
