@@ -1,0 +1,89 @@
+"""nnet3 simple components as pure functions + parameter initializers.
+
+(ref: nnet3/nnet-simple-component.h:42-842 — AffineComponent,
+ NaturalGradientAffineComponent :403 (NG handled by the optimizer, see
+ kaldi_tpu/nnet/natural_gradient.py), RectifiedLinear/Sigmoid/Tanh,
+ PnormComponent, NormalizeComponent, LogSoftmax/Softmax,
+ Fixed{Affine,Scale,Bias}Component, NoOp, Dropout.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def init_affine(key, input_dim: int, output_dim: int,
+                param_stddev: float | None = None,
+                bias_stddev: float = 0.0):
+    if param_stddev is None:
+        param_stddev = 1.0 / np.sqrt(input_dim)
+    kw, kb = jax.random.split(key)
+    return {
+        "w": param_stddev * jax.random.normal(kw, (output_dim, input_dim),
+                                              jnp.float32),
+        "b": bias_stddev * jax.random.normal(kb, (output_dim,), jnp.float32),
+    }
+
+
+def affine(params, x):
+    return x @ params["w"].T + params["b"]
+
+
+def pnorm(x, output_dim: int, p: float = 2.0):
+    """(ref: nnet-simple-component.h PnormComponent)"""
+    B = x.shape[:-1]
+    group = x.shape[-1] // output_dim
+    xg = x.reshape(*B, output_dim, group)
+    return jnp.power(jnp.sum(jnp.abs(xg) ** p, axis=-1) + 1e-20, 1.0 / p)
+
+
+def normalize(x, target_rms: float = 1.0):
+    """(ref: NormalizeComponent — scale rows to rms=target_rms)"""
+    d = x.shape[-1]
+    rms = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True) / d + 1e-20)
+    return x * (target_rms / rms)
+
+
+COMPONENT_TYPES = {
+    # type -> (has_params, make_params(key, cfg), apply(params, x, cfg))
+    "AffineComponent": (
+        True,
+        lambda key, cfg: init_affine(key, int(cfg["input-dim"]),
+                                     int(cfg["output-dim"]),
+                                     float(cfg.get("param-stddev", 0) or 0)
+                                     or None,
+                                     float(cfg.get("bias-stddev", 0.0))),
+        lambda p, x, cfg: affine(p, x)),
+    "NaturalGradientAffineComponent": (
+        True,
+        lambda key, cfg: init_affine(key, int(cfg["input-dim"]),
+                                     int(cfg["output-dim"]),
+                                     float(cfg.get("param-stddev", 0) or 0)
+                                     or None,
+                                     float(cfg.get("bias-stddev", 0.0))),
+        lambda p, x, cfg: affine(p, x)),
+    "RectifiedLinearComponent": (
+        False, None, lambda p, x, cfg: jax.nn.relu(x)),
+    "SigmoidComponent": (
+        False, None, lambda p, x, cfg: jax.nn.sigmoid(x)),
+    "TanhComponent": (
+        False, None, lambda p, x, cfg: jnp.tanh(x)),
+    "PnormComponent": (
+        False, None,
+        lambda p, x, cfg: pnorm(x, int(cfg["output-dim"]),
+                                float(cfg.get("p", 2.0)))),
+    "NormalizeComponent": (
+        False, None,
+        lambda p, x, cfg: normalize(x, float(cfg.get("target-rms", 1.0)))),
+    "SoftmaxComponent": (
+        False, None, lambda p, x, cfg: jax.nn.softmax(x, axis=-1)),
+    "LogSoftmaxComponent": (
+        False, None, lambda p, x, cfg: jax.nn.log_softmax(x, axis=-1)),
+    "NoOpComponent": (False, None, lambda p, x, cfg: x),
+    "FixedScaleComponent": (
+        False, None, lambda p, x, cfg: x * float(cfg.get("scale", 1.0))),
+    "FixedBiasComponent": (
+        False, None, lambda p, x, cfg: x + float(cfg.get("bias", 0.0))),
+}
