@@ -353,8 +353,29 @@ write_matrix_ark = write_ark
 
 
 def read_ark(path_or_file) -> Iterator[tuple[str, np.ndarray]]:
-    """Iterate (key, value) from an ark (binary or text, auto-detected)."""
+    """Iterate (key, value) from an ark (binary or text, auto-detected).
+
+    Plain binary files of FM/DM/FV/DV entries stream through the native
+    C++ reader (native/ark_io.cc) when it is available; anything else
+    (pipes, offsets, text, compressed entries) uses the Python path.
+    """
     own = isinstance(path_or_file, (str, os.PathLike))
+    if own:
+        name = str(path_or_file)
+        if _classify(name) == "file" and os.path.exists(name):
+            from kaldi_tpu.io import native
+            if native.available():
+                try:
+                    with open(name, "rb") as probe:
+                        head = probe.read(4096)
+                    sp = head.find(b" ")
+                    if sp > 0 and head[sp + 1: sp + 3] == b"\x00B" \
+                            and head[sp + 3: sp + 5] in (b"FM", b"DM",
+                                                         b"FV", b"DV"):
+                        yield from native.read_ark_native(name)
+                        return
+                except (ValueError, OSError):
+                    pass  # fall through to the Python reader
     f = open_rxfilename(str(path_or_file)) if own else path_or_file
     try:
         while True:
