@@ -1,0 +1,346 @@
+"""The command-line surface: `python -m kaldi_tpu.cli <subcommand>`.
+
+(ref: the reference's API surface is ~510 C++ binaries (SURVEY.md §2.9),
+ each ParseOptions + Table readers/writers. Here one CLI with subcommands
+ backed by the library; `--config=FILE` support mirrors
+ util/parse-options.h:44. Feature subcommands consume wav.scp /
+ rspecifiers and write ark/scp pairs like their featbin namesakes.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _expand_config_args(argv):
+    """ParseOptions --config=FILE: read 'key value' or '--key=value' lines."""
+    out = []
+    for a in argv:
+        if a.startswith("--config="):
+            with open(a.split("=", 1)[1]) as f:
+                for line in f:
+                    line = line.strip()
+                    if line and not line.startswith("#"):
+                        out.append(line if line.startswith("--")
+                                   else "--" + line.replace(" ", "="))
+        else:
+            out.append(a)
+    return out
+
+
+def _read_wav_scp(path):
+    with open(path) as f:
+        for line in f:
+            parts = line.strip().split(None, 1)
+            if len(parts) == 2:
+                yield parts
+
+
+def _feature_cmd(kind):
+    def run(args):
+        import jax.numpy as jnp
+        from kaldi_tpu.io.wave import read_wave
+        from kaldi_tpu.io.kaldi_io import open_wspecifier
+        from kaldi_tpu import ops
+
+        fo = ops.FrameOpts(samp_freq=args.sample_frequency,
+                           dither=args.dither,
+                           frame_length_ms=args.frame_length,
+                           frame_shift_ms=args.frame_shift)
+        if kind == "mfcc":
+            opts = ops.MfccOpts(frame_opts=fo,
+                                num_ceps=args.num_ceps,
+                                mel_opts=ops.MelOpts(num_bins=args.num_mel_bins))
+            compute = lambda w: ops.mfcc(w, opts)          # noqa: E731
+        elif kind == "fbank":
+            opts = ops.FbankOpts(frame_opts=fo,
+                                 mel_opts=ops.MelOpts(num_bins=args.num_mel_bins))
+            compute = lambda w: ops.fbank(w, opts)         # noqa: E731
+        elif kind == "spectrogram":
+            opts = ops.SpectrogramOpts(frame_opts=fo)
+            compute = lambda w: ops.spectrogram(w, opts)   # noqa: E731
+        elif kind == "plp":
+            opts = ops.PlpOpts(frame_opts=fo,
+                               mel_opts=ops.MelOpts(num_bins=args.num_mel_bins))
+            compute = lambda w: ops.plp(w, opts)           # noqa: E731
+        elif kind == "pitch":
+            from kaldi_tpu.ops.pitch import (PitchOpts, compute_kaldi_pitch,
+                                             process_pitch)
+            popts = PitchOpts(samp_freq=args.sample_frequency)
+            compute = lambda w: process_pitch(                 # noqa: E731
+                compute_kaldi_pitch(np.asarray(w), popts))
+        n = 0
+        with open_wspecifier(args.wspecifier, compress=args.compress) as out:
+            for utt, path in _read_wav_scp(args.wav_scp):
+                wave, sr = read_wave(path)
+                feats = np.asarray(compute(jnp.asarray(wave[args.channel])))
+                out.write(utt, feats)
+                n += 1
+        print(f"{kind}: processed {n} utterances", file=sys.stderr)
+
+    return run
+
+
+def cmd_copy_feats(args):
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    n = 0
+    with open_wspecifier(args.wspecifier, compress=args.compress) as out:
+        for k, v in open_rspecifier(args.rspecifier):
+            out.write(k, v)
+            n += 1
+    print(f"copied {n} features", file=sys.stderr)
+
+
+def cmd_add_deltas(args):
+    import jax.numpy as jnp
+    from kaldi_tpu.ops import add_deltas
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    with open_wspecifier(args.wspecifier) as out:
+        for k, v in open_rspecifier(args.rspecifier):
+            out.write(k, np.asarray(add_deltas(jnp.asarray(v),
+                                               order=args.delta_order,
+                                               window=args.delta_window)))
+
+
+def cmd_splice_feats(args):
+    import jax.numpy as jnp
+    from kaldi_tpu.ops import splice_frames
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    with open_wspecifier(args.wspecifier) as out:
+        for k, v in open_rspecifier(args.rspecifier):
+            out.write(k, np.asarray(splice_frames(
+                jnp.asarray(v), args.left_context, args.right_context)))
+
+
+def cmd_compute_cmvn_stats(args):
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    from kaldi_tpu.transform.cmvn import CmvnStats
+    spk2utt = None
+    if args.spk2utt:
+        spk2utt = {}
+        with open(args.spk2utt) as f:
+            for line in f:
+                parts = line.split()
+                for u in parts[1:]:
+                    spk2utt[u] = parts[0]
+    stats: dict = {}
+    dim = None
+    for k, v in open_rspecifier(args.rspecifier):
+        key = spk2utt.get(k, k) if spk2utt else k
+        if key not in stats:
+            stats[key] = CmvnStats(v.shape[1])
+        stats[key].accumulate(v)
+        dim = v.shape[1]
+    with open_wspecifier(args.wspecifier) as out:
+        for key, st in stats.items():
+            out.write(key, st.stats)
+    print(f"computed CMVN stats for {len(stats)} keys (dim {dim})",
+          file=sys.stderr)
+
+
+def cmd_apply_cmvn(args):
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    from kaldi_tpu.transform.cmvn import CmvnStats, apply_cmvn
+    cmvn = {}
+    for k, v in open_rspecifier(args.cmvn_rspecifier):
+        st = CmvnStats(v.shape[1] - 1)
+        st.stats = v
+        cmvn[k] = st
+    utt2spk = {}
+    if args.utt2spk:
+        with open(args.utt2spk) as f:
+            for line in f:
+                u, s = line.split()[:2]
+                utt2spk[u] = s
+    with open_wspecifier(args.wspecifier) as out:
+        for k, v in open_rspecifier(args.rspecifier):
+            key = utt2spk.get(k, k)
+            out.write(k, np.asarray(apply_cmvn(v, cmvn[key],
+                                               norm_vars=args.norm_vars)))
+
+
+def cmd_compute_wer(args):
+    from kaldi_tpu.utils.wer import compute_wer
+
+    def read_text(p):
+        d = {}
+        with open(p) as f:
+            for line in f:
+                parts = line.split()
+                if parts:
+                    d[parts[0]] = parts[1:]
+        return d
+
+    refs, hyps = read_text(args.ref), read_text(args.hyp)
+    stats = compute_wer(refs, hyps)
+    print(stats)
+
+
+def cmd_info(args):
+    import jax
+    import kaldi_tpu
+    from kaldi_tpu.io import native
+    print(json.dumps({
+        "version": getattr(kaldi_tpu, "__version__", "0.1"),
+        "jax": jax.__version__,
+        "devices": [str(d) for d in jax.devices()],
+        "native_ark_io": native.available(),
+    }, indent=2))
+
+
+def cmd_recipe_yesno(args):
+    """The e2e sanity recipe (ref: egs/yesno/s5/run.sh — with no network
+    egress the corpus is synthesized; same pipeline shape: features →
+    mono train → HCLG → decode → WER)."""
+    import jax.numpy as jnp
+    from kaldi_tpu.fst.lang import Lexicon, prepare_lang
+    from kaldi_tpu.lm.arpa import ArpaLm, arpa_to_g
+    from kaldi_tpu.fst.graph import make_hclg
+    from kaldi_tpu.ops import MfccOpts, FrameOpts, mfcc, add_deltas
+    from kaldi_tpu.steps.mono import train_mono, MonoTrainOpts
+    from kaldi_tpu.decoder.graph_pack import pack_graph
+    from kaldi_tpu.decoder.beam_search import BeamSearchDecoder, BeamSearchOpts
+    from kaldi_tpu.utils.wer import compute_wer
+
+    sys.path.insert(0, "tests")
+    rng = np.random.RandomState(42)
+    sr = 8000.0
+    tones = {"YES": 440.0, "NO": 1320.0}
+
+    def synth(words):
+        chunks = [np.zeros(int(sr * rng.uniform(0.08, 0.15)))]
+        for w in words:
+            t = np.arange(int(sr * rng.uniform(0.25, 0.4))) / sr
+            env = np.minimum(1.0, np.minimum(
+                np.arange(len(t)), len(t) - np.arange(len(t))) / (0.02 * sr))
+            freq = tones[w] * rng.uniform(0.98, 1.02)
+            chunks.append(np.sin(2 * np.pi * freq * t) * 3000
+                          * rng.uniform(0.7, 1.0) * env)
+            chunks.append(np.zeros(int(sr * rng.uniform(0.1, 0.2))))
+        w = np.concatenate(chunks) + rng.randn(
+            sum(len(c) for c in chunks)) * 20
+        return w.astype(np.float32)
+
+    lex = Lexicon.parse("YES Y1 Y2\nNO N1 N2")
+    lang = prepare_lang(lex, ["SIL"], "SIL", num_sil_states=3)
+    fo = MfccOpts(frame_opts=FrameOpts(samp_freq=sr, dither=0.0))
+
+    def featize(w):
+        return np.asarray(add_deltas(mfcc(jnp.asarray(w), fo), order=2,
+                                     window=2))
+
+    utts, tests = [], []
+    for i in range(24):
+        ws = [rng.choice(["YES", "NO"]) for _ in range(rng.randint(2, 6))]
+        utts.append((f"tr{i}", featize(synth(ws)), ws))
+    for i in range(8):
+        ws = [rng.choice(["YES", "NO"]) for _ in range(rng.randint(2, 6))]
+        tests.append((f"te{i}", featize(synth(ws)), ws))
+
+    model = train_mono(lang, utts, MonoTrainOpts(
+        num_iters=12, totgauss=60, max_iter_inc=8,
+        realign_iters=tuple(range(1, 12))))
+    arpa = ("\\data\\\nngram 1=4\n\n\\1-grams:\n-1\tNO\n-1\tYES\n"
+            "-99\t<s>\n-1\t</s>\n\n\\end\\\n")
+    g = arpa_to_g(ArpaLm.parse(arpa), lang.words)
+    graph = make_hclg(lang, g, model.trans_model, model.ctx_dep,
+                      self_loop_scale=0.1)
+    dec = BeamSearchDecoder(pack_graph(graph.fst,
+                                       model.trans_model.id2pdf_array),
+                            BeamSearchOpts(beam=16.0, max_active=256,
+                                           acoustic_scale=0.1))
+    B = len(tests)
+    T = max(f.shape[0] for (_u, f, _w) in tests)
+    D = tests[0][1].shape[1]
+    feats = np.zeros((B, T, D), np.float32)
+    nf = np.zeros(B, np.int32)
+    for b, (_u, f, _w) in enumerate(tests):
+        feats[b, : f.shape[0]] = f
+        nf[b] = f.shape[0]
+    results = dec.decode(model.am.loglikes_np(feats), nf)
+    refs, hyps = {}, {}
+    for b, (u, _f, ws) in enumerate(tests):
+        refs[u] = ws
+        hyps[u] = [lang.words.sym(w) for w in results[b][0]]
+    stats = compute_wer(refs, hyps)
+    print(stats)
+    if stats.wer > 0:
+        sys.exit(1)
+
+
+def main(argv=None):
+    argv = _expand_config_args(argv if argv is not None else sys.argv[1:])
+    p = argparse.ArgumentParser(prog="kaldi_tpu",
+                                description=__doc__.splitlines()[0])
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    for kind in ("mfcc", "fbank", "spectrogram", "plp", "pitch"):
+        q = sub.add_parser(f"compute-{kind}-feats")
+        q.add_argument("wav_scp")
+        q.add_argument("wspecifier")
+        q.add_argument("--sample-frequency", type=float, default=16000.0)
+        q.add_argument("--frame-length", type=float, default=25.0)
+        q.add_argument("--frame-shift", type=float, default=10.0)
+        q.add_argument("--dither", type=float, default=1.0)
+        q.add_argument("--num-ceps", type=int, default=13)
+        q.add_argument("--num-mel-bins", type=int, default=23)
+        q.add_argument("--channel", type=int, default=0)
+        q.add_argument("--compress", action="store_true")
+        q.set_defaults(func=_feature_cmd(kind))
+
+    q = sub.add_parser("copy-feats")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.add_argument("--compress", action="store_true")
+    q.set_defaults(func=cmd_copy_feats)
+
+    q = sub.add_parser("add-deltas")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.add_argument("--delta-order", type=int, default=2)
+    q.add_argument("--delta-window", type=int, default=2)
+    q.set_defaults(func=cmd_add_deltas)
+
+    q = sub.add_parser("splice-feats")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.add_argument("--left-context", type=int, default=4)
+    q.add_argument("--right-context", type=int, default=4)
+    q.set_defaults(func=cmd_splice_feats)
+
+    q = sub.add_parser("compute-cmvn-stats")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.add_argument("--spk2utt", default="")
+    q.set_defaults(func=cmd_compute_cmvn_stats)
+
+    q = sub.add_parser("apply-cmvn")
+    q.add_argument("cmvn_rspecifier")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.add_argument("--utt2spk", default="")
+    q.add_argument("--norm-vars", action="store_true")
+    q.set_defaults(func=cmd_apply_cmvn)
+
+    q = sub.add_parser("compute-wer")
+    q.add_argument("ref")
+    q.add_argument("hyp")
+    q.set_defaults(func=cmd_compute_wer)
+
+    q = sub.add_parser("info")
+    q.set_defaults(func=cmd_info)
+
+    q = sub.add_parser("recipe-yesno")
+    q.add_argument("--workdir", default="/tmp/kaldi_tpu_yesno")
+    q.set_defaults(func=cmd_recipe_yesno)
+
+    args = p.parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()
