@@ -9,6 +9,17 @@ import struct
 import numpy as np
 
 
+def write_htk(path, feats: np.ndarray, samp_period: int = 100000,
+              parm_kind: int = 9) -> None:
+    """Write features as an HTK file (ref: featbin/copy-feats-to-htk.cc;
+    samp_period in 100ns units, default 10ms; parm_kind 9 = USER)."""
+    feats = np.asarray(feats, np.float32)
+    n, d = feats.shape
+    with open(path, "wb") as f:
+        f.write(struct.pack(">iihh", n, samp_period, d * 4, parm_kind))
+        f.write(feats.astype(">f4").tobytes())
+
+
 def read_htk(path) -> tuple[np.ndarray, dict]:
     """Read an HTK feature file -> (features [T, D] float32, header dict)."""
     with open(path, "rb") as f:
