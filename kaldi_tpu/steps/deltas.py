@@ -49,9 +49,16 @@ def build_triphone_tree(
     ali_model: MonoModel,
     utts,
     opts: DeltasTrainOpts,
+    stats_feats=None,
 ):
     """Accumulate tree stats from alignments with the previous system and
-    build the tied-state tree. Returns (ctx_dep, trans_model, leaf_stats)."""
+    build the tied-state tree. Returns (ctx_dep, trans_model, leaf_stats).
+
+    stats_feats: optional per-utterance feature arrays (same order/lengths
+    as utts) to accumulate the Gaussian tree stats in a DIFFERENT feature
+    space than the alignment features — the train_lda_mllt.sh case where
+    acc-tree-stats runs on spliced+LDA features with old-system alignments.
+    """
     # transition-id-level alignments with the previous (mono) system
     compiler = TrainingGraphCompiler(lang, ali_model.trans_model,
                                      ali_model.ctx_dep)
@@ -80,8 +87,10 @@ def build_triphone_tree(
         if res is None:
             continue
         tids, _w, _c = res
+        sf = (stats_feats[b][: nf[b]] if stats_feats is not None
+              else feats[b, : nf[b]])
         accumulate_tree_stats(
-            feats[b, : nf[b]], tids[: nf[b]], ali_model.trans_model,
+            sf, tids[: nf[b]], ali_model.trans_model,
             N=opts.context_width, P=opts.central_position,
             ci_phones=set(sil_ids), stats=stats)
 
