@@ -70,11 +70,13 @@ def main():
     nf_frames = am_scores(params, jnp.asarray(waves)).shape[1]
     nf = np.full(B, nf_frames, np.int32)
 
+    waves_dev = jnp.asarray(waves)
+
     def pipeline():
-        ll = am_scores(params, jnp.asarray(waves))
-        # decoder consumes pdf loglikes; slice to the graph's pdf count
-        ll = np.asarray(ll[..., : tm.num_pdfs])
-        return dec.decode(ll, nf)
+        ll = am_scores(params, waves_dev)
+        # decoder consumes pdf loglikes; slice on device — the loglikes
+        # never leave HBM (decode's backtrace also runs on device)
+        return dec.decode(ll[..., : tm.num_pdfs], nf)
 
     # warmup (compilation)
     pipeline()

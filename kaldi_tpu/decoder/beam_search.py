@@ -200,6 +200,69 @@ def _decode_batch(
     return jax.vmap(decode_one)(ll, frame_mask)
 
 
+@functools.partial(jax.jit, static_argnames=("K", "E", "n_eps", "beam"))
+def _decode_batch_traced(
+    ll, frame_mask,
+    tab_ilabel, tab_olabel, tab_cost, tab_nxt, tab_pdf, final,
+    start: int, K: int, E: int, n_eps: int, beam: float,
+):
+    """Decode + ON-DEVICE backtrace: returns per-frame (olabels, ilabels)
+    [B, T, R] plus (best_cost) — avoids shipping the [B, T, K] record
+    arena to the host (HBM→host is the bottleneck at batch scale; the
+    traceback itself is a cheap reverse scan of gathers)."""
+    init_recs, recs, fs, fsc, best_slot, best_cost = _decode_batch(
+        ll, frame_mask, tab_ilabel, tab_olabel, tab_cost, tab_nxt, tab_pdf,
+        final, start, K, E, n_eps, beam)
+    R = 1 + n_eps
+    B, T, P = ll.shape
+
+    def trace_one(recs_b, mask_b, slot0):
+        # recs_b: tuple over R rounds of (st, sc, pv, ol, il) each [T, K]
+        def step(slot, inputs):
+            t_mask, *per_round = inputs  # per_round: R x (pv, ol, il)
+            ols = []
+            ils = []
+            for r in range(R - 1, -1, -1):
+                pv, ol, il = per_round[r]
+                ols.append(ol[slot])
+                ils.append(il[slot])
+                slot = pv[slot]
+            return slot, (jnp.stack(ols[::-1]), jnp.stack(ils[::-1]))
+
+        xs = (mask_b,) + tuple(
+            (recs_b[r][2], recs_b[r][3], recs_b[r][4]) for r in range(R))
+        _s, (ols, ils) = jax.lax.scan(step, slot0, xs, reverse=True)
+        return ols, ils  # [T, R]
+
+    ols, ils = jax.vmap(trace_one)(recs, frame_mask, best_slot)
+
+    # continue the trace through the initial eps-closure records
+    def trace_init(init_b, slot0):
+        ols0 = []
+        for r in range(len(init_recs) - 1, -1, -1):
+            _st, _sc, pv, ol, _il = init_b[r]
+            ols0.append(ol[slot0])
+            slot0 = pv[slot0]
+        return jnp.stack(ols0[::-1])
+
+    # slot entering frame 0 = slot after tracing all frames backward
+    def slot_at_start(recs_b, mask_b, slot0):
+        def step(slot, inputs):
+            per_round = inputs
+            for r in range(R - 1, -1, -1):
+                pv = per_round[r]
+                slot = pv[slot]
+            return slot, ()
+
+        xs = tuple(recs_b[r][2] for r in range(R))
+        s, _ = jax.lax.scan(step, slot0, xs, reverse=True)
+        return s
+
+    slot0 = jax.vmap(slot_at_start)(recs, frame_mask, best_slot)
+    init_ols = jax.vmap(trace_init)(init_recs, slot0)
+    return ols, ils, init_ols, best_cost
+
+
 class BeamSearchDecoder:
     """Host wrapper: pack the graph once, decode utterance batches."""
 
@@ -230,51 +293,39 @@ class BeamSearchDecoder:
         )
         return jax.tree.map(np.asarray, out) + (ll_scaled,)
 
-    def decode(self, loglikes: np.ndarray, num_frames: np.ndarray):
-        """loglikes [B, T, P] unscaled; returns list of
-        (words, tids, total_cost) per utterance (words = word-id list)."""
+    def decode(self, loglikes, num_frames: np.ndarray):
+        """loglikes [B, T, P] unscaled (np or jnp — device arrays stay on
+        device); returns list of (words, tids, total_cost) per utterance.
+
+        The backtrace runs on-device (_decode_batch_traced); only [B, T, R]
+        label sequences cross to the host — at max_active=512 that is
+        ~500x less HBM→host traffic than shipping the record arena.
+        """
         o = self.opts
         B, T, P = loglikes.shape
         mask = np.arange(T)[None, :] < np.asarray(num_frames)[:, None]
-        init_recs, recs, fstate, fscore, best_slot, best_cost = _decode_batch(
-            jnp.asarray(loglikes * o.acoustic_scale), jnp.asarray(mask),
+        ll = jnp.asarray(loglikes) * o.acoustic_scale
+        ols, ils, init_ols, best_cost = _decode_batch_traced(
+            ll, jnp.asarray(mask),
             self._tabs["ilabel"], self._tabs["olabel"], self._tabs["cost"],
             self._tabs["nxt"], self._tabs["pdf"], self._final,
             int(self.graph.start), int(o.max_active), int(self.E),
             int(o.eps_expansions), float(o.beam),
         )
-        # host backtrace over the per-round records
-        init_recs = jax.tree.map(np.asarray, init_recs)
-        recs = jax.tree.map(np.asarray, recs)
-        best_slot = np.asarray(best_slot)
+        ols = np.asarray(ols)          # [B, T, R]
+        ils = np.asarray(ils)
+        init_ols = np.asarray(init_ols)
         best_cost = np.asarray(best_cost)
         out = []
-        R = 1 + o.eps_expansions
         for b in range(B):
             Tb = int(num_frames[b])
             if best_cost[b] >= BIG * 0.5:
                 out.append(None)
                 continue
-            words_rev = []
-            tids_rev = []
-            slot = int(best_slot[b])
-            for t in range(Tb - 1, -1, -1):
-                for r in range(R - 1, -1, -1):
-                    _st, _sc, pv, ol, il = recs[r]
-                    o_l = int(ol[b, t, slot])
-                    if o_l != 0:
-                        words_rev.append(o_l)
-                    i_l = int(il[b, t, slot])
-                    if i_l != 0:
-                        tids_rev.append(i_l)
-                    slot = int(pv[b, t, slot])
-            # initial eps closure records (reverse round order)
-            for (_st, _sc, pv, ol, il) in reversed(init_recs):
-                o_l = int(ol[b, slot])
-                if o_l != 0:
-                    words_rev.append(o_l)
-                slot = int(pv[b, slot])
-            words = list(reversed(words_rev))
-            tids = list(reversed(tids_rev))
+            flat_o = np.concatenate([init_ols[b].ravel(),
+                                     ols[b, :Tb].ravel()])
+            words = flat_o[flat_o != 0].tolist()
+            flat_i = ils[b, :Tb].ravel()
+            tids = flat_i[flat_i != 0].tolist()
             out.append((words, tids, float(best_cost[b])))
         return out
