@@ -32,7 +32,7 @@ def main():
     from kaldi_tpu.decoder.beam_search import BeamSearchDecoder, BeamSearchOpts
 
     SR = 16000.0
-    B = 16            # utterances per batch
+    B = 64            # utterances per batch
     secs = 10.0       # audio seconds per utterance
     S = int(SR * secs)
 

@@ -82,6 +82,28 @@ COMPONENT_TYPES = {
     "LogSoftmaxComponent": (
         False, None, lambda p, x, cfg: jax.nn.log_softmax(x, axis=-1)),
     "NoOpComponent": (False, None, lambda p, x, cfg: x),
+    "MaxoutComponent": (
+        # groups of input-dim/output-dim reduced by max
+        # (ref: nnet2/nnet-component.h MaxoutComponent)
+        False, None,
+        lambda p, x, cfg: x.reshape(
+            *x.shape[:-1], int(cfg["output-dim"]),
+            x.shape[-1] // int(cfg["output-dim"])).max(-1)),
+    "DropoutComponent": (
+        # inference-mode scaling only; training-time masking is the
+        # trainer's job via rng (ref: nnet2 DropoutComponent test mode)
+        False, None,
+        lambda p, x, cfg: x * float(cfg.get("dropout-proportion-scale",
+                                            1.0))),
+    "PerElementScaleComponent": (
+        True,
+        lambda key, cfg: {"s": jnp.ones(int(cfg["dim"]), jnp.float32)},
+        lambda p, x, cfg: x * p["s"]),
+    "PerElementOffsetComponent": (
+        True,
+        lambda key, cfg: {"o": jnp.zeros(int(cfg["dim"]), jnp.float32)},
+        lambda p, x, cfg: x + p["o"]),
+    "ClipGradientComponent": (False, None, lambda p, x, cfg: x),
     "FixedScaleComponent": (
         False, None, lambda p, x, cfg: x * float(cfg.get("scale", 1.0))),
     "FixedBiasComponent": (
