@@ -29,7 +29,8 @@ def main():
     from kaldi_tpu.tree.context_dep import MonophoneContextDependency
     from kaldi_tpu.hmm.transition_model import TransitionModel
     from kaldi_tpu.decoder.graph_pack import pack_graph
-    from kaldi_tpu.decoder.beam_search import BeamSearchDecoder, BeamSearchOpts
+    from kaldi_tpu.decoder.beam_search import BeamSearchOpts
+    from kaldi_tpu.decoder.dense import make_decoder
 
     SR = 16000.0
     B = 64            # utterances per batch
@@ -59,8 +60,10 @@ def main():
     graph = make_hclg(lang, g, tm, ctx, self_loop_scale=0.1)
     # map the mono tids onto the TDNN's pdf space (identity for bench)
     packed = pack_graph(graph.fst, tm.id2pdf_array)
-    dec = BeamSearchDecoder(packed, BeamSearchOpts(beam=16.0, max_active=128,
-                                                   acoustic_scale=0.1))
+    # decoder factory: dense full-state path for small graphs, beam
+    # search for large (ref: FasterDecoder vs LatticeFasterDecoder split)
+    dec = make_decoder(packed, BeamSearchOpts(beam=16.0, max_active=128,
+                                              acoustic_scale=0.1))
 
     @jax.jit
     def am_scores(params, waves):

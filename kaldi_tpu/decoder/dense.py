@@ -1,0 +1,224 @@
+"""Dense Viterbi decoding over the FULL state space — the fast path for
+small/medium HCLG graphs.
+
+(ref: decoder/faster-decoder.h:61 FasterDecoder — best-path decoding
+ without lattices. Token passing prunes because 2015 CPUs couldn't touch
+ every state; on TPU, when S·B fits in HBM the dense recurrence
+
+     alpha[t+1, dst] = min over arcs (alpha[t, src] + w + am[pdf])
+
+ is a handful of fused gathers/scatter-mins per frame with NO sorts, far
+ cheaper than the beam machinery. The beam decoder (beam_search.py)
+ remains the path for large graphs and for lattice generation; the
+ `make_decoder` factory picks by state count — the same split as the
+ reference's FasterDecoder vs LatticeFasterDecoder.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from kaldi_tpu.decoder.graph_pack import PackedGraph
+
+BIG = np.float32(1e10)
+
+
+@functools.partial(jax.jit, static_argnames=("S", "n_eps"))
+def _dense_decode(
+    ll,                 # [B, T, P] scaled loglikes
+    frame_mask,         # [B, T]
+    e_src, e_nxt, e_cost, e_pdf, e_ol, e_il,   # emitting arcs [Ae]
+    z_src, z_nxt, z_cost, z_ol,                # eps arcs [Az] (len>=1)
+    final,              # [S]
+    start: int, S: int, n_eps: int,
+):
+    B, T, P = ll.shape
+    Ae = e_src.shape[0]
+    Az = z_src.shape[0]
+    rows = jnp.arange(B)[:, None]
+
+    def eps_round(alpha):
+        cand = alpha[:, z_src] + z_cost[None, :]          # [B, Az]
+        new = alpha.at[rows, jnp.broadcast_to(z_nxt, (B, Az))].min(cand)
+        dst_best = new[:, z_nxt]
+        is_best = (cand <= dst_best + 1e-6) & (cand < BIG * 0.5) \
+            & (cand < alpha[:, z_nxt])
+        bp_val = jnp.where(is_best, jnp.arange(Az)[None, :], Az + 1)
+        bp = jnp.full((B, S), Az + 1, jnp.int32)
+        bp = bp.at[rows, jnp.broadcast_to(z_nxt, (B, Az))].min(
+            bp_val.astype(jnp.int32))
+        bp = jnp.where(bp > Az, -1, bp)
+        return new, bp
+
+    def frame_step(alpha, inputs):
+        ll_t, mask_t = inputs
+        am = -ll_t[:, e_pdf]                               # [B, Ae]
+        cand = alpha[:, e_src] + e_cost[None, :] + am
+        new = jnp.full((B, S), BIG)
+        new = new.at[rows, jnp.broadcast_to(e_nxt, (B, Ae))].min(cand)
+        dst_best = new[:, e_nxt]
+        is_best = (cand <= dst_best + 1e-6) & (cand < BIG * 0.5)
+        bp_val = jnp.where(is_best, jnp.arange(Ae)[None, :], Ae + 1)
+        bp_e = jnp.full((B, S), Ae + 1, jnp.int32)
+        bp_e = bp_e.at[rows, jnp.broadcast_to(e_nxt, (B, Ae))].min(
+            bp_val.astype(jnp.int32))
+        bp_e = jnp.where(bp_e > Ae, -1, bp_e)
+        bps_z = []
+        for _ in range(n_eps):
+            new, bp_z = eps_round(new)
+            bps_z.append(bp_z)
+        out = jnp.where(mask_t[:, None], new, alpha)
+        bp_e = jnp.where(mask_t[:, None], bp_e, -1)
+        bps_z = [jnp.where(mask_t[:, None], b, -1) for b in bps_z]
+        return out, (bp_e, tuple(bps_z))
+
+    alpha0 = jnp.full((B, S), BIG).at[:, start].set(0.0)
+    init_bps = []
+    for _ in range(n_eps):
+        alpha0, bp_z = eps_round(alpha0)
+        init_bps.append(bp_z)
+
+    alpha_T, (bp_e_all, bp_z_all) = jax.lax.scan(
+        frame_step, alpha0,
+        (jnp.moveaxis(ll, 1, 0), jnp.moveaxis(frame_mask, 1, 0)))
+
+    total = alpha_T + final[None, :]
+    best_state = jnp.argmin(total, axis=1)
+    best_final_cost = jnp.take_along_axis(total, best_state[:, None],
+                                          axis=1)[:, 0]
+    any_state = jnp.argmin(alpha_T, axis=1)
+    reached = best_final_cost < BIG * 0.5
+    state0 = jnp.where(reached, best_state, any_state)
+    cost = jnp.where(reached, best_final_cost,
+                     jnp.take_along_axis(alpha_T, any_state[:, None],
+                                         axis=1)[:, 0])
+
+    # on-device traceback: carry the state backward through eps rounds then
+    # the emitting arc of each frame
+    def trace_one(bp_e_b, bp_z_b, mask_b, s0):
+        def step(s, inputs):
+            bp_e_t, bp_z_t = inputs
+            ols, ils = [], []
+            for r in range(n_eps - 1, -1, -1):
+                a = bp_z_t[r][s]
+                taken = a >= 0
+                ols.append(jnp.where(taken, z_ol[jnp.maximum(a, 0)], 0))
+                s = jnp.where(taken, z_src[jnp.maximum(a, 0)], s)
+            a = bp_e_t[s]
+            taken = a >= 0
+            ols.append(jnp.where(taken, e_ol[jnp.maximum(a, 0)], 0))
+            ils.append(jnp.where(taken, e_il[jnp.maximum(a, 0)], 0))
+            s = jnp.where(taken, e_src[jnp.maximum(a, 0)], s)
+            return s, (jnp.stack(ols[::-1]), jnp.stack(ils))
+
+        s_fin, (ols, ils) = jax.lax.scan(
+            step, s0, (bp_e_b, tuple(bp_z_b)), reverse=True)
+        return ols, ils, s_fin
+
+    trace = jax.vmap(trace_one)
+    ols, ils, s_start = trace(jnp.moveaxis(bp_e_all, 0, 1),
+                              tuple(jnp.moveaxis(b, 0, 1)
+                                    for b in bp_z_all),
+                              frame_mask, state0)
+    # initial eps closure labels
+    def trace_init(init_b, s0):
+        ols0 = []
+        for r in range(n_eps - 1, -1, -1):
+            a = init_b[r][s0]
+            taken = a >= 0
+            ols0.append(jnp.where(taken, z_ol[jnp.maximum(a, 0)], 0))
+            s0 = jnp.where(taken, z_src[jnp.maximum(a, 0)], s0)
+        return jnp.stack(ols0[::-1])
+
+    init_ols = jax.vmap(trace_init)(tuple(init_bps), s_start)
+    return ols, ils, init_ols, cost
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseDecoderOpts:
+    eps_expansions: int = 3
+    acoustic_scale: float = 0.1
+
+
+class DenseViterbiDecoder:
+    """Best-path decoder over the full state space (small graphs)."""
+
+    def __init__(self, graph: PackedGraph, opts=DenseDecoderOpts()):
+        self.graph = graph
+        self.opts = opts
+        il = np.asarray(graph.ilabel)
+        emit = il > 0
+        src = np.repeat(np.arange(graph.num_states),
+                        np.diff(graph.arc_start))
+        pdf = (np.maximum(graph.pdf, 0) if graph.pdf is not None
+               else np.zeros_like(il))
+        self._e = (jnp.asarray(src[emit]), jnp.asarray(graph.nextstate[emit]),
+                   jnp.asarray(graph.cost[emit].astype(np.float32)),
+                   jnp.asarray(pdf[emit]))
+        z = ~emit
+        if z.any():
+            self._z = (jnp.asarray(src[z]), jnp.asarray(graph.nextstate[z]),
+                       jnp.asarray(graph.cost[z].astype(np.float32)))
+            self._z_np = (src[z], graph.nextstate[z], graph.olabel[z])
+        else:
+            self._z = (jnp.zeros(1, np.int64), jnp.zeros(1, np.int64),
+                       jnp.full(1, BIG, np.float32))
+            self._z_np = (np.zeros(1, np.int64), np.zeros(1, np.int64),
+                          np.zeros(1, np.int64))
+        self._final = jnp.asarray(
+            np.where(np.isfinite(graph.final), graph.final,
+                     BIG).astype(np.float32))
+        # label tables for the traced lookup (module-level device consts)
+        self._ol_e = jnp.asarray(graph.olabel[emit].astype(np.int32))
+        self._il_e = jnp.asarray(il[emit].astype(np.int32))
+        self._ol_z = jnp.asarray(self._z_np[2].astype(np.int32))
+
+    def decode(self, loglikes, num_frames: np.ndarray):
+        o = self.opts
+        B, T, P = loglikes.shape
+        mask = np.arange(T)[None, :] < np.asarray(num_frames)[:, None]
+        ll = jnp.asarray(loglikes) * o.acoustic_scale
+        ols, ils, init_ols, cost = _dense_decode(
+            ll, jnp.asarray(mask),
+            self._e[0], self._e[1], self._e[2], self._e[3],
+            self._ol_e, self._il_e,
+            self._z[0], self._z[1], self._z[2], self._ol_z,
+            self._final, int(self.graph.start),
+            int(self.graph.num_states), int(o.eps_expansions))
+        ols = np.asarray(ols)
+        ils = np.asarray(ils)
+        init_ols = np.asarray(init_ols)
+        cost = np.asarray(cost)
+        out = []
+        for b in range(B):
+            Tb = int(num_frames[b])
+            if cost[b] >= BIG * 0.5:
+                out.append(None)
+                continue
+            flat_o = np.concatenate([init_ols[b].ravel(),
+                                     ols[b, :Tb].ravel()])
+            words = flat_o[flat_o != 0].tolist()
+            flat_i = ils[b, :Tb].ravel()
+            tids = flat_i[flat_i != 0].tolist()
+            out.append((words, tids, float(cost[b])))
+        return out
+
+
+def make_decoder(graph: PackedGraph, beam_opts=None,
+                 dense_threshold: int = 20000):
+    """Pick the dense decoder for small graphs, the beam decoder otherwise
+    (both expose .decode(loglikes, num_frames))."""
+    from kaldi_tpu.decoder.beam_search import (BeamSearchDecoder,
+                                               BeamSearchOpts)
+    beam_opts = beam_opts or BeamSearchOpts()
+    if graph.num_states <= dense_threshold:
+        return DenseViterbiDecoder(
+            graph, DenseDecoderOpts(
+                eps_expansions=beam_opts.eps_expansions,
+                acoustic_scale=beam_opts.acoustic_scale))
+    return BeamSearchDecoder(graph, beam_opts)
