@@ -159,10 +159,11 @@ class ConstArpaLm:
         return self._ext_index[ext], cost
 
     def final_cost(self, state: int) -> float:
-        """Cost of </s> from `state`."""
-        if self.eos is None:
-            return 0.0
-        _s, c = self.step(state, self.eos)
+        """Cost of </s> from `state`. </s> need not be in the word table
+        (standard words.txt has no </s>): the internal sentinel id -2 is
+        what the packed rows were built with in that case."""
+        eos = self.eos if self.eos is not None else -2
+        _s, c = self.step(state, eos)
         return c
 
     def sentence_logprob(self, word_ids) -> float:

@@ -47,3 +47,28 @@ def tdnn_param_sharding(mesh: Mesh, params) -> dict:
 def batch_sharding(mesh: Mesh, ndim: int):
     """Shard leading (batch) dim over 'data'."""
     return NamedSharding(mesh, P(*(["data"] + [None] * (ndim - 1))))
+
+
+def decode_sharded(decoder, loglikes, num_frames, mesh: Mesh):
+    """Batched decode with the utterance batch sharded over the mesh's
+    'data' axis — the TPU replacement for job-array decode sharding
+    (`$cmd JOB=1:N gmm-latgen-faster`, SURVEY.md §2.11: utterance-level
+    shell parallelism becomes a sharded batch dim; GSPMD partitions the
+    whole decode program, graph tables replicated, frontier sharded).
+
+    B must be divisible by the data-axis size. Works with both
+    DenseViterbiDecoder and BeamSearchDecoder.
+    """
+    import numpy as np
+    B = loglikes.shape[0]
+    ddim = mesh.shape["data"]
+    assert B % ddim == 0, (B, ddim)
+    ll = jax.device_put(jnp_asarray(loglikes),
+                        batch_sharding(mesh, 3))
+    with mesh:
+        return decoder.decode(ll, np.asarray(num_frames))
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+    return jnp.asarray(x)
