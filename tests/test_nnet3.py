@@ -106,6 +106,44 @@ def test_nnet3_gradients_match_numerical():
         assert gw[i, j] == pytest.approx(float(num), abs=2e-3)
 
 
+def test_nnet3_trains_with_nnet_trainer():
+    """Config-defined nets plug into the nnet trainer (the nnet3-train
+    role: same Train() loop, jax.jit as the compiler)."""
+    from kaldi_tpu.nnet.train import NnetTrainOpts, train_epochs
+
+    cfg = """
+input-node name=input dim=6
+component name=a1 type=NaturalGradientAffineComponent input-dim=18 output-dim=64
+component-node name=a1n component=a1 input=Append(Offset(input,-1), input, Offset(input,1))
+component name=r1 type=RectifiedLinearComponent dim=64
+component-node name=r1n component=r1 input=a1n
+component name=a2 type=AffineComponent input-dim=64 output-dim=4
+component-node name=a2n component=a2 input=r1n
+component name=lsm type=LogSoftmaxComponent dim=4
+component-node name=out component=lsm input=a2n
+output-node name=output input=out
+"""
+    net = Nnet3(cfg)
+    params = net.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(1)
+    # class = argmax of a fixed random projection of the CENTER frame
+    Wc = rng.randn(6, 4)
+    N, chunk = 256, 4
+    ctx = net.left_context + net.right_context
+    feats = rng.randn(N, chunk + ctx, 6).astype(np.float32)
+    targets = np.argmax(feats[:, 1:1 + chunk] @ Wc, axis=-1).astype(np.int32)
+    weights = np.ones((N, chunk), np.float32)
+    egs = {"feats": feats, "targets": targets, "weights": weights}
+    params, hist = train_epochs(net, params, egs,
+                                NnetTrainOpts(num_epochs=80,
+                                              minibatch_size=64,
+                                              initial_lr=0.05,
+                                              final_lr=0.01),
+                                log_every=1)
+    accs = [h[3] for h in hist]
+    assert accs[-1] > 0.8, accs[-1]
+
+
 def test_natural_gradient_preserves_norm_and_direction_quality():
     """NG preconditioning keeps the Frobenius norm (the reference's
     scale-preserving contract) and beats SGD on an ill-conditioned
