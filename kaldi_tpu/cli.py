@@ -180,6 +180,96 @@ def cmd_compute_wer(args):
     print(stats)
 
 
+def cmd_wav_reverberate(args):
+    """(ref: featbin/wav-reverberate.cc)"""
+    import jax.numpy as jnp
+    from kaldi_tpu.io.wave import read_wave, write_wave
+    from kaldi_tpu.ops.signal import reverberate
+    wave, sr = read_wave(args.input_wav)
+    rir, _sr2 = read_wave(args.rir_wav)
+    out = np.asarray(reverberate(jnp.asarray(wave[0]),
+                                 jnp.asarray(rir[0])))
+    write_wave(args.output_wav, out, sr)
+
+
+def cmd_compute_vad(args):
+    """(ref: ivectorbin/compute-vad.cc — energy VAD over features)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    from kaldi_tpu.ivector.vad import compute_vad, VadOpts
+    opts = VadOpts(vad_energy_threshold=args.vad_energy_threshold,
+                   vad_energy_mean_scale=args.vad_energy_mean_scale)
+    with open_wspecifier(args.wspecifier) as out:
+        for k, v in open_rspecifier(args.rspecifier):
+            out.write(k, compute_vad(v, opts).astype(np.float32))
+
+
+def cmd_select_voiced_frames(args):
+    """(ref: ivectorbin/select-voiced-frames.cc)"""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    from kaldi_tpu.ivector.vad import select_voiced_frames
+    vad = dict(open_rspecifier(args.vad_rspecifier))
+    with open_wspecifier(args.wspecifier) as out:
+        for k, v in open_rspecifier(args.rspecifier):
+            out.write(k, select_voiced_frames(v, vad[k]))
+
+
+def cmd_compute_eer(args):
+    """(ref: ivectorbin/compute-eer.cc — scores file: '<score> target' or
+    '<score> nontarget' per line)."""
+    from kaldi_tpu.ivector.metrics import compute_eer
+    tgt, non = [], []
+    with open(args.scores) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 2:
+                continue
+            (tgt if parts[1] == "target" else non).append(float(parts[0]))
+    eer, thresh = compute_eer(tgt, non)
+    print(f"EER {eer * 100:.4f}% at threshold {thresh:.6f}")
+
+
+def cmd_subsample_feats(args):
+    """(ref: featbin/subsample-feats.cc)"""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    with open_wspecifier(args.wspecifier) as out:
+        for k, v in open_rspecifier(args.rspecifier):
+            out.write(k, v[args.offset:: args.n])
+
+
+def cmd_select_feats(args):
+    """(ref: featbin/select-feats.cc — column ranges like '0-12,26-38')."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    cols = []
+    for piece in args.columns.split(","):
+        if "-" in piece:
+            a, b = piece.split("-")
+            cols.extend(range(int(a), int(b) + 1))
+        else:
+            cols.append(int(piece))
+    with open_wspecifier(args.wspecifier) as out:
+        for k, v in open_rspecifier(args.rspecifier):
+            out.write(k, v[:, cols])
+
+
+def cmd_extract_segments(args):
+    """(ref: featbin/extract-segments.cc — cut waves per segments file)."""
+    from kaldi_tpu.io.wave import read_wave, write_wave
+    recs = dict(_read_wav_scp(args.wav_scp))
+    os_dir = args.out_dir
+    import os as _os
+    _os.makedirs(os_dir, exist_ok=True)
+    lines = []
+    with open(args.segments) as f:
+        for line in f:
+            utt, rec, t0, t1 = line.split()[:4]
+            wave, sr = read_wave(recs[rec])
+            lo, hi = int(float(t0) * sr), int(float(t1) * sr)
+            out_path = _os.path.join(os_dir, f"{utt}.wav")
+            write_wave(out_path, wave[0, lo:hi], sr)
+            lines.append(f"{utt} {out_path}")
+    print("\n".join(lines))
+
+
 def cmd_info(args):
     import jax
     import kaldi_tpu
@@ -325,6 +415,48 @@ def main(argv=None):
     q.add_argument("--utt2spk", default="")
     q.add_argument("--norm-vars", action="store_true")
     q.set_defaults(func=cmd_apply_cmvn)
+
+    q = sub.add_parser("wav-reverberate")
+    q.add_argument("input_wav")
+    q.add_argument("rir_wav")
+    q.add_argument("output_wav")
+    q.set_defaults(func=cmd_wav_reverberate)
+
+    q = sub.add_parser("compute-vad")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.add_argument("--vad-energy-threshold", type=float, default=5.5)
+    q.add_argument("--vad-energy-mean-scale", type=float, default=0.5)
+    q.set_defaults(func=cmd_compute_vad)
+
+    q = sub.add_parser("select-voiced-frames")
+    q.add_argument("rspecifier")
+    q.add_argument("vad_rspecifier")
+    q.add_argument("wspecifier")
+    q.set_defaults(func=cmd_select_voiced_frames)
+
+    q = sub.add_parser("compute-eer")
+    q.add_argument("scores")
+    q.set_defaults(func=cmd_compute_eer)
+
+    q = sub.add_parser("subsample-feats")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.add_argument("--n", type=int, default=10)
+    q.add_argument("--offset", type=int, default=0)
+    q.set_defaults(func=cmd_subsample_feats)
+
+    q = sub.add_parser("select-feats")
+    q.add_argument("columns")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.set_defaults(func=cmd_select_feats)
+
+    q = sub.add_parser("extract-segments")
+    q.add_argument("wav_scp")
+    q.add_argument("segments")
+    q.add_argument("out_dir")
+    q.set_defaults(func=cmd_extract_segments)
 
     q = sub.add_parser("compute-wer")
     q.add_argument("ref")
