@@ -139,10 +139,158 @@ def _dense_decode(
     return ols, ils, init_ols, cost
 
 
+@functools.partial(jax.jit, static_argnames=("S", "n_eps"))
+def _dense_decode_assoc(
+    ll, frame_mask,
+    e_src, e_nxt, e_cost, e_pdf, e_ol, e_il,
+    z_src, z_nxt, z_cost, z_ol,
+    final, start: int, S: int, n_eps: int,
+):
+    """Depth-parallel Viterbi: the frame recurrence is a min-plus
+    matrix product, so the whole forward pass is ONE associative scan of
+    per-frame [S, S] transition matrices (O(log T) depth instead of a
+    T-step sequential loop). Backpointers are then recomputed for all
+    frames at once from the per-frame alphas — a handful of large fused
+    ops instead of ~15 small ops per frame. Memory is O(B·T·S²), so this
+    path is gated to small S by the caller."""
+    B, T, P = ll.shape
+    Ae = e_src.shape[0]
+    Az = z_src.shape[0]
+
+    def minplus(x, y):
+        # x [..., i, k] ⊗ y [k, j] or [..., k, j]
+        return jnp.min(x[..., :, :, None] + y[..., None, :, :], axis=-2)
+
+    eye = jnp.where(jnp.eye(S, dtype=bool), 0.0, BIG)
+    Z = jnp.full((S, S), BIG).at[z_src, z_nxt].min(z_cost)
+    IZ = jnp.minimum(Z, eye)
+    E = eye
+    for _ in range(n_eps):
+        E = minplus(E[None], IZ)[0]
+
+    # per-frame emitting min-plus matrices (+ eps closure folded in)
+    am = -ll[..., e_pdf]                                   # [B, T, Ae]
+    cand = am + e_cost[None, None, :]
+    Mt = jnp.full((B, T, S, S), BIG)
+    Mt = Mt.at[:, :, e_src, e_nxt].min(cand)
+    A = minplus(Mt, E)                                     # [B, T, S, S]
+    # padded frames are identity (tokens pass through unchanged)
+    A = jnp.where(frame_mask[:, :, None, None], A, eye[None, None])
+
+    def combine(x, y):
+        # min-plus matrix product: out[..., i, j] = min_k x[i,k] + y[k,j]
+        return jnp.min(x[..., :, :, None] + y[..., None, :, :], axis=-2)
+
+    Pt = jax.lax.associative_scan(combine, A, axis=1)      # prefix products
+    alpha0 = E[start]                                      # [S]
+    alpha_t = jnp.min(alpha0[None, None, :, None] + Pt, axis=-2)  # [B,T,S]
+    alpha_prev = jnp.concatenate(
+        [jnp.broadcast_to(alpha0, (B, 1, S)), alpha_t[:, :-1]], axis=1)
+
+    # recompute per-frame backpointers for ALL frames in fused ops
+    cand_e = alpha_prev[..., e_src] + e_cost + am          # [B, T, Ae]
+    after = jnp.full((B, T, S), BIG).at[:, :, e_nxt].min(cand_e)
+    dst_best = after[..., e_nxt]
+    is_best = (cand_e <= dst_best + 1e-6) & (cand_e < BIG * 0.5)
+    bp_val = jnp.where(is_best, jnp.arange(Ae)[None, None, :], Ae + 1)
+    bp_e = jnp.full((B, T, S), Ae + 1, jnp.int32)
+    bp_e = bp_e.at[:, :, e_nxt].min(bp_val.astype(jnp.int32))
+    bp_e = jnp.where(bp_e > Ae, -1, bp_e)
+    bp_e = jnp.where(frame_mask[:, :, None], bp_e, -1)
+
+    bps_z = []
+    cur = after
+    for _ in range(n_eps):
+        cz = cur[..., z_src] + z_cost                      # [B, T, Az]
+        new = cur.at[:, :, z_nxt].min(cz)
+        dstb = new[..., z_nxt]
+        isb = (cz <= dstb + 1e-6) & (cz < BIG * 0.5) & (cz < cur[..., z_nxt])
+        bv = jnp.where(isb, jnp.arange(Az)[None, None, :], Az + 1)
+        bz = jnp.full((B, T, S), Az + 1, jnp.int32)
+        bz = bz.at[:, :, z_nxt].min(bv.astype(jnp.int32))
+        bz = jnp.where(bz > Az, -1, bz)
+        bz = jnp.where(frame_mask[:, :, None], bz, -1)
+        bps_z.append(bz)
+        cur = new
+
+    # padded tails: A is identity there, so the prefix-product alpha at
+    # T-1 is the last REAL frame's alpha
+    alpha_T = alpha_t[:, -1]
+    total = alpha_T + final[None, :]
+    best_state = jnp.argmin(total, axis=1)
+    best_final_cost = jnp.take_along_axis(total, best_state[:, None],
+                                          axis=1)[:, 0]
+    any_state = jnp.argmin(alpha_T, axis=1)
+    reached = best_final_cost < BIG * 0.5
+    state0 = jnp.where(reached, best_state, any_state)
+    cost = jnp.where(reached, best_final_cost,
+                     jnp.take_along_axis(alpha_T, any_state[:, None],
+                                         axis=1)[:, 0])
+
+    # initial eps-closure records from the bare start state
+    a0 = jnp.full((S,), BIG).at[start].set(0.0)
+    init_bps = []
+    a0b = jnp.broadcast_to(a0, (B, S))
+    for _ in range(n_eps):
+        czi = a0b[:, z_src] + z_cost
+        newi = a0b.at[jnp.arange(B)[:, None],
+                      jnp.broadcast_to(z_nxt, (B, Az))].min(czi)
+        dstb = newi[:, z_nxt]
+        isb = (czi <= dstb + 1e-6) & (czi < BIG * 0.5) \
+            & (czi < a0b[:, z_nxt])
+        bv = jnp.where(isb, jnp.arange(Az)[None, :], Az + 1)
+        bzi = jnp.full((B, S), Az + 1, jnp.int32)
+        bzi = bzi.at[jnp.arange(B)[:, None],
+                     jnp.broadcast_to(z_nxt, (B, Az))].min(
+            bv.astype(jnp.int32))
+        bzi = jnp.where(bzi > Az, -1, bzi)
+        init_bps.append(bzi)
+        a0b = newi
+
+    # traceback (shared shape with the sequential path)
+    def trace_one(bp_e_b, bp_z_b, s0):
+        def step(s, inputs):
+            bp_e_t, bp_z_t = inputs
+            ols, ils = [], []
+            for r in range(n_eps - 1, -1, -1):
+                a = bp_z_t[r][s]
+                taken = a >= 0
+                ols.append(jnp.where(taken, z_ol[jnp.maximum(a, 0)], 0))
+                s = jnp.where(taken, z_src[jnp.maximum(a, 0)], s)
+            a = bp_e_t[s]
+            taken = a >= 0
+            ols.append(jnp.where(taken, e_ol[jnp.maximum(a, 0)], 0))
+            ils.append(jnp.where(taken, e_il[jnp.maximum(a, 0)], 0))
+            s = jnp.where(taken, e_src[jnp.maximum(a, 0)], s)
+            return s, (jnp.stack(ols[::-1]), jnp.stack(ils))
+
+        s_fin, (ols, ils) = jax.lax.scan(
+            step, s0, (bp_e_b, tuple(bp_z_b)), reverse=True)
+        return ols, ils, s_fin
+
+    ols, ils, s_start = jax.vmap(trace_one)(
+        bp_e, tuple(bps_z), state0)
+
+    def trace_init(init_b, s0):
+        ols0 = []
+        for r in range(n_eps - 1, -1, -1):
+            a = init_b[r][s0]
+            taken = a >= 0
+            ols0.append(jnp.where(taken, z_ol[jnp.maximum(a, 0)], 0))
+            s0 = jnp.where(taken, z_src[jnp.maximum(a, 0)], s0)
+        return jnp.stack(ols0[::-1])
+
+    init_ols = jax.vmap(trace_init)(tuple(init_bps), s_start)
+    return ols, ils, init_ols, cost
+
+
 @dataclasses.dataclass(frozen=True)
 class DenseDecoderOpts:
     eps_expansions: int = 3
     acoustic_scale: float = 0.1
+    # time-parallel (associative-scan) forward pass when S is small enough
+    # that O(B·T·S²) matrices fit comfortably; 0 disables
+    assoc_max_states: int = 48
 
 
 class DenseViterbiDecoder:
@@ -183,7 +331,10 @@ class DenseViterbiDecoder:
         B, T, P = loglikes.shape
         mask = np.arange(T)[None, :] < np.asarray(num_frames)[:, None]
         ll = jnp.asarray(loglikes) * o.acoustic_scale
-        ols, ils, init_ols, cost = _dense_decode(
+        fn = (_dense_decode_assoc
+              if self.graph.num_states <= o.assoc_max_states
+              else _dense_decode)
+        ols, ils, init_ols, cost = fn(
             ll, jnp.asarray(mask),
             self._e[0], self._e[1], self._e[2], self._e[3],
             self._ol_e, self._il_e,

@@ -71,6 +71,31 @@ def test_dense_matches_beam(yesno_graph):
         assert len(r_dense[b][1]) == int(nf[b])           # one tid per frame
 
 
+def test_assoc_path_matches_sequential(yesno_graph):
+    """The time-parallel (associative-scan) forward pass must produce the
+    same words/costs as the sequential scan, including padded frames."""
+    import dataclasses as dc
+    from kaldi_tpu.decoder.dense import DenseDecoderOpts
+    packed, model, utts = yesno_graph
+    B = len(utts)
+    T = max(f.shape[0] for (_u, f, _w) in utts) + 17   # force ragged pad
+    D = utts[0][1].shape[1]
+    feats = np.zeros((B, T, D), np.float32)
+    nf = np.zeros(B, np.int32)
+    for b, (_u, f, _w) in enumerate(utts):
+        feats[b, : f.shape[0]] = f
+        nf[b] = f.shape[0]
+    ll = model.am.loglikes_np(feats)
+    seq = DenseViterbiDecoder(packed, DenseDecoderOpts(assoc_max_states=0))
+    par = DenseViterbiDecoder(packed, DenseDecoderOpts(assoc_max_states=64))
+    r_seq = seq.decode(ll, nf)
+    r_par = par.decode(ll, nf)
+    for b in range(B):
+        assert r_par[b][0] == r_seq[b][0]
+        assert r_par[b][1] == r_seq[b][1]
+        assert r_par[b][2] == pytest.approx(r_seq[b][2], abs=0.02)
+
+
 def test_make_decoder_dispatch(yesno_graph):
     packed, _model, _utts = yesno_graph
     d = make_decoder(packed)
