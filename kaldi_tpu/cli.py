@@ -270,6 +270,55 @@ def cmd_extract_segments(args):
     print("\n".join(lines))
 
 
+def cmd_mkgraph(args):
+    """Build the decode graph from a saved model + ARPA LM
+    (ref: utils/mkgraph.sh — HCLG = asl(det(H∘det(C∘det(L∘G)))))."""
+    from kaldi_tpu.io.model_io import load_gmm_system, save_hclg
+    from kaldi_tpu.lm.arpa import ArpaLm, arpa_to_g
+    from kaldi_tpu.fst.graph import make_hclg
+    from kaldi_tpu.decoder.graph_pack import pack_graph
+    model = load_gmm_system(args.model)
+    with open(args.arpa) as f:
+        g = arpa_to_g(ArpaLm.parse(f.read()), model.lang.words)
+    graph = make_hclg(model.lang, g, model.trans_model, model.ctx_dep,
+                      self_loop_scale=args.self_loop_scale)
+    packed = pack_graph(graph.fst, model.trans_model.id2pdf_array)
+    save_hclg(args.graph_out, packed)
+    print(f"HCLG: {packed.num_states} states", file=sys.stderr)
+
+
+def cmd_decode_faster(args):
+    """Batched best-path decoding from a feature rspecifier
+    (ref: gmmbin/gmm-decode-faster.cc / gmm-latgen-faster best path)."""
+    from kaldi_tpu.io.model_io import load_gmm_system, load_hclg
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.decoder.dense import make_decoder
+    from kaldi_tpu.decoder.beam_search import BeamSearchOpts
+    model = load_gmm_system(args.model)
+    packed = load_hclg(args.graph)
+    dec = make_decoder(packed, BeamSearchOpts(
+        beam=args.beam, max_active=args.max_active,
+        acoustic_scale=args.acoustic_scale))
+    items = list(open_rspecifier(args.rspecifier))
+    B = len(items)
+    T = max(f.shape[0] for (_k, f) in items)
+    D = items[0][1].shape[1]
+    feats = np.zeros((B, T, D), np.float32)
+    nf = np.zeros(B, np.int32)
+    for b, (_k, f) in enumerate(items):
+        feats[b, : f.shape[0]] = f
+        nf[b] = f.shape[0]
+    results = dec.decode(model.am.loglikes_np(feats), nf)
+    out = open(args.transcription_out, "w") if args.transcription_out \
+        else sys.stdout
+    for b, (k, _f) in enumerate(items):
+        words = "" if results[b] is None else " ".join(
+            model.lang.words.sym(w) for w in results[b][0])
+        out.write(f"{k} {words}\n")
+    if args.transcription_out:
+        out.close()
+
+
 def cmd_info(args):
     import jax
     import kaldi_tpu
@@ -415,6 +464,23 @@ def main(argv=None):
     q.add_argument("--utt2spk", default="")
     q.add_argument("--norm-vars", action="store_true")
     q.set_defaults(func=cmd_apply_cmvn)
+
+    q = sub.add_parser("mkgraph")
+    q.add_argument("model")
+    q.add_argument("arpa")
+    q.add_argument("graph_out")
+    q.add_argument("--self-loop-scale", type=float, default=0.1)
+    q.set_defaults(func=cmd_mkgraph)
+
+    q = sub.add_parser("decode-faster")
+    q.add_argument("model")
+    q.add_argument("graph")
+    q.add_argument("rspecifier")
+    q.add_argument("--transcription-out", default="")
+    q.add_argument("--beam", type=float, default=16.0)
+    q.add_argument("--max-active", type=int, default=512)
+    q.add_argument("--acoustic-scale", type=float, default=0.1)
+    q.set_defaults(func=cmd_decode_faster)
 
     q = sub.add_parser("wav-reverberate")
     q.add_argument("input_wav")

@@ -1,0 +1,95 @@
+"""Model file I/O: single-file save/load for trained systems.
+
+(ref: the reference's 'everything is a file' contract — models are
+ single-object Kaldi binary files written every iteration and read back by
+ ReadKaldiObject (util/kaldi-io.h:234, SURVEY.md §5). Here: one .npz per
+ model holding all arrays + a JSON header for structure; host-side graph
+ objects (topology, tree) ride along pickled inside the npz, versioned.)
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import pickle
+
+import numpy as np
+
+FORMAT_VERSION = 1
+
+
+def save_gmm_system(path: str, model) -> None:
+    """Save a MonoModel-shaped system (am, trans_model, ctx_dep, lang)."""
+    am = model.am
+    blobs = {
+        "__version__": np.int64(FORMAT_VERSION),
+        "num_pdfs": np.int64(am.num_pdfs),
+        "trans_log_probs": np.asarray(model.trans_model.log_probs),
+    }
+    for i, g in enumerate(am.pdfs):
+        blobs[f"pdf{i}_weights"] = g.weights
+        blobs[f"pdf{i}_means"] = g.means
+        blobs[f"pdf{i}_vars"] = g.vars
+    host = pickle.dumps({
+        "topo": model.lang.topo,
+        "ctx_dep": model.ctx_dep,
+        "lang": model.lang,
+    }, protocol=pickle.HIGHEST_PROTOCOL)
+    blobs["__host__"] = np.frombuffer(host, dtype=np.uint8)
+    np.savez(path, **blobs)
+
+
+def load_gmm_system(path: str):
+    """-> MonoModel."""
+    from kaldi_tpu.gmm.diag_gmm import DiagGmm
+    from kaldi_tpu.gmm.am_gmm import AmDiagGmm
+    from kaldi_tpu.hmm.transition_model import TransitionModel
+    from kaldi_tpu.steps.mono import MonoModel
+
+    z = np.load(path, allow_pickle=False)
+    assert int(z["__version__"]) == FORMAT_VERSION
+    host = pickle.loads(z["__host__"].tobytes())
+    lang, ctx = host["lang"], host["ctx_dep"]
+    pdfs = []
+    for i in range(int(z["num_pdfs"])):
+        pdfs.append(DiagGmm(z[f"pdf{i}_weights"], z[f"pdf{i}_means"],
+                            z[f"pdf{i}_vars"]))
+    am = AmDiagGmm(pdfs)
+    tm = TransitionModel(lang.topo, lambda ph, pc: _pdfs_of(ctx, ph, pc))
+    tm.load_log_probs(z["trans_log_probs"])
+    return MonoModel(am, tm, ctx, lang)
+
+
+def _pdfs_of(ctx, phone, pdf_class):
+    """Rebuild the (phone, pdf_class)->pdfs mapping from the saved tree
+    (the ContextDependency::GetPdfInfo role)."""
+    from kaldi_tpu.tree.context_dep import MonophoneContextDependency
+    if isinstance(ctx, MonophoneContextDependency):
+        return ctx.compute([phone], pdf_class)
+    from kaldi_tpu.tree.event_map import KPDF_CLASS
+    return ctx.event_map.multi_map(
+        {KPDF_CLASS: pdf_class, ctx.central_position: phone})
+
+
+def save_hclg(path: str, packed) -> None:
+    """Save a PackedGraph (the immutable decode graph artifact)."""
+    np.savez(path,
+             __version__=np.int64(FORMAT_VERSION),
+             start=np.int64(packed.start),
+             arc_start=packed.arc_start, ilabel=packed.ilabel,
+             olabel=packed.olabel, cost=packed.cost,
+             nextstate=packed.nextstate,
+             pdf=(packed.pdf if packed.pdf is not None
+                  else np.zeros(0, np.int32)),
+             final=packed.final)
+
+
+def load_hclg(path: str):
+    from kaldi_tpu.decoder.graph_pack import PackedGraph
+    z = np.load(path)
+    assert int(z["__version__"]) == FORMAT_VERSION
+    pdf = z["pdf"] if z["pdf"].size else None
+    return PackedGraph(start=int(z["start"]), arc_start=z["arc_start"],
+                       ilabel=z["ilabel"], olabel=z["olabel"],
+                       cost=z["cost"], nextstate=z["nextstate"],
+                       pdf=pdf, final=z["final"])

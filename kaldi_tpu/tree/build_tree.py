@@ -196,6 +196,50 @@ def get_stub_map(P: int, phone_sets: list[list[int]],
     return TableEventMap(P, table)
 
 
+def build_tree_two_level(
+    stats: dict,
+    questions: "Questions",
+    phone_sets: list[list[int]],
+    phone2num_pdf_classes: dict,
+    max_leaves_first: int,
+    max_leaves_second: int,
+    P: int = 1,
+    thresh: float = 0.0,
+    **kwargs,
+):
+    """Two-level tree: a fine tree of up to max_leaves_second leaves plus a
+    mapping fine-leaf -> coarse-leaf over a coarse tree of up to
+    max_leaves_first leaves (ref: build-tree.h:145 BuildTreeTwoLevel —
+    used for multi-codebook/SGMM systems where fine states share coarse
+    codebooks).
+
+    Both levels use the same greedy splitting criterion; the mapping is
+    derived by sending each fine leaf's event stats through the coarse
+    tree and taking the count-weighted majority (the reference obtains the
+    same mapping structurally by continuing to split the coarse tree).
+
+    -> (fine_tree, num_fine, coarse_tree, num_coarse, fine2coarse [list]).
+    """
+    coarse, n_coarse = build_tree(
+        stats, questions, phone_sets, phone2num_pdf_classes,
+        max_leaves=max_leaves_first, thresh=thresh, P=P, **kwargs)
+    fine, n_fine = build_tree(
+        stats, questions, phone_sets, phone2num_pdf_classes,
+        max_leaves=max_leaves_second, thresh=thresh, P=P, **kwargs)
+    votes: list[dict] = [dict() for _ in range(n_fine)]
+    for ev, st in stats.items():
+        d = dict(ev)
+        lf = fine.map(d)
+        lc = coarse.map(d)
+        if lf is None or lc is None:
+            continue
+        cnt = getattr(st, "count", 1.0)
+        votes[lf][lc] = votes[lf].get(lc, 0.0) + float(cnt)
+    fine2coarse = [max(v.items(), key=lambda kv: kv[1])[0] if v else 0
+                   for v in votes]
+    return fine, n_fine, coarse, n_coarse, fine2coarse
+
+
 def build_tree(
     stats: dict,
     questions: Questions,

@@ -1,0 +1,81 @@
+"""Model/graph file I/O + the file-driven decode CLI path.
+
+(ref: the ReadKaldiObject/WriteKaldiObject contract; utils/mkgraph.sh +
+ gmm-decode-faster as the file-level pipeline.)
+"""
+
+import numpy as np
+import pytest
+
+from kaldi_tpu.io.model_io import (save_gmm_system, load_gmm_system,
+                                   save_hclg, load_hclg)
+from kaldi_tpu.io.kaldi_io import write_ark
+from kaldi_tpu.cli import main
+
+from test_dense_decoder import yesno_graph  # noqa: F401
+
+
+def test_model_roundtrip_and_cli_decode(yesno_graph, tmp_path):
+    packed, model, utts = yesno_graph
+
+    mdl = str(tmp_path / "final.mdl.npz")
+    save_gmm_system(mdl, model)
+    loaded = load_gmm_system(mdl)
+    assert loaded.am.num_pdfs == model.am.num_pdfs
+    assert (loaded.trans_model.num_transition_ids
+            == model.trans_model.num_transition_ids)
+    np.testing.assert_allclose(loaded.am.pdfs[0].means,
+                               model.am.pdfs[0].means)
+    # loglikes identical
+    f = utts[0][1]
+    np.testing.assert_allclose(loaded.am.loglikes_np(f[None]),
+                               model.am.loglikes_np(f[None]), atol=1e-5)
+
+    gpath = str(tmp_path / "HCLG.npz")
+    save_hclg(gpath, packed)
+    p2 = load_hclg(gpath)
+    assert p2.num_states == packed.num_states
+    np.testing.assert_array_equal(p2.ilabel, packed.ilabel)
+
+    # file-driven decode: feats ark -> transcriptions
+    feats_ark = str(tmp_path / "feats.ark")
+    write_ark(feats_ark, {u: f for (u, f, _w) in utts[:4]})
+    out = str(tmp_path / "trans.txt")
+    main(["decode-faster", mdl, gpath, f"ark:{feats_ark}",
+          f"--transcription-out={out}", "--beam=100", "--max-active=64"])
+    hyps = {}
+    with open(out) as fh:
+        for line in fh:
+            parts = line.split()
+            hyps[parts[0]] = parts[1:]
+    # the file-path contract: CLI output == in-process decode of the same
+    # features with the same options and the IN-MEMORY model
+    from kaldi_tpu.decoder.dense import make_decoder
+    from kaldi_tpu.decoder.beam_search import BeamSearchOpts
+    dec = make_decoder(packed, BeamSearchOpts(beam=100.0, max_active=64,
+                                              acoustic_scale=0.1))
+    B = 4
+    T = max(f.shape[0] for (_u, f, _w) in utts[:B])
+    D = utts[0][1].shape[1]
+    feats = np.zeros((B, T, D), np.float32)
+    nf = np.zeros(B, np.int32)
+    for b, (_u, f, _w) in enumerate(utts[:B]):
+        feats[b, : f.shape[0]] = f
+        nf[b] = f.shape[0]
+    ref = dec.decode(model.am.loglikes_np(feats), nf)
+    for b, (u, _f, _w) in enumerate(utts[:B]):
+        want = [model.lang.words.sym(w) for w in ref[b][0]]
+        assert hyps[u] == want, u
+
+
+def test_cli_mkgraph(yesno_graph, tmp_path):
+    packed, model, _utts = yesno_graph
+    mdl = str(tmp_path / "m.npz")
+    save_gmm_system(mdl, model)
+    arpa = tmp_path / "lm.arpa"
+    arpa.write_text("\\data\\\nngram 1=4\n\n\\1-grams:\n-1\tNO\n-1\tYES\n"
+                    "-99\t<s>\n-1\t</s>\n\n\\end\\\n")
+    gout = str(tmp_path / "HCLG.npz")
+    main(["mkgraph", mdl, str(arpa), gout])
+    g = load_hclg(gout)
+    assert g.num_states == packed.num_states

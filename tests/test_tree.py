@@ -110,6 +110,38 @@ def test_build_tree_synthetic():
     assert ctx.compute([0, 1, 0], 0) != ctx.compute([0, 1, 0], 2)
 
 
+def test_build_tree_two_level():
+    """Fine tree refines the coarse tree; the fine->coarse map groups fine
+    leaves under the coarse codebooks (ref: build-tree.h:145)."""
+    from kaldi_tpu.tree.build_tree import build_tree_two_level
+    rng = np.random.RandomState(6)
+    dim = 3
+    stats = {}
+    for phone, base in [(1, 0.0), (2, 0.5), (3, 8.0), (4, 8.5)]:
+        for pdf_class in range(3):
+            st = GaussStats(dim)
+            mean = np.full(dim, base + 2.0 * pdf_class)
+            for _ in range(200):
+                st.accumulate(mean + rng.randn(dim) * 0.2)
+            ev = frozenset([(KPDF_CLASS, pdf_class), (0, 0), (1, phone),
+                            (2, 0)])
+            stats[ev] = st
+    questions = Questions([[1], [2], [3], [4], [1, 2], [3, 4]],
+                          num_pdf_classes=3)
+    fine, n_fine, coarse, n_coarse, f2c = build_tree_two_level(
+        stats, questions, [[1, 2], [3, 4]], {p: 3 for p in (1, 2, 3, 4)},
+        max_leaves_first=4, max_leaves_second=12, thresh=1.0)
+    assert n_coarse <= 4 and n_fine > n_coarse
+    assert len(f2c) == n_fine
+    assert set(f2c) <= set(range(n_coarse))
+    # events that share a fine leaf share its coarse leaf through the map
+    for ev in stats:
+        d = dict(ev)
+        lf, lc = fine.map(d), coarse.map(d)
+        if lf is not None and lc is not None:
+            assert f2c[lf] == lc
+
+
 def test_obtain_questions():
     rng = np.random.RandomState(5)
     stats = {}
