@@ -297,7 +297,11 @@ class DenseViterbiDecoder:
     """Best-path decoder over the full state space (small graphs)."""
 
     def __init__(self, graph: PackedGraph, opts=DenseDecoderOpts()):
+        from kaldi_tpu.decoder.beam_search import eps_chain_depth
         self.graph = graph
+        depth = eps_chain_depth(graph)
+        if depth is not None and depth < opts.eps_expansions:
+            opts = dataclasses.replace(opts, eps_expansions=max(depth, 0))
         self.opts = opts
         il = np.asarray(graph.ilabel)
         emit = il > 0
