@@ -76,51 +76,72 @@ def raw_lattice_from_decode(
     prev_scores[0] = 0.0
     prev_nodes = {0: lat.start}
 
+    E = t_il.shape[1]
     for ri, tag in enumerate(rounds):
         cur_states, cur_scores = rec_arrays(tag)
         alive = cur_scores < BIG * 0.5
         emitting = tag[0] == "frame" and tag[2] == 0
-        # index cur tokens by state
-        by_state: dict[int, list[int]] = {}
-        for k in np.nonzero(alive)[0]:
-            by_state.setdefault(int(cur_states[k]), []).append(int(k))
+
+        # vectorized candidate generation over [P(prev alive), E] arcs:
+        # after dedup the current frontier has at most one ALIVE token per
+        # state, so state -> slot is a single searchsorted hit — sort by
+        # (state, score) so the alive token precedes dead slots that
+        # happen to carry the same state value.
+        order = np.lexsort((cur_scores, cur_states))
+        sorted_states = cur_states[order]
         cur_nodes: dict[int, int] = {}
-        for j, pnode in prev_nodes.items():
-            sj = int(prev_states[j])
-            cj = float(prev_scores[j])
-            if cj >= BIG * 0.5:
-                continue
-            # identity carry-over (eps rounds only)
+
+        def slot_of(state_arr):
+            pos = np.searchsorted(sorted_states, state_arr)
+            pos = np.minimum(pos, len(sorted_states) - 1)
+            slot = order[pos]
+            ok = (cur_states[slot] == state_arr) & alive[slot]
+            return slot, ok
+
+        pj = np.array(sorted(prev_nodes.keys()), dtype=np.int64)
+        if pj.size:
+            pj = pj[prev_scores[pj] < BIG * 0.5]
+        if pj.size:
+            src = prev_states[pj]                      # [P]
+            base = prev_scores[pj]                     # [P]
+            il = t_il[src]                             # [P, E]
+            w = t_c[src]
+            nxt = t_nx[src]
+            if emitting:
+                am = -ll_scaled[b, tag[1]][t_pdf[src]]  # [P, E]
+                use = (il > 0) & (w < BIG * 0.5)
+            else:
+                am = np.zeros_like(w)
+                use = (il == 0) & (w < BIG * 0.5)
+            cand = base[:, None] + w + am
+            slot, ok = slot_of(nxt)
+            keep = use & ok & (cand <= cur_scores[slot]
+                               + lattice_beam + 1e-4)
             if not emitting:
-                for k in by_state.get(sj, []):
-                    if cj <= cur_scores[k] + lattice_beam + 1e-4:
-                        dst = cur_nodes.get(k)
-                        if dst is None:
-                            dst = get_node(ri, k)
-                            cur_nodes[k] = dst
-                        lat.add_arc(pnode, 0, 0, 0.0, 0.0, dst)
-            # arc expansions
-            for e in range(t_il.shape[1]):
-                il = int(t_il[sj, e])
-                if emitting and il <= 0:
-                    continue
-                if not emitting and il != 0:
-                    continue
-                w = float(t_c[sj, e])
-                if w >= BIG * 0.5:
-                    continue
-                am = 0.0
-                if emitting:
-                    am = -float(ll_scaled[b, tag[1], int(t_pdf[sj, e])])
-                cand = cj + w + am
-                dst_state = int(t_nx[sj, e])
-                for k in by_state.get(dst_state, []):
-                    if cand <= cur_scores[k] + lattice_beam + 1e-4:
-                        dst = cur_nodes.get(k)
-                        if dst is None:
-                            dst = get_node(ri, k)
-                            cur_nodes[k] = dst
-                        lat.add_arc(pnode, il, int(t_ol[sj, e]), w, am, dst)
+                # identity carry-over: prev token -> same-state cur token
+                c_slot, c_ok = slot_of(src)
+                c_keep = c_ok & (base <= cur_scores[c_slot]
+                                 + lattice_beam + 1e-4)
+                for i in np.nonzero(c_keep)[0]:
+                    k = int(c_slot[i])
+                    dst = cur_nodes.get(k)
+                    if dst is None:
+                        dst = get_node(ri, k)
+                        cur_nodes[k] = dst
+                    lat.add_arc(prev_nodes[int(pj[i])], 0, 0, 0.0, 0.0,
+                                dst)
+            pidx, eidx = np.nonzero(keep)
+            ols = t_ol[src]
+            for i in range(len(pidx)):
+                p, e = int(pidx[i]), int(eidx[i])
+                k = int(slot[p, e])
+                dst = cur_nodes.get(k)
+                if dst is None:
+                    dst = get_node(ri, k)
+                    cur_nodes[k] = dst
+                lat.add_arc(prev_nodes[int(pj[p])], int(il[p, e]),
+                            int(ols[p, e]), float(w[p, e]),
+                            float(am[p, e]), dst)
         prev_states, prev_scores = cur_states, cur_scores
         prev_nodes = cur_nodes
 
