@@ -270,6 +270,22 @@ def cmd_extract_segments(args):
     print("\n".join(lines))
 
 
+def cmd_lattice_best_path(args):
+    """Best paths from a text lattice ark, with optional rescaling
+    (ref: latbin/lattice-best-path.cc)."""
+    from kaldi_tpu.lat.io import read_lattice_ark
+    from kaldi_tpu.lat.functions import (lattice_scale, lattice_best_path,
+                                         add_word_ins_penalty)
+    for key, lat in read_lattice_ark(args.lattice_ark):
+        lattice_scale(lat, lm_scale=args.lm_scale,
+                      acoustic_scale=args.acoustic_scale)
+        if args.word_ins_penalty:
+            add_word_ins_penalty(lat, args.word_ins_penalty)
+        res = lattice_best_path(lat)
+        words = " ".join(str(w) for w in res[0]) if res else ""
+        print(f"{key} {words}")
+
+
 def cmd_mkgraph(args):
     """Build the decode graph from a saved model + ARPA LM
     (ref: utils/mkgraph.sh — HCLG = asl(det(H∘det(C∘det(L∘G)))))."""
@@ -464,6 +480,13 @@ def main(argv=None):
     q.add_argument("--utt2spk", default="")
     q.add_argument("--norm-vars", action="store_true")
     q.set_defaults(func=cmd_apply_cmvn)
+
+    q = sub.add_parser("lattice-best-path")
+    q.add_argument("lattice_ark")
+    q.add_argument("--lm-scale", type=float, default=1.0)
+    q.add_argument("--acoustic-scale", type=float, default=1.0)
+    q.add_argument("--word-ins-penalty", type=float, default=0.0)
+    q.set_defaults(func=cmd_lattice_best_path)
 
     q = sub.add_parser("mkgraph")
     q.add_argument("model")
