@@ -163,6 +163,43 @@ def cmd_apply_cmvn(args):
                                                norm_vars=args.norm_vars)))
 
 
+def cmd_align_text(args):
+    """Per-utterance word alignments (ref: bin/align-text.cc output:
+    'utt ref1 hyp1 ; ref2 hyp2 ; ...' with <eps> for ins/del)."""
+    from kaldi_tpu.utils.wer import levenshtein_alignment
+
+    def read_text(p):
+        d = {}
+        with open(p) as f:
+            for line in f:
+                parts = line.split()
+                if parts:
+                    d[parts[0]] = parts[1:]
+        return d
+
+    refs, hyps = read_text(args.ref), read_text(args.hyp)
+    for utt in refs:
+        pairs, _errs = levenshtein_alignment(refs[utt], hyps.get(utt, []))
+        print(f"{utt} " + " ; ".join(f"{r} {h}" for (r, h) in pairs))
+
+
+def cmd_kws_search(args):
+    """Keyword search over a text-lattice ark (ref: kwsbin/kws-search.cc;
+    keywords file: 'kwid word-id word-id ...')."""
+    from kaldi_tpu.lat.io import read_lattice_ark
+    from kaldi_tpu.kws import lattice_to_kws_index, search_index
+    indexes = [lattice_to_kws_index(lat, key)
+               for key, lat in read_lattice_ark(args.lattice_ark)]
+    with open(args.keywords) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 2:
+                continue
+            kwid, words = parts[0], [int(w) for w in parts[1:]]
+            for (utt, t0, t1, p) in search_index(indexes, words):
+                print(f"{kwid} {utt} {t0} {t1} {p:.4f}")
+
+
 def cmd_compute_wer(args):
     from kaldi_tpu.utils.wer import compute_wer
 
@@ -551,6 +588,16 @@ def main(argv=None):
     q.add_argument("ref")
     q.add_argument("hyp")
     q.set_defaults(func=cmd_compute_wer)
+
+    q = sub.add_parser("align-text")
+    q.add_argument("ref")
+    q.add_argument("hyp")
+    q.set_defaults(func=cmd_align_text)
+
+    q = sub.add_parser("kws-search")
+    q.add_argument("lattice_ark")
+    q.add_argument("keywords")
+    q.set_defaults(func=cmd_kws_search)
 
     q = sub.add_parser("info")
     q.set_defaults(func=cmd_info)
