@@ -307,6 +307,44 @@ def cmd_extract_segments(args):
     print("\n".join(lines))
 
 
+def cmd_latgen_faster_mapped(args):
+    """Lattice-generating decode from precomputed pdf log-likelihood
+    matrices (ref: bin/latgen-faster-mapped.cc — the decodable is a
+    matrix, the graph maps tids to pdf rows). Writes int transcriptions
+    to stdout and, with --lattice-out, text lattices."""
+    from kaldi_tpu.io.model_io import load_hclg
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.decoder.beam_search import (BeamSearchDecoder,
+                                               BeamSearchOpts)
+    from kaldi_tpu.lat.generate import decode_to_lattices
+    from kaldi_tpu.lat.io import write_lattice_ark
+    packed = load_hclg(args.graph)
+    dec = BeamSearchDecoder(packed, BeamSearchOpts(
+        beam=args.beam, max_active=args.max_active,
+        acoustic_scale=args.acoustic_scale))
+    items = list(open_rspecifier(args.loglikes_rspecifier))
+    B = len(items)
+    T = max(m.shape[0] for (_k, m) in items)
+    P = items[0][1].shape[1]
+    ll = np.full((B, T, P), -1e10, np.float32)
+    nf = np.zeros(B, np.int32)
+    for b, (_k, m) in enumerate(items):
+        ll[b, : m.shape[0]] = m
+        nf[b] = m.shape[0]
+    lats = decode_to_lattices(dec, ll, nf,
+                              lattice_beam=args.lattice_beam)
+    from kaldi_tpu.lat.functions import lattice_best_path
+    for b, (k, _m) in enumerate(items):
+        if lats[b] is None:
+            print(k)
+            continue
+        res = lattice_best_path(lats[b])
+        print(f"{k} " + " ".join(str(w) for w in (res[0] if res else [])))
+    if args.lattice_out:
+        write_lattice_ark(args.lattice_out,
+                          {k: lats[b] for b, (k, _m) in enumerate(items)})
+
+
 def cmd_lattice_best_path(args):
     """Best paths from a text lattice ark, with optional rescaling
     (ref: latbin/lattice-best-path.cc)."""
@@ -517,6 +555,16 @@ def main(argv=None):
     q.add_argument("--utt2spk", default="")
     q.add_argument("--norm-vars", action="store_true")
     q.set_defaults(func=cmd_apply_cmvn)
+
+    q = sub.add_parser("latgen-faster-mapped")
+    q.add_argument("graph")
+    q.add_argument("loglikes_rspecifier")
+    q.add_argument("--lattice-out", default="")
+    q.add_argument("--beam", type=float, default=16.0)
+    q.add_argument("--lattice-beam", type=float, default=8.0)
+    q.add_argument("--max-active", type=int, default=512)
+    q.add_argument("--acoustic-scale", type=float, default=0.1)
+    q.set_defaults(func=cmd_latgen_faster_mapped)
 
     q = sub.add_parser("lattice-best-path")
     q.add_argument("lattice_ark")

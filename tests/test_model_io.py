@@ -68,6 +68,33 @@ def test_model_roundtrip_and_cli_decode(yesno_graph, tmp_path):
         assert hyps[u] == want, u
 
 
+def test_cli_latgen_faster_mapped(yesno_graph, tmp_path, capsys):
+    """Graph + loglike matrices -> transcriptions + text lattices."""
+    packed, model, utts = yesno_graph
+    gpath = str(tmp_path / "HCLG.npz")
+    save_hclg(gpath, packed)
+    # precomputed pdf loglikes for 2 utterances
+    ll_ark = str(tmp_path / "ll.ark")
+    lls = {}
+    for (u, f, _w) in utts[:2]:
+        lls[u] = model.am.loglikes_np(f[None])[0].astype(np.float32)
+    write_ark(ll_ark, lls)
+    lat_out = str(tmp_path / "lat.txt")
+    main(["latgen-faster-mapped", gpath, f"ark:{ll_ark}",
+          f"--lattice-out={lat_out}", "--beam=100", "--max-active=64"])
+    out = capsys.readouterr().out
+    lines = dict(line.split(None, 1) if " " in line else (line, "")
+                 for line in out.strip().splitlines())
+    assert set(lines) == {u for (u, _f, _w) in utts[:2]}
+    # lattice best paths match the printed transcriptions
+    from kaldi_tpu.lat.io import read_lattice_ark
+    from kaldi_tpu.lat.functions import lattice_best_path
+    got = dict(read_lattice_ark(lat_out))
+    for u in got:
+        res = lattice_best_path(got[u])
+        assert " ".join(str(w) for w in res[0]) == lines[u].strip()
+
+
 def test_cli_mkgraph(yesno_graph, tmp_path):
     packed, model, _utts = yesno_graph
     mdl = str(tmp_path / "m.npz")
