@@ -31,7 +31,7 @@ log = logging.getLogger("kaldi_tpu.fmmi")
 class FmmiTrainOpts(MmiTrainOpts):
     num_iters: int = 6            # alternating fMPE / EBW
     fmpe: FmpeOptions = dataclasses.field(
-        default_factory=lambda: FmpeOptions(learning_rate=0.02))
+        default_factory=lambda: FmpeOptions(learning_rate=0.002))
     fmpe_gauss: int = 16          # size of the fMPE posterior GMM
 
 

@@ -21,7 +21,7 @@ from kaldi_tpu.gmm.diag_gmm import DiagGmm
 class FmpeOptions:
     context_windows: tuple = ((0,), (-1, 1), (-2, -3), (2, 3))
     post_scale: float = 5.0
-    learning_rate: float = 0.1
+    learning_rate: float = 0.005
 
 
 class Fmpe:
