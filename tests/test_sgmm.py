@@ -95,6 +95,79 @@ def test_substate_splitting(sgmm_setup):
     assert accs2.tot_like / accs2.tot_frames >= before - 0.05
 
 
+@pytest.mark.slow
+def test_sgmm2_asr_decode():
+    """SGMM2 as a drop-in acoustic model over a GMM system's tree/HCLG:
+    decode WER must match or beat the GMM baseline on the easy corpus
+    (ref: steps/train_sgmm2.sh + sgmm2-latgen-faster)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    import jax.numpy as jnp
+    from test_yesno_e2e import synth_utterance, YESNO_ARPA, SR
+    from kaldi_tpu.fst.lang import Lexicon, prepare_lang
+    from kaldi_tpu.lm.arpa import ArpaLm, arpa_to_g
+    from kaldi_tpu.fst.graph import make_hclg
+    from kaldi_tpu.ops import MfccOpts, FrameOpts, mfcc, add_deltas
+    from kaldi_tpu.steps.mono import train_mono, MonoTrainOpts
+    from kaldi_tpu.steps.sgmm_steps import train_sgmm2_system, SgmmTrainOpts
+    from kaldi_tpu.decoder.graph_pack import pack_graph
+    from kaldi_tpu.decoder.dense import make_decoder
+    from kaldi_tpu.decoder.beam_search import BeamSearchOpts
+    from kaldi_tpu.utils.wer import compute_wer
+
+    rng = np.random.RandomState(13)
+    lex = Lexicon.parse("YES Y1 Y2\nNO N1 N2")
+    lang = prepare_lang(lex, ["SIL"], "SIL", num_sil_states=3)
+    fo = MfccOpts(frame_opts=FrameOpts(samp_freq=SR, dither=0.0))
+
+    def featize(w):
+        return np.asarray(add_deltas(mfcc(jnp.asarray(w), fo), order=2,
+                                     window=2))
+
+    train, test = [], []
+    for i in range(14):
+        ws = [rng.choice(["YES", "NO"]) for _ in range(rng.randint(2, 4))]
+        train.append((f"u{i}", featize(synth_utterance(ws, rng)), ws))
+    for i in range(6):
+        ws = [rng.choice(["YES", "NO"]) for _ in range(rng.randint(2, 4))]
+        test.append((f"t{i}", featize(synth_utterance(ws, rng)), ws))
+    gmm = train_mono(lang, train, MonoTrainOpts(
+        num_iters=8, totgauss=30, max_iter_inc=6,
+        realign_iters=tuple(range(1, 8))))
+    sgmm_am, likes = train_sgmm2_system(
+        gmm, train, SgmmTrainOpts(ubm_gauss=8, phn_dim=8, num_iters=6))
+    assert likes[-1] > likes[0]
+
+    g = arpa_to_g(ArpaLm.parse(YESNO_ARPA), lang.words)
+    graph = make_hclg(lang, g, gmm.trans_model, gmm.ctx_dep,
+                      self_loop_scale=0.1)
+    dec = make_decoder(pack_graph(graph.fst, gmm.trans_model.id2pdf_array),
+                       BeamSearchOpts(beam=16.0, max_active=256,
+                                      acoustic_scale=0.1))
+    B = len(test)
+    T = max(f.shape[0] for (_u, f, _w) in test)
+    D = test[0][1].shape[1]
+    feats = np.zeros((B, T, D), np.float32)
+    nf = np.zeros(B, np.int32)
+    for b, (_u, f, _w) in enumerate(test):
+        feats[b, : f.shape[0]] = f
+        nf[b] = f.shape[0]
+
+    def wer_of(am):
+        results = dec.decode(am.loglikes_np(feats), nf)
+        refs, hyps = {}, {}
+        for b, (u, _f, ws) in enumerate(test):
+            refs[u] = ws
+            hyps[u] = ([lang.words.sym(w) for w in results[b][0]]
+                       if results[b] else [])
+        return compute_wer(refs, hyps).wer
+
+    wer_sgmm = wer_of(sgmm_am)
+    wer_gmm = wer_of(gmm.am)
+    assert wer_sgmm <= wer_gmm + 5.0, (wer_sgmm, wer_gmm)
+    assert wer_sgmm < 20.0
+
+
 def test_speaker_vector_adaptation(sgmm_setup):
     model, feats, post, _rng = sgmm_setup
     rng = np.random.RandomState(9)
