@@ -47,32 +47,29 @@ class BeamSearchOpts:
 def _pad_csr(graph: PackedGraph):
     """Pack per-state arc lists into dense [S, E] tables, emitting-first.
 
-    Returns dict of np arrays: for each state s, its arcs padded to the max
-    out-degree E with dead arcs (cost BIG, nextstate 0 ...).
+    Vectorized scatter (no per-state Python loop — packing a
+    multimillion-state HCLG is one-time but must not take minutes):
+    arc a of state s lands at row s, column a - arc_start[s].
     """
     S = graph.num_states
     deg = np.diff(graph.arc_start)
     E = int(deg.max()) if S else 1
+    A = len(graph.ilabel)
+    rows = np.repeat(np.arange(S), deg)
+    cols = np.arange(A) - np.repeat(graph.arc_start[:-1], deg)
     ilabel = np.zeros((S, E), np.int32)
     olabel = np.zeros((S, E), np.int32)
     cost = np.full((S, E), BIG, np.float32)
     nxt = np.zeros((S, E), np.int32)
     pdf = np.zeros((S, E), np.int32)
-    n_emit = np.zeros(S, np.int32)
-    n_arcs = np.zeros(S, np.int32)
-    for s in range(S):
-        lo, hi = graph.arc_start[s], graph.arc_start[s + 1]
-        k = hi - lo
-        ilabel[s, :k] = graph.ilabel[lo:hi]
-        olabel[s, :k] = graph.olabel[lo:hi]
-        cost[s, :k] = graph.cost[lo:hi]
-        nxt[s, :k] = graph.nextstate[lo:hi]
-        if graph.pdf is not None:
-            pdf[s, :k] = np.maximum(graph.pdf[lo:hi], 0)
-        n_arcs[s] = k
-        n_emit[s] = int(np.sum(graph.ilabel[lo:hi] > 0))
+    ilabel[rows, cols] = graph.ilabel
+    olabel[rows, cols] = graph.olabel
+    cost[rows, cols] = graph.cost
+    nxt[rows, cols] = graph.nextstate
+    if graph.pdf is not None:
+        pdf[rows, cols] = np.maximum(graph.pdf, 0)
     return dict(ilabel=ilabel, olabel=olabel, cost=cost, nxt=nxt, pdf=pdf,
-                n_emit=n_emit, n_arcs=n_arcs, max_deg=E)
+                max_deg=E)
 
 
 def _dedup_prune(states, scores, prevs, olabels, ilabels, K):
@@ -233,35 +230,25 @@ def _decode_batch_traced(
 
         xs = (mask_b,) + tuple(
             (recs_b[r][2], recs_b[r][3], recs_b[r][4]) for r in range(R))
-        _s, (ols, ils) = jax.lax.scan(step, slot0, xs, reverse=True)
-        return ols, ils  # [T, R]
+        s0, (ols, ils) = jax.lax.scan(step, slot0, xs, reverse=True)
+        # s0 = slot entering frame 0 (used to trace the init closure)
+        return ols, ils, s0  # [T, R], [T, R], []
 
-    ols, ils = jax.vmap(trace_one)(recs, frame_mask, best_slot)
+    ols, ils, slot0 = jax.vmap(trace_one)(recs, frame_mask, best_slot)
 
     # continue the trace through the initial eps-closure records
-    def trace_init(init_b, slot0):
+    def trace_init(init_b, s0):
         ols0 = []
         for r in range(len(init_recs) - 1, -1, -1):
             _st, _sc, pv, ol, _il = init_b[r]
-            ols0.append(ol[slot0])
-            slot0 = pv[slot0]
+            ols0.append(ol[s0])
+            s0 = pv[s0]
+        if not ols0:
+            return jnp.zeros((0,), jnp.int32)
         return jnp.stack(ols0[::-1])
 
-    # slot entering frame 0 = slot after tracing all frames backward
-    def slot_at_start(recs_b, mask_b, slot0):
-        def step(slot, inputs):
-            per_round = inputs
-            for r in range(R - 1, -1, -1):
-                pv = per_round[r]
-                slot = pv[slot]
-            return slot, ()
-
-        xs = tuple(recs_b[r][2] for r in range(R))
-        s, _ = jax.lax.scan(step, slot0, xs, reverse=True)
-        return s
-
-    slot0 = jax.vmap(slot_at_start)(recs, frame_mask, best_slot)
-    init_ols = jax.vmap(trace_init)(init_recs, slot0)
+    init_ols = jax.vmap(trace_init)(init_recs, slot0) if n_eps > 0 \
+        else jnp.zeros((B, 0), jnp.int32)
     return ols, ils, init_ols, best_cost
 
 
@@ -299,7 +286,9 @@ def eps_chain_depth(graph: PackedGraph, cap: int = 8) -> int | None:
             if indeg[v] == 0:
                 q.append(v)
         if longest >= cap:
-            return cap
+            return None  # too deep to bound usefully (treat as unknown —
+            # returning `cap` would silently truncate deeper chains and
+            # mask cycles that Kahn hasn't exhausted yet)
     if seen != n:
         return None      # cycle among eps arcs
     return longest       # arcs on the longest chain = rounds needed
@@ -309,10 +298,17 @@ class BeamSearchDecoder:
     """Host wrapper: pack the graph once, decode utterance batches."""
 
     def __init__(self, graph: PackedGraph, opts: BeamSearchOpts = BeamSearchOpts()):
+        assert graph.pdf is not None, (
+            "PackedGraph has no tid->pdf mapping: pack_graph() must be "
+            "given tid_to_pdf for decoding (otherwise every arc would "
+            "silently score pdf 0)")
         self.graph = graph
         depth = eps_chain_depth(graph)
-        if depth is not None and depth < opts.eps_expansions:
-            opts = dataclasses.replace(opts, eps_expansions=max(depth, 0))
+        if depth is not None and depth != opts.eps_expansions:
+            # exactly as many non-emitting closure rounds as the graph
+            # needs: lower AND raise (an acyclic chain deeper than the
+            # default would otherwise decode incorrectly)
+            opts = dataclasses.replace(opts, eps_expansions=depth)
         self.opts = opts
         tabs = _pad_csr(graph)
         self.E = tabs["max_deg"]

@@ -98,9 +98,27 @@ def _dense_decode(
                      jnp.take_along_axis(alpha_T, any_state[:, None],
                                          axis=1)[:, 0])
 
-    # on-device traceback: carry the state backward through eps rounds then
-    # the emitting arc of each frame
-    def trace_one(bp_e_b, bp_z_b, mask_b, s0):
+    ols, ils, init_ols = _traceback(
+        jnp.moveaxis(bp_e_all, 0, 1),
+        tuple(jnp.moveaxis(b, 0, 1) for b in bp_z_all),
+        tuple(init_bps), state0,
+        e_src, e_ol, e_il, z_src, z_ol, n_eps)
+    return ols, ils, init_ols, cost
+
+
+def _traceback(bp_e, bps_z, init_bps, state0,
+               e_src, e_ol, e_il, z_src, z_ol, n_eps: int):
+    """Shared on-device traceback for both dense forward passes.
+
+    bp_e [B, T, S]; bps_z: tuple of n_eps arrays [B, T, S]; init_bps:
+    tuple of n_eps arrays [B, S]. Walks the state backward through each
+    frame's eps rounds then its emitting arc, emitting labels in forward
+    order; then continues through the initial eps closure.
+    -> (ols [B, T, n_eps+1], ils [B, T, 1], init_ols [B, n_eps]).
+    """
+    B = bp_e.shape[0]
+
+    def trace_one(bp_e_b, bp_z_b, s0):
         def step(s, inputs):
             bp_e_t, bp_z_t = inputs
             ols, ils = [], []
@@ -120,12 +138,8 @@ def _dense_decode(
             step, s0, (bp_e_b, tuple(bp_z_b)), reverse=True)
         return ols, ils, s_fin
 
-    trace = jax.vmap(trace_one)
-    ols, ils, s_start = trace(jnp.moveaxis(bp_e_all, 0, 1),
-                              tuple(jnp.moveaxis(b, 0, 1)
-                                    for b in bp_z_all),
-                              frame_mask, state0)
-    # initial eps closure labels
+    ols, ils, s_start = jax.vmap(trace_one)(bp_e, bps_z, state0)
+
     def trace_init(init_b, s0):
         ols0 = []
         for r in range(n_eps - 1, -1, -1):
@@ -135,8 +149,9 @@ def _dense_decode(
             s0 = jnp.where(taken, z_src[jnp.maximum(a, 0)], s0)
         return jnp.stack(ols0[::-1])
 
-    init_ols = jax.vmap(trace_init)(tuple(init_bps), s_start)
-    return ols, ils, init_ols, cost
+    init_ols = jax.vmap(trace_init)(init_bps, s_start) if n_eps > 0 \
+        else jnp.zeros((B, 0), jnp.int32)
+    return ols, ils, init_ols
 
 
 @functools.partial(jax.jit, static_argnames=("S", "n_eps"))
@@ -247,40 +262,9 @@ def _dense_decode_assoc(
         init_bps.append(bzi)
         a0b = newi
 
-    # traceback (shared shape with the sequential path)
-    def trace_one(bp_e_b, bp_z_b, s0):
-        def step(s, inputs):
-            bp_e_t, bp_z_t = inputs
-            ols, ils = [], []
-            for r in range(n_eps - 1, -1, -1):
-                a = bp_z_t[r][s]
-                taken = a >= 0
-                ols.append(jnp.where(taken, z_ol[jnp.maximum(a, 0)], 0))
-                s = jnp.where(taken, z_src[jnp.maximum(a, 0)], s)
-            a = bp_e_t[s]
-            taken = a >= 0
-            ols.append(jnp.where(taken, e_ol[jnp.maximum(a, 0)], 0))
-            ils.append(jnp.where(taken, e_il[jnp.maximum(a, 0)], 0))
-            s = jnp.where(taken, e_src[jnp.maximum(a, 0)], s)
-            return s, (jnp.stack(ols[::-1]), jnp.stack(ils))
-
-        s_fin, (ols, ils) = jax.lax.scan(
-            step, s0, (bp_e_b, tuple(bp_z_b)), reverse=True)
-        return ols, ils, s_fin
-
-    ols, ils, s_start = jax.vmap(trace_one)(
-        bp_e, tuple(bps_z), state0)
-
-    def trace_init(init_b, s0):
-        ols0 = []
-        for r in range(n_eps - 1, -1, -1):
-            a = init_b[r][s0]
-            taken = a >= 0
-            ols0.append(jnp.where(taken, z_ol[jnp.maximum(a, 0)], 0))
-            s0 = jnp.where(taken, z_src[jnp.maximum(a, 0)], s0)
-        return jnp.stack(ols0[::-1])
-
-    init_ols = jax.vmap(trace_init)(tuple(init_bps), s_start)
+    ols, ils, init_ols = _traceback(
+        bp_e, tuple(bps_z), tuple(init_bps), state0,
+        e_src, e_ol, e_il, z_src, z_ol, n_eps)
     return ols, ils, init_ols, cost
 
 
@@ -298,10 +282,16 @@ class DenseViterbiDecoder:
 
     def __init__(self, graph: PackedGraph, opts=DenseDecoderOpts()):
         from kaldi_tpu.decoder.beam_search import eps_chain_depth
+        assert graph.pdf is not None, (
+            "PackedGraph has no tid->pdf mapping: pack_graph() must be "
+            "given tid_to_pdf for decoding")
         self.graph = graph
         depth = eps_chain_depth(graph)
-        if depth is not None and depth < opts.eps_expansions:
-            opts = dataclasses.replace(opts, eps_expansions=max(depth, 0))
+        if depth is not None and depth != opts.eps_expansions:
+            # run exactly as many closure rounds as the graph needs —
+            # both lowering AND raising (deeper acyclic chains would
+            # otherwise be cut off)
+            opts = dataclasses.replace(opts, eps_expansions=depth)
         self.opts = opts
         il = np.asarray(graph.ilabel)
         emit = il > 0
@@ -318,7 +308,7 @@ class DenseViterbiDecoder:
                        jnp.asarray(graph.cost[z].astype(np.float32)))
             self._z_np = (src[z], graph.nextstate[z], graph.olabel[z])
         else:
-            self._z = (jnp.zeros(1, np.int64), jnp.zeros(1, np.int64),
+            self._z = (jnp.zeros(1, np.int32), jnp.zeros(1, np.int32),
                        jnp.full(1, BIG, np.float32))
             self._z_np = (np.zeros(1, np.int64), np.zeros(1, np.int64),
                           np.zeros(1, np.int64))

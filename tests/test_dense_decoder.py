@@ -96,6 +96,86 @@ def test_assoc_path_matches_sequential(yesno_graph):
         assert r_par[b][2] == pytest.approx(r_seq[b][2], abs=0.02)
 
 
+def _mini_graph(arcs, num_states, start=0, finals=(1,)):
+    """arcs: [(src, dst, ilabel, olabel, cost, pdf)]."""
+    from kaldi_tpu.decoder.graph_pack import PackedGraph
+    arcs = sorted(arcs, key=lambda a: (a[0], -(a[2] > 0)))
+    arc_start = np.zeros(num_states + 1, np.int32)
+    src = np.array([a[0] for a in arcs])
+    for s in range(num_states):
+        arc_start[s + 1] = np.searchsorted(src, s + 1)
+    final = np.full(num_states, np.inf, np.float32)
+    for f in finals:
+        final[f] = 0.0
+    return PackedGraph(
+        arc_start=arc_start,
+        ilabel=np.array([a[2] for a in arcs], np.int32),
+        olabel=np.array([a[3] for a in arcs], np.int32),
+        cost=np.array([a[4] for a in arcs], np.float32),
+        nextstate=np.array([a[1] for a in arcs], np.int32),
+        final=final, start=start,
+        pdf=np.array([a[5] for a in arcs], np.int32))
+
+
+def test_deep_eps_chain_decodes():
+    """Regression: a graph needing MORE closure rounds than the default 3
+    must raise eps_expansions, not silently fail."""
+    from kaldi_tpu.decoder.beam_search import (BeamSearchDecoder,
+                                               BeamSearchOpts,
+                                               eps_chain_depth)
+    # emit from 0->1, then 5 chained eps arcs 1..6, state 6 final
+    arcs = [(0, 1, 1, 9, 0.1, 0)]
+    for k in range(5):
+        arcs.append((1 + k, 2 + k, 0, 0, 0.1, -1))
+    g = _mini_graph(arcs, 7, finals=(6,))
+    assert eps_chain_depth(g) == 5
+    ll = np.zeros((1, 1, 1), np.float32)
+    nf = np.array([1], np.int32)
+    for dec in (BeamSearchDecoder(g, BeamSearchOpts(beam=100.0,
+                                                    max_active=8,
+                                                    acoustic_scale=1.0)),
+                DenseViterbiDecoder(g)):
+        res = dec.decode(ll, nf)
+        assert res[0] is not None, type(dec).__name__
+        assert res[0][0] == [9]
+        assert res[0][2] == pytest.approx(0.6, abs=1e-4)
+
+
+def test_eps_free_graph_decodes():
+    """Regression: graphs with NO eps arcs (eps_expansions=0) used to
+    crash in the traceback's empty stack."""
+    from kaldi_tpu.decoder.beam_search import (BeamSearchDecoder,
+                                               BeamSearchOpts)
+    arcs = [(0, 1, 1, 7, 0.5, 0), (1, 1, 2, 0, 0.25, 0)]
+    g = _mini_graph(arcs, 2, finals=(1,))
+    ll = np.zeros((1, 3, 1), np.float32)
+    nf = np.array([3], np.int32)
+    for dec in (BeamSearchDecoder(g, BeamSearchOpts(beam=100.0,
+                                                    max_active=8,
+                                                    acoustic_scale=1.0)),
+                DenseViterbiDecoder(g)):
+        res = dec.decode(ll, nf)
+        assert res[0] is not None, type(dec).__name__
+        assert res[0][0] == [7]
+        assert len(res[0][1]) == 3
+        assert res[0][2] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_pack_without_pdf_rejected():
+    from kaldi_tpu.decoder.beam_search import BeamSearchDecoder
+    from kaldi_tpu.decoder.graph_pack import PackedGraph
+    g = PackedGraph(arc_start=np.array([0, 1, 1]),
+                    ilabel=np.array([1], np.int32),
+                    olabel=np.array([0], np.int32),
+                    cost=np.zeros(1, np.float32),
+                    nextstate=np.array([1], np.int32),
+                    final=np.zeros(2, np.float32), start=0, pdf=None)
+    with pytest.raises(AssertionError):
+        BeamSearchDecoder(g)
+    with pytest.raises(AssertionError):
+        DenseViterbiDecoder(g)
+
+
 def test_make_decoder_dispatch(yesno_graph):
     packed, _model, _utts = yesno_graph
     d = make_decoder(packed)
