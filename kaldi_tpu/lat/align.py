@@ -94,8 +94,10 @@ def word_align_lattice(lat: Lattice, tm, lexicon_phones,
     the arc that completes its pronunciation.)
     """
     out = Lattice()
-    # state key: (lat_state, pending_word or 0, phones_consumed)
+    # state key: (lat_state, pending_word or 0, consumed-phone tuple)
     key2id: dict = {}
+    max_pron = max((len(p) for prons in lexicon_phones.values()
+                    for p in prons), default=0)
 
     def get(key):
         s = key2id.get(key)
@@ -105,7 +107,7 @@ def word_align_lattice(lat: Lattice, tm, lexicon_phones,
         return s
 
     from collections import deque
-    start_key = (lat.start, 0, 0)
+    start_key = (lat.start, 0, ())
     out.start = get(start_key)
     seen = {start_key}
     q = deque([start_key])
@@ -125,18 +127,22 @@ def word_align_lattice(lat: Lattice, tm, lexicon_phones,
                     # shouldn't happen in well-formed lattices; emit old
                     emit = pending
                 new_pending = w
-                new_nph = 0
+                new_nph = ()
             if arc.ilabel != 0:
                 tid = arc.ilabel
                 is_final_of_phone = tm.is_final(tid)
                 if is_final_of_phone and new_pending != 0:
                     ph = tm.transition_id_to_phone(tid)
                     if ph not in silence_phones:
-                        new_nph += 1
+                        new_nph = new_nph + (ph,)
                     prons = lexicon_phones.get(new_pending, [])
-                    if any(len(p) == new_nph for p in prons):
+                    # emit only on an EXACT pronunciation match (identity,
+                    # not count — words may have prons of several lengths)
+                    if any(tuple(p) == new_nph for p in prons):
                         emit = new_pending
-                        new_pending, new_nph = 0, 0
+                        new_pending, new_nph = 0, ()
+                    elif len(new_nph) >= max_pron:
+                        continue    # dead path: no pron can match
             nkey = (arc.nextstate, new_pending, new_nph)
             dst = get(nkey)
             out.add_arc(cur, arc.ilabel, emit, arc.graph_cost,
@@ -214,17 +220,20 @@ def lattice_oracle(lat: Lattice, ref_words):
 
 def lattice_confidence(lat: Lattice) -> float:
     """Cost difference between the best path and the best path with a
-    different word sequence (ref: lat/confidence.h SentenceLevelConfidence).
-    Returns +inf when only one word sequence exists."""
-    from kaldi_tpu.lat.functions import nbest
-    paths = nbest(lat, 32)
+    DIFFERENT word sequence (ref: lat/confidence.h SentenceLevelConfidence).
+    Returns +inf when only one word sequence exists.
+
+    Computed over the word-level determinization (one path per word
+    sequence) — enumerating raw alignments would miss the competitor when
+    the best sequence has many alignments within the beam."""
+    from kaldi_tpu.lat.functions import nbest, determinize_lattice
+    det = determinize_lattice(lat)
+    paths = nbest(det, 2)
     if not paths:
         return 0.0
-    w0 = tuple(paths[0][0])
-    for p in paths[1:]:
-        if tuple(p[0]) != w0:
-            return float(p[2] - paths[0][2])
-    return INF
+    if len(paths) == 1:
+        return INF
+    return float(paths[1][2] - paths[0][2])
 
 
 # ---------- pushing / minimization / union / interpolation ----------
@@ -258,10 +267,12 @@ def push_lattice(lat: Lattice) -> Lattice:
                 delta += beta[lat.start]
             out.add_arc(s, a.ilabel, a.olabel, a.graph_cost + delta,
                         a.acoustic_cost, a.nextstate)
-    # f'(s) = f(s) − β(s) (zero when the final weight is the best suffix)
+    # totals: g' + a = g + a − β(s) (+β(start) at the start); the
+    # reweighting delta lives on the GRAPH part so the acoustic component
+    # is preserved for downstream lattice_scale / forward-backward
     for s, (g, ac) in lat.finals.items():
         extra = beta[lat.start] if s == lat.start else 0.0
-        out.set_final(s, g + ac - beta[s] + extra, 0.0)
+        out.set_final(s, g - beta[s] + extra, ac)
     return out
 
 
@@ -321,6 +332,8 @@ def lattice_union(a: Lattice, b: Lattice) -> Lattice:
     out = Lattice()
     out.start = out.add_state()
     for src in (a, b):
+        if src.start < 0 or src.num_states == 0:
+            continue            # empty operand contributes nothing
         off = out.num_states
         for _ in range(src.num_states):
             out.add_state()

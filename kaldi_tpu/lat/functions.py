@@ -118,6 +118,8 @@ def lattice_forward_backward(lat: Lattice):
 def prune_lattice(lat: Lattice, beam: float) -> Lattice:
     """Drop arcs/states not on any path within `beam` of the best
     (ref: lattice-functions.h:130 PruneLattice — Viterbi semiring)."""
+    if lat.num_states == 0 or lat.start < 0:
+        return lat
     order = lat.topological_order()
     n = lat.num_states
     alpha = np.full(n, INF)
@@ -133,7 +135,8 @@ def prune_lattice(lat: Lattice, beam: float) -> Lattice:
     for s in reversed(order):
         for a in lat.arcs[s]:
             beta[s] = min(beta[s], a.cost + beta[a.nextstate])
-    best = alpha[lat.start] + beta[lat.start] if n else INF
+    if n == 0 or lat.start < 0:
+        return lat
     best = beta[lat.start]
     cutoff = best + beam
     out = Lattice()
@@ -219,6 +222,8 @@ def nbest(lat: Lattice, n: int):
     """-> list of (words, tids, cost), best first
     (ref: latbin/lattice-nbest / nbest-to-linear)."""
     import heapq
+    if lat.num_states == 0 or lat.start < 0:
+        return []
     h = [(0.0, 0, lat.start, (), ())]
     out = []
     seq = 0

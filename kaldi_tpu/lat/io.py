@@ -17,8 +17,10 @@ def write_lattice_text(f, key: str, lat: Lattice):
     f.write(f"{key}\n")
     for s in range(lat.num_states):
         for a in lat.arcs[s]:
+            tids = getattr(a, "tids", None)
+            suffix = ("," + "_".join(str(t) for t in tids)) if tids else ""
             f.write(f"{s} {a.nextstate} {a.ilabel} {a.olabel} "
-                    f"{a.graph_cost:.6g},{a.acoustic_cost:.6g}\n")
+                    f"{a.graph_cost:.6g},{a.acoustic_cost:.6g}{suffix}\n")
     for s, (g, ac) in lat.finals.items():
         f.write(f"{s} {g:.6g},{ac:.6g}\n")
     f.write("\n")
@@ -44,7 +46,10 @@ def read_lattice_ark(path: str):
                 key, lat = None, None
                 continue
             parts = line.split()
-            if key is None and len(parts) == 1 and not parts[0][0].isdigit():
+            if key is None:
+                # the first line of a block is always the utterance key
+                # (numeric keys included — 'key is None' disambiguates)
+                assert len(parts) == 1, f"expected key line, got: {line}"
                 key = parts[0]
                 lat = Lattice()
                 lat.start = lat.add_state()
@@ -58,9 +63,13 @@ def read_lattice_ark(path: str):
             if len(parts) == 5:
                 s, d, il, ol = (int(parts[0]), int(parts[1]),
                                 int(parts[2]), int(parts[3]))
-                g, a = (float(x) for x in parts[4].split(","))
+                fields = parts[4].split(",")
+                g, a = float(fields[0]), float(fields[1])
                 ensure(max(s, d))
                 lat.add_arc(s, il, ol, g, a, d)
+                if len(fields) > 2 and fields[2]:
+                    lat.arcs[s][-1].tids = tuple(
+                        int(t) for t in fields[2].split("_"))
             elif len(parts) == 2:
                 s = int(parts[0])
                 g, a = (float(x) for x in parts[1].split(","))

@@ -91,10 +91,16 @@ class Lattice:
         for s in range(n):
             if not keep[s]:
                 continue
-            new_arcs.append([
-                dataclasses.replace(a, nextstate=int(remap[a.nextstate]))
-                for a in self.arcs[s] if keep[a.nextstate]
-            ])
+            row = []
+            for a in self.arcs[s]:
+                if not keep[a.nextstate]:
+                    continue
+                na = dataclasses.replace(
+                    a, nextstate=int(remap[a.nextstate]))
+                if hasattr(a, "tids"):      # stashed alignment strings
+                    na.tids = a.tids        # survive connect()
+                row.append(na)
+            new_arcs.append(row)
         self.arcs = new_arcs
         self.finals = {int(remap[s]): w for s, w in self.finals.items()
                        if keep[s]}

@@ -14,14 +14,12 @@ confidences.
 
 from __future__ import annotations
 
-import math
 from collections import defaultdict
 
 import numpy as np
 
 from kaldi_tpu.lat.lattice import Lattice
-from kaldi_tpu.lat.functions import (lattice_best_path, nbest,
-                                     lattice_forward_backward)
+from kaldi_tpu.lat.functions import nbest
 
 
 def mbr_decode(lat: Lattice, max_paths: int = 200, max_iters: int = 5):
@@ -43,11 +41,7 @@ def mbr_decode(lat: Lattice, max_paths: int = 200, max_iters: int = 5):
     from kaldi_tpu.utils.wer import levenshtein_alignment
     for _it in range(max_iters):
         # align every path to hyp; vote per position
-        bins: list[dict] = [defaultdict(float) for _ in range(len(hyp) + 1)]
-        # bins[i] collects words aligned to hyp position i; insertions go to
-        # the following bin's "pre" slot — flatten: use 2*len+1 bins
         slots: list[dict] = [defaultdict(float) for _ in range(len(hyp))]
-        eps_mass = np.zeros(len(hyp))
         ins_slots: list[dict] = [defaultdict(float)
                                  for _ in range(len(hyp) + 1)]
         for (words, _tids, _c), w in zip(paths, p):
@@ -98,9 +92,12 @@ def word_confidences(hyp, bins) -> list[float]:
 
 
 def expected_wer(lat: Lattice, hyp: list, max_paths: int = 200) -> float:
-    """Expected edit distance of `hyp` under the lattice posterior."""
+    """Expected edit distance of `hyp` under the lattice posterior.
+    Returns +inf when the lattice has no complete path."""
     from kaldi_tpu.utils.wer import levenshtein_alignment
     paths = nbest(lat, max_paths)
+    if not paths:
+        return float("inf")
     costs = np.array([c for (_w, _t, c) in paths])
     p = np.exp(-(costs - costs.min()))
     p /= p.sum()

