@@ -95,6 +95,7 @@ class OnlineDecoder:
         # run the eps rounds by calling _advance_chunk with a masked frame
         self._tok = (jnp.asarray(st), jnp.asarray(sc))
         self._records: list = []   # list over frames of per-round records
+        self._init_records: list = []  # (prev_slot, olabel) per closure round
         self._init_done = False
         self.num_frames_decoded = 0
 
@@ -109,37 +110,42 @@ class OnlineDecoder:
         sc = np.asarray(self._tok[1])
         tabs = {k: np.asarray(v) for k, v in self.base._tabs.items()}
         for _ in range(self.opts.eps_expansions):
-            cand = []
+            # candidates: carry-over (prev=self, ol=0) + eps expansions
+            best: dict = {}   # state -> (cost, prev_slot, olabel)
+            for j in range(len(st)):
+                if sc[j] < BIG / 2:
+                    cur = best.get(int(st[j]))
+                    if cur is None or sc[j] < cur[0]:
+                        best[int(st[j])] = (float(sc[j]), j, 0)
             for j in range(len(st)):
                 if sc[j] >= BIG / 2:
                     continue
                 s = st[j]
                 for e in range(tabs["ilabel"].shape[1]):
                     if tabs["ilabel"][s, e] == 0 and tabs["cost"][s, e] < BIG / 2:
-                        cand.append((int(tabs["nxt"][s, e]),
-                                     sc[j] + tabs["cost"][s, e]))
-            best = {}
-            for j in range(len(st)):
-                if sc[j] < BIG / 2:
-                    cur = best.get(int(st[j]))
-                    if cur is None or sc[j] < cur:
-                        best[int(st[j])] = float(sc[j])
-            for (s2, c2) in cand:
-                cur = best.get(s2)
-                if cur is None or c2 < cur:
-                    best[s2] = float(c2)
-            items = sorted(best.items(), key=lambda kv: kv[1])[: len(st)]
+                        s2 = int(tabs["nxt"][s, e])
+                        c2 = float(sc[j] + tabs["cost"][s, e])
+                        cur = best.get(s2)
+                        if cur is None or c2 < cur[0]:
+                            best[s2] = (c2, j, int(tabs["olabel"][s, e]))
+            items = sorted(best.items(), key=lambda kv: kv[1][0])[: len(st)]
             st = np.zeros_like(st)
             sc = np.full_like(sc, BIG)
-            for k, (s2, c2) in enumerate(items):
+            pv = np.zeros(len(st), np.int32)
+            ol = np.zeros(len(st), np.int32)
+            for k, (s2, (c2, j, o)) in enumerate(items):
                 st[k] = s2
                 sc[k] = c2
+                pv[k] = j
+                ol[k] = o
+            self._init_records.append((pv, ol))
         self._tok = (jnp.asarray(st), jnp.asarray(sc))
         self._init_done = True
 
     def advance_decoding(self, loglikes: np.ndarray):
-        """Consume [n, P] new acoustic frames (already at the model's
-        output scale — the caller applies acoustic_scale)."""
+        """Consume [n, P] new acoustic frames of UNscaled log-likelihoods;
+        opts.acoustic_scale is applied here (matching the offline
+        decoder's contract)."""
         if loglikes.shape[0] == 0:
             return
         self._ensure_init(loglikes.shape[1])
@@ -180,6 +186,13 @@ class OnlineDecoder:
                 if i != 0:
                     tids_rev.append(i)
                 slot = int(r_pv[slot])
+        # continue through the initial eps-closure rounds (words on eps
+        # arcs out of the start state, e.g. after label pushing)
+        for (pv, ol) in reversed(self._init_records):
+            o = int(ol[slot])
+            if o != 0:
+                words_rev.append(o)
+            slot = int(pv[slot])
         return list(reversed(words_rev)), list(reversed(tids_rev))
 
     def best_path(self, use_final_probs: bool = True):

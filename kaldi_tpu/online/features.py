@@ -52,7 +52,13 @@ class OnlineMfcc:
         n = num_frames(len(self._buffer), fo)
         if n == 0:
             return
-        feats = np.asarray(self.computer(jnp.asarray(self._buffer), self.opts))
+        # pad the buffer to a power-of-two bucket so the jitted feature
+        # program compiles for O(log) distinct shapes, not one per chunk
+        L = len(self._buffer)
+        bucket = 1 << max(10, int(np.ceil(np.log2(L))))
+        wave = np.zeros(bucket, np.float32)
+        wave[:L] = self._buffer
+        feats = np.asarray(self.computer(jnp.asarray(wave), self.opts))[:n]
         self._frames.extend(feats)
         # keep the remainder: samples from frame n onward
         consumed = n * fo.window_shift
@@ -177,14 +183,36 @@ class OnlineFeaturePipeline:
     def input_finished(self):
         self.base.input_finished()
 
+    @property
+    def right_delay(self) -> int:
+        """Frames of future context the post-processing needs: emitting a
+        frame before its context exists would bake in edge-clamped deltas
+        that differ from the offline computation (the parity contract)."""
+        if self.splice is not None:
+            return max(self.splice)
+        if self.delta_order > 0:
+            return self.delta_order * 2   # order * window (default window 2)
+        return 0
+
+    @property
+    def dim(self) -> int:
+        if self.splice is not None:
+            lo = -min(self.splice)
+            hi = max(self.splice)
+            return self.base.dim * (lo + hi + 1)
+        return self.base.dim * (self.delta_order + 1)
+
     def get_features(self) -> np.ndarray:
-        """All frames ready so far, post-processed."""
+        """Post-processed frames whose context is COMPLETE: all frames
+        when input is finished, otherwise all but the last `right_delay`
+        (they would change once more audio arrives)."""
         n = self.base.num_frames_ready()
+        if not getattr(self.base, "_finished", False):
+            n = max(0, n - self.right_delay)
         if n == 0:
-            d = self.base.dim * (self.delta_order + 1) \
-                if not self.splice else self.base.dim * len(self.splice)
-            return np.zeros((0, d), np.float32)
-        feats = self.base.get_frames(0, n)
+            return np.zeros((0, self.dim), np.float32)
+        n_all = self.base.num_frames_ready()
+        feats = self.base.get_frames(0, n_all)
         if self.cmvn is not None:
             feats = self.cmvn.apply(feats)
         if self.splice is not None:
@@ -194,4 +222,4 @@ class OnlineFeaturePipeline:
         elif self.delta_order > 0:
             feats = np.asarray(add_deltas(jnp.asarray(feats),
                                           order=self.delta_order))
-        return feats
+        return feats[:n]

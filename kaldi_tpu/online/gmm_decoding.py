@@ -55,7 +55,6 @@ class SingleUtteranceGmmDecoder:
                  adaptation_state: OnlineGmmAdaptationState | None = None,
                  policy: AdaptationPolicy = AdaptationPolicy(),
                  is_first_utt: bool = True,
-                 acoustic_scale: float = 0.1,
                  frame_shift: float = 0.01,
                  chunk_frames: int = 32,
                  fmllr_min_count: float = 100.0):

@@ -65,6 +65,12 @@ class OnlineIvectorFeature:
         self._cached_ivector = None
         self._cached_at = -1
         self._ivectors_history: list = []
+        # per-frame (scaled posterior, feats, applied weight) cache so
+        # decoder feedback can RE-weight already-accumulated frames
+        # (ref: OnlineIvectorFeature::UpdateFrameWeights)
+        self._frame_post: list = []
+        self._frame_feat: list = []
+        self._frame_w: list = []
 
     @property
     def dim(self) -> int:
@@ -79,18 +85,43 @@ class OnlineIvectorFeature:
             return
         post = self.extractor.frame_posteriors(
             feats, cfg.num_gselect, cfg.min_post) * cfg.posterior_scale
-        if frame_weights is not None:
-            post = post * np.asarray(frame_weights)[:, None]
-        self.gamma += post.sum(axis=0)
-        self.X += post.T @ feats
+        w = (np.asarray(frame_weights, np.float64)
+             if frame_weights is not None else np.ones(feats.shape[0]))
+        weighted = post * w[:, None]
+        self.gamma += weighted.sum(axis=0)
+        self.X += weighted.T @ feats
+        for t in range(feats.shape[0]):
+            self._frame_post.append(post[t])
+            self._frame_feat.append(np.asarray(feats[t], np.float64))
+            self._frame_w.append(float(w[t]))
         if cfg.max_count > 0:
-            # soft renormalization: keep total count at most max_count
-            count = self.gamma.sum()
+            # soft cap in REAL frames (gamma carries posterior_scale)
+            count = self.gamma.sum() / max(cfg.posterior_scale, 1e-20)
             if count > cfg.max_count:
                 s = cfg.max_count / count
                 self.gamma *= s
                 self.X *= s
         self._frames_seen += feats.shape[0]
+        self._cached_at = -1
+
+    def update_frame_weights(self, weights):
+        """Re-weight ALREADY-ACCUMULATED frames (decoder silence feedback):
+        weights: array over frames [0, len(weights)) — stats are adjusted
+        by (new − old) × the frame's cached posterior contribution
+        (ref: online-ivector-feature.h UpdateFrameWeights)."""
+        n = min(len(weights), len(self._frame_w))
+        changed = False
+        for t in range(n):
+            delta = float(weights[t]) - self._frame_w[t]
+            if abs(delta) < 1e-9:
+                continue
+            self.gamma += delta * self._frame_post[t]
+            self.X += delta * np.outer(self._frame_post[t],
+                                       self._frame_feat[t])
+            self._frame_w[t] = float(weights[t])
+            changed = True
+        if changed:
+            self._cached_at = -1
 
     def _extract(self):
         w, _L = self.extractor.extract(self.gamma, self.X)

@@ -50,18 +50,16 @@ class OnlineNnet2FeaturePipeline:
             return
         n_now = self.base.num_frames_ready()
         if n_now > n_before:
-            new = self.base.get_frames(n_before, n_now)
-            w = None
-            if self._silence_weights is not None:
-                w = np.ones(new.shape[0])
-                avail = self._silence_weights[n_before:n_now]
-                w[: len(avail)] = avail
-            self.ivector.accept_features(new, w)
+            self.ivector.accept_features(
+                self.base.get_frames(n_before, n_now))
 
     def set_silence_weights(self, weights: np.ndarray):
-        """Per-frame weights from OnlineSilenceWeighting (decoder feedback)
-        applied to *future* i-vector stats."""
-        self._silence_weights = weights
+        """Per-frame weights from OnlineSilenceWeighting (decoder partial
+        traceback). These cover ALREADY-DECODED (hence already
+        accumulated) frames, so the i-vector stats are RE-weighted in
+        place (ref: OnlineIvectorFeature::UpdateFrameWeights)."""
+        if self.ivector is not None:
+            self.ivector.update_frame_weights(weights)
 
     def num_frames_ready(self) -> int:
         return self.base.num_frames_ready()

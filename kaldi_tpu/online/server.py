@@ -28,9 +28,15 @@ class DecodeSession:
         self.am = am
         self.words = words
         self._consumed = 0
+        self._pcm_tail = b""   # TCP reads have no 2-byte alignment
 
     def accept_pcm(self, pcm: bytes):
-        wave = np.frombuffer(pcm, dtype="<i2").astype(np.float32)
+        data = self._pcm_tail + pcm
+        usable = len(data) - (len(data) % 2)
+        self._pcm_tail = data[usable:]
+        if usable == 0:
+            return
+        wave = np.frombuffer(data[:usable], dtype="<i2").astype(np.float32)
         self.pipeline.accept_waveform(wave)
         self._advance()
 

@@ -83,6 +83,58 @@ def test_silence_weighting_zeroes_stats(small_extractor):
     assert b.gamma.sum() > 0.0
 
 
+def test_update_frame_weights_reweights_past_stats(small_extractor):
+    """Regression: decoder silence feedback must change ALREADY-accumulated
+    stats (it used to be a no-op that indexed future frames)."""
+    ext = small_extractor
+    rng = np.random.RandomState(8)
+    feats = rng.randn(40, 6)
+    a = OnlineIvectorFeature(ext, OnlineIvectorConfig())
+    a.accept_features(feats)
+    g_before = a.gamma.sum()
+    # re-weight the first 20 frames to 0
+    w = np.ones(40)
+    w[:20] = 0.0
+    a.update_frame_weights(w)
+    assert a.gamma.sum() < g_before
+    # equivalent to accumulating with those weights up front
+    b = OnlineIvectorFeature(ext, OnlineIvectorConfig())
+    b.accept_features(feats, frame_weights=w)
+    np.testing.assert_allclose(a.gamma, b.gamma, atol=1e-10)
+    np.testing.assert_allclose(a.X, b.X, atol=1e-10)
+    # and the cached i-vector is invalidated
+    np.testing.assert_allclose(a.get_frame(39), b.get_frame(39),
+                               atol=1e-10)
+
+
+def test_pipeline_delayed_emission_gives_offline_parity():
+    """Regression: frames must only be emitted once their delta context is
+    complete, so every emitted frame equals the offline computation."""
+    import jax.numpy as jnp
+    from kaldi_tpu.ops import MfccOpts, FrameOpts, mfcc, add_deltas
+    from kaldi_tpu.online.features import OnlineFeaturePipeline
+    rng = np.random.RandomState(12)
+    wave = (rng.randn(8000) * 1000).astype(np.float32)
+    fo = MfccOpts(frame_opts=FrameOpts(samp_freq=8000.0, dither=0.0))
+    offline = np.asarray(add_deltas(mfcc(jnp.asarray(wave), fo),
+                                    order=2, window=2))
+    pipe = OnlineFeaturePipeline(fo, delta_order=2)
+    emitted = []
+    n_prev = 0
+    for lo in range(0, len(wave), 1234):
+        pipe.accept_waveform(wave[lo: lo + 1234])
+        f = pipe.get_features()
+        if f.shape[0] > n_prev:
+            emitted.append(f[n_prev:])
+            n_prev = f.shape[0]
+    pipe.input_finished()
+    f = pipe.get_features()
+    emitted.append(f[n_prev:])
+    streamed = np.concatenate(emitted)
+    assert streamed.shape == offline.shape
+    np.testing.assert_allclose(streamed, offline, atol=1e-4)
+
+
 def test_silence_weighting_from_alignment():
     class TmStub:
         def transition_id_to_phone(self, tid):
