@@ -100,6 +100,19 @@ def arpa_to_g(
     f = Fst()
     state_of: dict[tuple, int] = {}
 
+    # contexts: every entry of order < max PLUS the history of any entry,
+    # prefix-closed — the missing-backoff case (a trigram whose history
+    # bigram is absent must still get its own state, matching ConstArpaLm;
+    # ref: src/lm/missing_backoffs.arpa)
+    contexts: set = set()
+    for k in range(1, lm.order):
+        contexts.update(lm.ngrams[k - 1].keys())
+    for k in range(2, lm.order + 1):
+        for ng in lm.ngrams[k - 1]:
+            hist = ng[:-1]
+            for i in range(1, len(hist) + 1):
+                contexts.add(hist[:i])
+
     def get_state(hist: tuple) -> int:
         # back off the history to one that exists as a context
         while hist and not _is_context(hist):
@@ -111,13 +124,7 @@ def arpa_to_g(
         return s
 
     def _is_context(hist: tuple) -> bool:
-        k = len(hist)
-        if k >= lm.order:
-            return False
-        # a history is a state if it has a backoff entry or extends to ngrams
-        if k > 0 and hist in lm.ngrams[k - 1]:
-            return True
-        return False
+        return 0 < len(hist) < lm.order and hist in contexts
 
     backoff_id = words.get(backoff_symbol)
     # start state: history (<s>,) for order>1 else ()

@@ -141,6 +141,10 @@ class ConstArpaLm:
             i = self._find(s, word)
             if i >= 0:
                 cost += float(self.col_cost[i])
+                if s == state:
+                    # found at the FULL history: the packed next state is
+                    # exactly the longest-suffix extension — fast path
+                    return int(self.col_next[i]), cost
                 break
             if s == 0:
                 cost += self.unk_cost
@@ -189,6 +193,8 @@ def lattice_lmrescore_const_arpa(lat: Lattice, lm: ConstArpaLm,
     from collections import deque
 
     out = Lattice()
+    if lat.num_states == 0 or lat.start < 0:
+        return out
     state_map: dict = {}
     queue: deque = deque()
 

@@ -16,7 +16,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from kaldi_tpu.sgmm.model import AmSgmm2, Sgmm2SpeakerState
+from kaldi_tpu.sgmm.model import (AmSgmm2, Sgmm2SpeakerState,
+                                  _logsumexp as _lse_guarded)
 
 
 class Sgmm2Accs:
@@ -56,7 +57,14 @@ class Sgmm2Accs:
                     off = np.einsum("idt,t->id", model.N, spk.v)  # [I, D]
                     zx = zx - np.einsum("ids,id->is", model.SinvM, off)
                 self.y[j] += post @ zx
-                self.Y += np.einsum("mi,d,ms->ids", post, x, V)
+                # Y accumulates (x − N_i s) vᵀ — the phonetic-subspace
+                # stat must not absorb the speaker offset
+                if spk is not None and model.N is not None:
+                    x_i = x[None, :] - np.einsum("idt,t->id", model.N,
+                                                 spk.v)   # [I, D]
+                    self.Y += np.einsum("mi,id,ms->ids", post, x_i, V)
+                else:
+                    self.Y += np.einsum("mi,d,ms->ids", post, x, V)
                 self.Q += np.einsum("mi,ms,mt->ist", post, V, V)
                 mu = np.einsum("ids,ms->mid", model.M, V)   # [M, I, D]
                 if spk is not None and model.N is not None:
@@ -167,10 +175,10 @@ def estimate_speaker_vector(model: AmSgmm2, feats: np.ndarray,
     spk = Sgmm2SpeakerState(v=np.zeros(T_dim))
     SinvN = np.einsum("ide,iet->idt", model.Sigma_inv, model.N)
     Hspk = np.einsum("idt,idu->itu", model.N, SinvN)
+    gsel = model.gselect(feats, num_gselect)   # model/feats fixed: hoist
     for _ in range(num_iters):
         lhs = np.eye(T_dim)
         rhs = np.zeros(T_dim)
-        gsel = model.gselect(feats, num_gselect)
         for t, frame in enumerate(state_post):
             x = feats[t]
             for j, wgt in frame:
@@ -208,10 +216,5 @@ def train_sgmm2(model: AmSgmm2, feats: np.ndarray, state_post,
 
 
 def _lse(a, axis=None, keepdims=False):
-    m = np.max(a, axis=axis, keepdims=True)
-    out = m + np.log(np.sum(np.exp(a - m), axis=axis, keepdims=True))
-    if not keepdims:
-        if axis is None:
-            return float(out.reshape(()))
-        out = np.squeeze(out, axis=axis)
-    return out
+    """Shared guarded logsumexp (kaldi_tpu.sgmm.model._logsumexp)."""
+    return _lse_guarded(a, axis=axis, keepdims=keepdims)

@@ -101,7 +101,9 @@ class AmSgmm2:
         mu = self.M[:, :, 0]
         d = feats[:, None, :] - mu[None, :, :]            # [T, I, D]
         q = np.einsum("tid,ide,tie->ti", d, self.Sigma_inv, d)
-        ll = self.gconst[None, :] - 0.5 * q
+        # UBM-style selection includes the component log-weight (w[:, 0]
+        # holds log UBM weights at init; ref: FullGmm::LogLikelihoods)
+        ll = self.gconst[None, :] - 0.5 * q + self.w[None, :, 0]
         k = min(num_gselect, self.num_gauss)
         return np.argsort(-ll, axis=1)[:, :k]
 
@@ -147,13 +149,25 @@ class AmSgmm2:
 
     def loglikes_matrix(self, feats: np.ndarray, num_gselect: int = 10,
                         spk=None) -> np.ndarray:
-        """[T, num_states] pseudo-loglikes for the decoder."""
+        """[T, num_states] pseudo-loglikes for the decoder.
+
+        Batched per STATE (per-state quantities are frame-independent):
+        one [T, M, I] quadratic-form einsum per state instead of T
+        rebuilds of the substate tensors."""
         T = feats.shape[0]
         out = np.zeros((T, self.num_states))
         gsel = self.gselect(feats, num_gselect)
-        for t in range(T):
-            for j in range(self.num_states):
-                out[t, j] = self.log_likelihood(j, feats[t], gsel[t], spk)
+        keep = np.zeros((T, self.num_gauss), bool)
+        np.put_along_axis(keep, gsel, True, axis=1)
+        x = np.asarray(feats, np.float64)
+        for j in range(self.num_states):
+            V, logw, mu = self._substate_quantities(j, spk)
+            d = x[:, None, None, :] - mu[None]             # [T, M, I, D]
+            q = np.einsum("tmid,ide,tmie->tmi", d, self.Sigma_inv, d)
+            ll = (np.log(np.maximum(self.c[j], 1e-20))[None, :, None]
+                  + logw[None] + self.gconst[None, None, :] - 0.5 * q)
+            ll = np.where(keep[:, None, :], ll, -np.inf)
+            out[:, j] = _logsumexp(ll.reshape(T, -1), axis=1)
         return out
 
     # --- substate splitting (ref: AmSgmm2::SplitSubstates) ---

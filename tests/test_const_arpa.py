@@ -84,10 +84,15 @@ def test_lattice_lmrescore_const_arpa_swaps_lm_scores():
     assert lattice_best_path(back)[0] == [A]
 
 
-def test_const_arpa_agrees_with_g_fst_composition():
+@pytest.mark.parametrize("arpa_file", ["input.arpa",
+                                       "missing_backoffs.arpa",
+                                       "unused_backoffs.arpa"])
+def test_const_arpa_agrees_with_g_fst_composition(arpa_file):
     """Rescoring through ConstArpaLm must match composing with the G FST
-    built from the same ARPA (same total costs on the best path)."""
-    with open(f"{REF_LM_DIR}/input.arpa") as f:
+    built from the same ARPA (same total costs on the best path) — also
+    on the adversarial missing/unused-backoff files, where G must create
+    proper context states for histories without their own entries."""
+    with open(f"{REF_LM_DIR}/{arpa_file}") as f:
         lm = ArpaLm.parse(f.read())
     words = _words_table("a", "b", "<s>", "</s>")
     clm = ConstArpaLm(lm, words)
