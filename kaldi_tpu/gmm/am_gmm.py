@@ -80,8 +80,18 @@ class AmDiagGmm:
             occs = np.ones(self.num_pdfs)
         occs = np.asarray(occs, np.float64)
         powered = np.power(np.maximum(occs, 1e-10), power)
-        targets = np.maximum(
-            1, np.floor(powered / powered.sum() * target_total).astype(int))
+        shares = powered / powered.sum() * target_total
+        targets = np.maximum(1, np.floor(shares).astype(int))
+        # distribute the flooring remainder to the largest fractional
+        # parts so the requested TOTAL is actually reached
+        # (ref: GetSplitTargets allocates iteratively to hit the total)
+        short = int(target_total - targets.sum())
+        if short > 0:
+            frac = shares - np.floor(shares)
+            frac[occs < min_count] = -1.0   # ineligible pdfs
+            for i in np.argsort(-frac)[:short]:
+                if frac[i] > 0:
+                    targets[i] += 1
         # pdfs with occupancy below min_count stay at current size
         for i, p in enumerate(self.pdfs):
             t = int(targets[i])

@@ -108,7 +108,6 @@ def map_diag_gmm_update(
     new_m = (acc.mean_acc + mean_tau * gmm.means) / (occ[:, None] + mean_tau)
     new_v = gmm.vars.copy()
     if update_vars:
-        mean_hat = acc.mean_acc / safe_occ
         var_stats = acc.var_acc - 2 * new_m * acc.mean_acc + occ[:, None] * new_m**2
         prior_stats = variance_tau * (gmm.vars + np.square(gmm.means - new_m))
         new_v = (var_stats + prior_stats) / (occ[:, None] + variance_tau)
@@ -169,12 +168,24 @@ class AccumAmDiagGmm:
         pdf_ids = np.asarray(pdf_ids)
         if weights is None:
             weights = np.ones(len(feats), np.float32)
+        T = len(feats)
+        # pad T to a power-of-two bucket (zero weights) so the jitted
+        # program compiles for O(log) distinct shapes, not one per
+        # utterance length
+        Tp = 1 << max(5, int(np.ceil(np.log2(max(T, 1)))))
+        if Tp != T:
+            feats = np.pad(feats, ((0, Tp - T), (0, 0)))
+            pdf_ids = np.pad(pdf_ids, (0, Tp - T))
+            weights = np.pad(weights, (0, Tp - T))
         packed, seg = am.pack()
         post, ll = _aligned_posteriors(
             jnp.asarray(feats), jnp.asarray(pdf_ids), jnp.asarray(weights),
             jnp.asarray(packed), jnp.asarray(seg)
         )
-        post = np.asarray(post)  # [T, G] masked to aligned pdf's components
+        post = np.asarray(post)[:T]  # [T, G] masked to aligned pdf
+        feats = feats[:T]
+        pdf_ids = pdf_ids[:T]
+        weights = weights[:T]
         self.tot_like += float(ll)
         self.tot_frames += float(weights.sum())
         # scatter per pdf on host (G ~ thousands; cheap)

@@ -110,7 +110,10 @@ def estimate_fmllr(stats: FmllrStats, num_iters: int = 20,
             _inner_update(inv_G[d], stats.K[d], stats.beta, d, W)
     objf_new = fmllr_auxf(W, stats)
     if objf_new < objf_old:
-        return ident.astype(np.float32), 0.0, stats.beta
+        # numerical non-improvement: keep the CALLER'S starting transform
+        # (returning identity would silently discard prior adaptation)
+        keep = ident if init is None else np.asarray(init, np.float64)
+        return keep.astype(np.float32), 0.0, stats.beta
     return W.astype(np.float32), objf_new - objf_old, stats.beta
 
 

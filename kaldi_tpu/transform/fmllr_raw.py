@@ -102,16 +102,19 @@ def estimate_fmllr_raw(accs: FmllrRawAccs, transform_T: np.ndarray,
     tx = optax.adam(lr)
     st = tx.init(W)
 
+    auxf_jit = jax.jit(auxf)
+
     @jax.jit
     def step(W, st):
-        val, g = jax.value_and_grad(lambda w: -auxf(w))(W)
+        g = jax.grad(lambda w: -auxf(w))(W)
         upd, st = tx.update(g, st)
-        return optax.apply_updates(W, upd), st, -val
+        return optax.apply_updates(W, upd), st
 
     best = (W, base)
     for _ in range(num_steps):
-        W, st, val = step(W, st)
-        if float(val) > best[1]:
-            best = (W, float(val))
+        W, st = step(W, st)
+        val = float(auxf_jit(W))       # objective of THIS W, not the
+        if val > best[1]:              # pre-update one
+            best = (W, val)
     W, final = best
     return np.asarray(W), (final - base) / beta

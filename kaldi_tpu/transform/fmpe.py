@@ -26,7 +26,7 @@ class FmpeOptions:
 
 class Fmpe:
     def __init__(self, gmm: DiagGmm, dim: int,
-                 opts: FmpeOptions = FmpeOptions(), seed: int = 0):
+                 opts: FmpeOptions = FmpeOptions()):
         self.gmm = gmm
         self.opts = opts
         self.dim = dim

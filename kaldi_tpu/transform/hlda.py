@@ -58,7 +58,9 @@ def estimate_hlda(stats: HldaStats, keep_dims: int,
     D = stats.dim
     T, W = stats.scatters()
     G = [W if d < keep_dims else T for d in range(D)]
-    # init from LDA-style whitening for stability
+    # only two distinct G matrices exist: invert once
+    Gi = {id(W): np.linalg.inv(W + 1e-10 * np.eye(D)),
+          id(T): np.linalg.inv(T + 1e-10 * np.eye(D))}
     A = np.eye(D)
 
     def auxf(A):
@@ -70,8 +72,7 @@ def estimate_hlda(stats: HldaStats, keep_dims: int,
     for _ in range(num_iters):
         for d in range(D):
             cof = np.linalg.inv(A).T[d]
-            Gi = np.linalg.inv(G[d] + 1e-10 * np.eye(D))
-            w = Gi @ cof
+            w = Gi[id(G[d])] @ cof
             denom = cof @ w
             if denom <= 0:
                 continue

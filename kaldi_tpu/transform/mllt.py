@@ -31,8 +31,8 @@ class MlltStats:
             d = feats - means[m]
             wd = d * w[:, None]
             outer = wd.T @ d  # sum_t w (x-mu)(x-mu)^T
-            for i in range(D):
-                self.G[i] += outer / variances[m, i]
+            # G[i] += outer / var[m, i] for all i at once
+            self.G += outer[None, :, :] / variances[m][:, None, None]
         self.beta += posteriors.sum()
 
     def accumulate_from_gmm_post(self, feats, gmm, pdf_post):

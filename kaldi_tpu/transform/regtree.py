@@ -36,24 +36,23 @@ class RegressionTree:
         self.parent = [-1]
         members = [np.arange(G)]
         leaves = [0]
-        while len(leaves) < num_base_classes:
-            # split the leaf with most members
+        unsplittable: list = []
+        while leaves and len(leaves) + len(unsplittable) < num_base_classes:
+            # split the largest splittable leaf; an unsplittable one
+            # (identical means) is set aside, NOT a reason to stop
             leaves.sort(key=lambda n: -len(members[n]))
             node = leaves.pop(0)
             idx = members[node]
-            if len(idx) < 2:
-                leaves.append(node)
-                break
-            lab = _two_means(self.means[idx], rng)
-            if lab.all() or not lab.any():
-                leaves.append(node)
-                break
+            lab = _two_means(self.means[idx], rng) if len(idx) >= 2 else None
+            if lab is None or lab.all() or not lab.any():
+                unsplittable.append(node)
+                continue
             for side in (0, 1):
                 self.parent.append(node)
                 members.append(idx[lab == side])
                 leaves.append(len(self.parent) - 1)
         self.members = members
-        self.leaves = sorted(leaves)
+        self.leaves = sorted(leaves + unsplittable)
         # gaussian -> leaf node
         self.gauss2leaf = np.zeros(G, np.int64)
         for leaf in self.leaves:
@@ -80,27 +79,34 @@ class RegtreeStats:
 
     def accumulate(self, am, feats: np.ndarray, post):
         """post[t] = [(pdf, weight)] pdf-level posteriors; within-pdf
-        component posteriors computed from the model."""
+        component posteriors computed from the model.
+
+        Batched: frames are grouped by pdf, component posteriors computed
+        in one call per pdf, and each leaf's stats accumulated with one
+        vectorized FmllrStats.accumulate over that pdf's component subset
+        (instead of per-(frame, component) 1x1 calls)."""
         tree = self.tree
-        # flat gaussian indexing must match the tree's construction order
         offsets = {}
         off = 0
         for pdf, g in enumerate(am.pdfs):
             offsets[pdf] = off
             off += g.num_gauss
+        by_pdf: dict = {}
         for t, frame in enumerate(post):
-            x = feats[t]
             for pdf, w in frame:
-                g = am.pdfs[pdf]
-                comp_post = g.posteriors(x[None])[0] * w
-                for m in range(g.num_gauss):
-                    if comp_post[m] < 1e-6:
-                        continue
-                    leaf = tree.gauss2leaf[offsets[pdf] + m]
-                    st = self.stats[leaf]
-                    st.accumulate(x[None], g.means[m: m + 1],
-                                  g.vars[m: m + 1],
-                                  np.array([[comp_post[m]]]))
+                by_pdf.setdefault(pdf, []).append((t, w))
+        for pdf, items in by_pdf.items():
+            g = am.pdfs[pdf]
+            rows = np.array([t for (t, _w) in items])
+            w = np.array([wt for (_t, wt) in items])
+            x = feats[rows]                               # [N, D]
+            comp_post = g.posteriors(x) * w[:, None]      # [N, M]
+            leaves = tree.gauss2leaf[offsets[pdf]: offsets[pdf]
+                                     + g.num_gauss]
+            for leaf in np.unique(leaves):
+                sel = leaves == leaf
+                self.stats[leaf].accumulate(
+                    x, g.means[sel], g.vars[sel], comp_post[:, sel])
 
     def summed_up(self):
         """Propagate leaf stats to ancestors; -> list of FmllrStats."""
