@@ -26,7 +26,8 @@ def _match_sorted(arcs, label):
 
 
 def compose(a: Fst, b: Fst, connect: bool = True) -> Fst:
-    """Compose a ∘ b. `b` must be (or will be) ilabel-sorted.
+    """Compose a ∘ b. Neither operand is mutated: the matcher works on
+    ilabel-sorted copies of b's arc lists (callers need not pre-arcsort).
 
     Epsilon handling: epsilon-sequencing filter with states {0,1,2} that
     admits exactly one canonical interleaving of eps moves between matches
@@ -35,9 +36,9 @@ def compose(a: Fst, b: Fst, connect: bool = True) -> Fst:
       1: taken an a-eps move — a-eps or b-eps or match allowed,
       2: taken a b-eps move — only b-eps or match allowed.
     """
-    b.arcsort("ilabel")
+    b_sorted = [sorted(arcs, key=lambda arc: arc[0]) for arcs in b.arcs]
     a_eps_out = [[arc for arc in arcs if arc[1] == EPS] for arcs in a.arcs]
-    b_eps_in = [_match_sorted(arcs, EPS) for arcs in b.arcs]
+    b_eps_in = [_match_sorted(arcs, EPS) for arcs in b_sorted]
 
     out = Fst()
     state_map: dict[tuple[int, int, int], int] = {}
@@ -67,7 +68,7 @@ def compose(a: Fst, b: Fst, connect: bool = True) -> Fst:
         for (ia, oa, wa, da) in a.arcs[sa]:
             if oa == EPS:
                 continue
-            for (ib, ob, wb, db) in _match_sorted(b.arcs[sb], oa):
+            for (ib, ob, wb, db) in _match_sorted(b_sorted[sb], oa):
                 out.add_arc(cur, ia, ob, wa + wb, get_state((da, db, 0)))
         # eps moves under the filter (a-eps blocked only after a b-eps move)
         if filt != 2:

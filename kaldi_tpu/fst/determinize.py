@@ -32,39 +32,51 @@ def determinize_star(ifst: Fst, use_log: bool = False,
     arcs = ifst.arcs
 
     def eps_closure(elements):
-        """elements: dict (state) -> (weight, ostring). Close over input-eps."""
-        # Kahn-style repeated relaxation; detect eps cycles by bounding passes.
+        """elements: dict (state) -> (weight, ostring). Close over input-eps.
+
+        Generic single-source shortest-distance (Mohri 2002): each state
+        carries its accumulated total d and a not-yet-propagated residual r;
+        only residuals are pushed along arcs. Propagating the full total on
+        re-relaxation would double-count mass in the log semiring (every
+        re-pop of a state re-adds the already-propagated part downstream).
+        """
+        d = dict(elements)
+        r = {s: w for s, (w, _str) in elements.items()}
         agenda = deque(elements.keys())
         passes = 0
-        limit = 10 * (len(arcs) + 10)
+        limit = 100 * (len(arcs) + 10)
         while agenda:
             passes += 1
-            if passes > limit * 10:
+            if passes > limit:
                 raise RuntimeError("epsilon cycle detected in determinize-star")
             s = agenda.popleft()
-            w, ostr = elements[s]
-            for (i, o, aw, d) in arcs[s]:
+            rs = r.pop(s, None)
+            if rs is None:
+                continue
+            ostr = d[s][1]
+            for (i, o, aw, dst) in arcs[s]:
                 if i != EPS:
                     continue
-                nw = w + aw
+                nw = rs + aw
                 nstr = ostr + ((o,) if o != EPS else ())
-                if d in elements:
-                    ow, ostr_d = elements[d]
+                if dst in d:
+                    ow, ostr_d = d[dst]
+                    if nstr != ostr_d and nw < INF and ow < INF:
+                        raise RuntimeError(
+                            "determinize-star: input FST is not functional "
+                            f"(distinct output strings {ostr_d} and {nstr} "
+                            f"reach state {dst} over the same input); add "
+                            "disambiguation symbols")
                     cw = plus(ow, nw)
-                    # keep the string of the better (tropical) path; in log
-                    # semiring the strings must agree for a functional FST.
-                    better_str = nstr if nw < ow else ostr_d
-                    if abs(cw - ow) > 1e-9 or better_str != ostr_d:
-                        if nstr != ostr_d and abs(nw - ow) < 1e-9 and nw < INF:
-                            # genuinely ambiguous strings -> not functional;
-                            # tolerate by keeping lexicographically smaller
-                            better_str = min(nstr, ostr_d)
-                        elements[d] = (cw, better_str)
-                        agenda.append(d)
+                    if cw < ow - 1e-12:
+                        d[dst] = (cw, ostr_d)
+                        r[dst] = plus(r.get(dst, INF), nw)
+                        agenda.append(dst)
                 else:
-                    elements[d] = (nw, nstr)
-                    agenda.append(d)
-        return elements
+                    d[dst] = (nw, nstr)
+                    r[dst] = nw
+                    agenda.append(dst)
+        return d
 
     def normalize(elements):
         """Subtract common divisor; strip common output prefix.
@@ -158,11 +170,13 @@ def determinize_star(ifst: Fst, use_log: bool = False,
                 nstr = s + ((o,) if o != EPS else ())
                 if d in elems:
                     ow, ostr = elems[d]
-                    cw = plus(ow, nw)
-                    bstr = nstr if nw < ow else ostr
-                    if nstr != ostr and abs(nw - ow) < 1e-9:
-                        bstr = min(nstr, ostr)
-                    elems[d] = (cw, bstr)
+                    if nstr != ostr and nw < INF and ow < INF:
+                        raise RuntimeError(
+                            "determinize-star: input FST is not functional "
+                            f"(distinct output strings {ostr} and {nstr} "
+                            f"reach state {d} over the same input); add "
+                            "disambiguation symbols")
+                    elems[d] = (plus(ow, nw), ostr)
                 else:
                     elems[d] = (nw, nstr)
         for ilabel in sorted(by_label):

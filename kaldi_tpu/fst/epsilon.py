@@ -68,8 +68,13 @@ def rm_epsilon(fst: Fst, use_log: bool = False) -> Fst:
     out.start = fst.start
 
     for s in range(n):
-        # epsilon closure from s
+        # epsilon closure from s: residual-propagation shortest-distance
+        # (Mohri 2002) — push only the not-yet-propagated part of each
+        # state's weight, so the log semiring sums every eps path exactly
+        # once (full-value re-relaxation would double-count, and a tropical
+        # improvement gate would drop equal-cost path mass).
         closure: dict[int, float] = {s: 0.0}
+        resid: dict[int, float] = {s: 0.0}
         stack = [s]
         guard = 0
         while stack:
@@ -77,12 +82,17 @@ def rm_epsilon(fst: Fst, use_log: bool = False) -> Fst:
             if guard > 100 * (n + 10):
                 raise RuntimeError("epsilon cycle in rm_epsilon")
             u = stack.pop()
-            wu = closure[u]
+            ru = resid.pop(u, None)
+            if ru is None:
+                continue
             for (i, o, w, d) in fst.arcs[u]:
                 if i == EPS and o == EPS:
-                    nw = wu + w
-                    if d not in closure or nw < closure[d] - 1e-12:
-                        closure[d] = plus(closure.get(d, INF), nw)
+                    nw = ru + w
+                    old = closure.get(d, INF)
+                    cw = plus(old, nw)
+                    if cw < old - 1e-12:
+                        closure[d] = cw
+                        resid[d] = plus(resid.get(d, INF), nw)
                         stack.append(d)
         fin = INF
         for u, wu in closure.items():

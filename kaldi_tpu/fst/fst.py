@@ -204,49 +204,46 @@ class Fst:
 
     def shortest_distance(self, semiring: str = "tropical",
                           reverse: bool = False) -> np.ndarray:
-        """Distances from start (or to finals if reverse) — Bellman-Ford style."""
+        """Distances from start (or to finals if reverse).
+
+        Generic shortest-distance with residual propagation (Mohri 2002):
+        each state keeps its accumulated total d[s] plus a residual r[s] of
+        mass not yet pushed to successors; only residuals propagate, so the
+        log semiring sums every path exactly once (re-relaxing with the full
+        total would double-count mass on states relaxed more than once)."""
         n = self.num_states
         d = np.full(n, INF)
         plus = min if semiring == "tropical" else log_plus
         if not reverse:
-            if self.start < 0:
-                return d
-            d[self.start] = 0.0
-            queue = deque([self.start])
-            inq = np.zeros(n, bool)
-            inq[self.start] = True
-            while queue:
-                s = queue.popleft()
-                inq[s] = False
-                ds = d[s]
-                for (_i, _o, w, nxt) in self.arcs[s]:
-                    nd = plus(d[nxt], ds + w)
-                    if nd < d[nxt] - 1e-12:
-                        d[nxt] = nd
-                        if not inq[nxt]:
-                            queue.append(nxt)
-                            inq[nxt] = True
-            return d
-        preds: list[list[tuple[int, float]]] = [[] for _ in range(n)]
-        for s in range(n):
-            for (_i, _o, w, dst) in self.arcs[s]:
-                preds[dst].append((s, w))
+            adj = [[(w, dst) for (_i, _o, w, dst) in self.arcs[s]]
+                   for s in range(n)]
+            sources = [(self.start, 0.0)] if self.start >= 0 else []
+        else:
+            adj = [[] for _ in range(n)]
+            for s in range(n):
+                for (_i, _o, w, dst) in self.arcs[s]:
+                    adj[dst].append((w, s))
+            sources = list(self.finals.items())
+        r: dict[int, float] = {}
         queue = deque()
-        inq = np.zeros(n, bool)
-        for s, w in self.finals.items():
-            d[s] = w
+        for s, w in sources:
+            d[s] = plus(d[s], w)
+            r[s] = plus(r.get(s, INF), w)
             queue.append(s)
-            inq[s] = True
         while queue:
             s = queue.popleft()
-            inq[s] = False
-            for (p, w) in preds[s]:
-                nd = plus(d[p], w + d[s])
-                if nd < d[p] - 1e-12:
-                    d[p] = nd
-                    if not inq[p]:
-                        queue.append(p)
-                        inq[p] = True
+            rs = r.pop(s, None)
+            if rs is None:
+                continue
+            for (w, nxt) in adj[s]:
+                nw = rs + w
+                nd = plus(d[nxt], nw)
+                if nd < d[nxt] - 1e-12:
+                    d[nxt] = nd
+                    had = nxt in r
+                    r[nxt] = plus(r.get(nxt, INF), nw)
+                    if not had:
+                        queue.append(nxt)
         return d
 
     def shortest_path(self):

@@ -71,7 +71,6 @@ def make_hclg(
             N=ctx_dep.context_width, P=ctx_dep.central_position)
     ha, disambig_tids = make_h_transducer(
         ilabel_info, ctx_dep, trans_model, transition_scale)
-    ha.arcsort("olabel")
     hclga = compose(ha, clg)
     hclga = determinize_star(hclga, use_log=True)
     remove_symbols(hclga, disambig_tids)
@@ -103,12 +102,9 @@ class TrainingGraphCompiler:
         self.ctx = ctx_dep
         self.tscale = transition_scale
         self.loopscale = self_loop_scale
-        # L_disambig olabel-sorted for composition on the left
-        self.lang.L_disambig.arcsort("olabel")
 
     def compile(self, word_ids: list[int]) -> Fst:
         g_utt = Fst.linear_acceptor(word_ids)
-        g_utt.arcsort("ilabel")
         lg = compose(self.lang.L_disambig, g_utt)
         lg = determinize_star(lg, use_log=False)
         if self.ctx.context_width == 1:
@@ -120,7 +116,6 @@ class TrainingGraphCompiler:
                 N=self.ctx.context_width, P=self.ctx.central_position)
         ha, disambig_tids = make_h_transducer(
             ilabel_info, self.ctx, self.tm, self.tscale)
-        ha.arcsort("olabel")
         hclg = compose(ha, clg)
         hclg = determinize_star(hclg, use_log=False)
         remove_symbols(hclg, disambig_tids)

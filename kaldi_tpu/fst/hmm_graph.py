@@ -132,8 +132,16 @@ def _make_preceding_input_classes_same(fst: Fst, classof) -> None:
     # class entering each state
     seen: dict[int, dict[int, int]] = {}  # state -> class -> dup state
     in_class: list[int | None] = [None] * n
-    # first pass: collect classes per state
+    # first pass: collect classes per state. The start state is virtually
+    # entered by epsilon (class 0): if real-class arcs also enter it, it
+    # must be duplicated so the original start keeps class 0 — otherwise
+    # add_self_loops would put a self-loop (and forward-prob scaling) on
+    # the start state before any emitting arc was consumed
+    # (ref: fstext-utils-inl.h MakePrecedingInputSymbolsSameClass with
+    # start_is_epsilon, as called from AddSelfLoops).
     classes: list[set] = [set() for _ in range(n)]
+    if fst.start >= 0:
+        classes[fst.start].add(0)
     for s in range(n):
         for (i, _o, _w, d) in fst.arcs[s]:
             classes[d].add(classof(i))

@@ -90,13 +90,18 @@ def make_lexicon_fst(
         no_sil_cost = -math.log(1.0 - sil_prob)
         sil_state = f.add_state()
         f.add_arc(start, EPS, EPS, no_sil_cost, loop)
-        f.add_arc(start, phones[sil_phone], EPS, sil_cost, loop)
-        # sil_state emits optional silence (+ its disambig, if given) -> loop
+        # sil_state emits optional silence (+ its disambig, if given) -> loop;
+        # the INITIAL optional silence must also pass through sil_disambig
+        # (ref: utils/make_lexicon_fst.pl — both the start-state silence and
+        # the post-word silence route through the disambig state, else
+        # L_disambig is not determinizable against sil-prefixed homophones)
         if sil_disambig:
             mid = f.add_state()
+            f.add_arc(start, phones[sil_phone], EPS, sil_cost, mid)
             f.add_arc(sil_state, phones[sil_phone], EPS, 0.0, mid)
             f.add_arc(mid, phones[sil_disambig], EPS, 0.0, loop)
         else:
+            f.add_arc(start, phones[sil_phone], EPS, sil_cost, loop)
             f.add_arc(sil_state, phones[sil_phone], EPS, 0.0, loop)
     else:
         no_sil_cost = 0.0

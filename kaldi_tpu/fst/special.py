@@ -9,6 +9,7 @@
 
 from __future__ import annotations
 
+import bisect
 from collections import deque
 
 import numpy as np
@@ -34,8 +35,25 @@ def phi_compose(a: Fst, b: Fst, phi_label: int) -> Fst:
             queue.append(key)
         return s
 
+    # per-state ilabel-sorted copies of b's arcs, built lazily, so label
+    # lookup is a bisect instead of a linear scan (b is typically a big
+    # backoff G with thousands of arcs per LM state); b is NOT mutated.
+    sorted_cache: dict[int, list] = {}
+
     def b_arcs(s):
-        return b.arcs[s]
+        arcs = sorted_cache.get(s)
+        if arcs is None:
+            arcs = sorted(b.arcs[s], key=lambda a: a[0])
+            sorted_cache[s] = arcs
+        return arcs
+
+    def find_arc(bs: int, label: int):
+        """First arc at bs with the given ilabel, via bisect; None if absent."""
+        arcs = b_arcs(bs)
+        lo = bisect.bisect_left(arcs, label, key=lambda a: a[0])
+        if lo < len(arcs) and arcs[lo][0] == label:
+            return arcs[lo]
+        return None
 
     def match_b(bs: int, label: int):
         """Follow phi chains until `label` matches. -> (cost, olabel, dst)
@@ -43,17 +61,15 @@ def phi_compose(a: Fst, b: Fst, phi_label: int) -> Fst:
         cost = 0.0
         seen = set()
         while True:
-            phi_arc = None
-            for (il, ol, w, d) in b_arcs(bs):
-                if il == label:
-                    return cost + w, ol, d
-                if il == phi_label and phi_arc is None:
-                    phi_arc = (w, d)
+            arc = find_arc(bs, label)
+            if arc is not None:
+                return cost + arc[2], arc[1], arc[3]
+            phi_arc = find_arc(bs, phi_label)
             if phi_arc is None or bs in seen:
                 return None
             seen.add(bs)
-            cost += phi_arc[0]
-            bs = phi_arc[1]
+            cost += phi_arc[2]
+            bs = phi_arc[3]
 
     def final_b(bs: int):
         """Final cost reachable via phi chains."""
@@ -63,16 +79,12 @@ def phi_compose(a: Fst, b: Fst, phi_label: int) -> Fst:
             f = b.final(bs)
             if f < INF:
                 return cost + f
-            nxt = None
-            for (il, _ol, w, d) in b_arcs(bs):
-                if il == phi_label:
-                    nxt = (w, d)
-                    break
-            if nxt is None or bs in seen:
+            phi_arc = find_arc(bs, phi_label)
+            if phi_arc is None or bs in seen:
                 return INF
             seen.add(bs)
-            cost += nxt[0]
-            bs = nxt[1]
+            cost += phi_arc[2]
+            bs = phi_arc[3]
 
     if a.start < 0 or b.start < 0:
         return out

@@ -110,6 +110,28 @@ class Tdnn:
                 x = normalize(x)
         return affine_apply(params["final"], x)
 
+    def hidden_mean_abs(self, params, feats, pad_context: bool = True):
+        """Per-layer mean |activation| of each hidden unit (the statistic
+        nnet-am-fix thresholds; ref: nnet2/nnet-fix.h FixNnet). -> list of
+        [hidden_dim] arrays, one per hidden layer."""
+        cfg = self.config
+        x = feats
+        sp = splice if pad_context else splice_valid
+        stats = []
+        for ctx, layer in zip(cfg.splice_indexes, params["layers"]):
+            x = sp(x, ctx)
+            x = affine_apply(layer, x)
+            if cfg.nonlinearity == "pnorm":
+                act = jnp.abs(x)
+                stats.append(act.reshape(-1, act.shape[-1]).mean(axis=0))
+                x = pnorm(x, cfg.pnorm_output_dim)
+                x = normalize(x)
+            else:
+                x = ACTIVATIONS["relu"](x)
+                stats.append(jnp.abs(x).reshape(-1, x.shape[-1]).mean(axis=0))
+                x = normalize(x)
+        return stats
+
     def num_params(self, params) -> int:
         return sum(int(np.prod(p.shape))
                    for p in jax.tree_util.tree_leaves(params))

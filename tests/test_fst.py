@@ -85,8 +85,12 @@ def test_determinize_star_oracle():
         if f.start < 0:
             continue
         # determinize-star requires functional FSTs; our random FSTs may be
-        # ambiguous, in which case min-cost per (istring) must still agree
-        d = determinize_star(f)
+        # ambiguous, which determinize-star now rejects (like the reference)
+        try:
+            d = determinize_star(f)
+        except RuntimeError as e:
+            assert "not functional" in str(e)
+            continue
         assert d.is_deterministic(allow_eps=True) or d.num_states == 0
         # istring -> min cost must be preserved
         want, got = {}, {}
@@ -144,7 +148,10 @@ def test_minimize_encoded():
         f = rand_acyclic_fst(rng)
         if f.start < 0:
             continue
-        d = determinize_star(f)
+        try:
+            d = determinize_star(f)
+        except RuntimeError:
+            continue  # random FST was not functional
         m = minimize_encoded(d.copy())
         assert m.num_states <= d.num_states
         assert m.equivalent_paths(d), f"trial {trial}"
@@ -262,3 +269,159 @@ def test_prepare_lang_and_l_fst():
     for (_i, o, _w) in c.paths():
         words_out.add(tuple(lang.words.sym(x) for x in o))
     assert ("YES", "NO") in words_out
+
+
+# ---------------------------------------------------------------------------
+# log-semiring exactness (regression: residual propagation, Mohri 2002).
+# The old closure re-propagated each state's FULL accumulated weight on
+# every re-relaxation, double-counting path mass in the log semiring, and
+# rm_epsilon's tropical improvement gate dropped equal-cost path mass.
+# ---------------------------------------------------------------------------
+
+def _log_mass(paths):
+    """Total probability mass of an enumerated path set: -log sum exp(-c)."""
+    m = min(c for (_i, _o, c) in paths)
+    return m - math.log(sum(math.exp(-(c - m)) for (_i, _o, c) in paths))
+
+
+def _eps_diamond():
+    """0 -eps-> {1,2}, 1 -eps-> 2, 2 -eps-> 3, 3 -x-> 4: state 2 is relaxed
+    twice, so a full-value (non-residual) relaxation forwards state 2's
+    first-arrival mass to 3 twice."""
+    f = Fst()
+    for _ in range(5):
+        f.add_state()
+    f.start = 0
+    f.add_arc(0, EPS, EPS, 0.2, 1)
+    f.add_arc(0, EPS, EPS, 1.5, 2)
+    f.add_arc(1, EPS, EPS, 0.1, 2)
+    f.add_arc(2, EPS, EPS, 0.3, 3)
+    f.add_arc(3, 7, 9, 0.25, 4)
+    f.set_final(4, 0.125)
+    return f
+
+
+def test_determinize_star_log_mass_exact():
+    f = _eps_diamond()
+    want = _log_mass(f.paths())
+    d = determinize_star(f, use_log=True)
+    got = _log_mass(d.paths())
+    # determinize-star rounds subset weights to 1e-6 for keying
+    assert abs(got - want) < 1e-5
+    assert len(d.paths()) == 1  # and it really determinized
+
+
+def test_rm_epsilon_log_mass_exact():
+    f = _eps_diamond()
+    want = _log_mass(f.paths())
+    g = rm_epsilon(f.copy(), use_log=True)
+    assert abs(_log_mass(g.paths()) - want) < 1e-9
+
+    # equal-cost eps paths to the same state: both must contribute mass
+    h = Fst()
+    for _ in range(5):
+        h.add_state()
+    h.start = 0
+    h.add_arc(0, EPS, EPS, 0.5, 1)
+    h.add_arc(0, EPS, EPS, 0.7, 2)
+    h.add_arc(1, EPS, EPS, 0.2, 3)
+    h.add_arc(2, EPS, EPS, 0.0, 3)
+    h.add_arc(3, 5, 5, 0.0, 4)
+    h.set_final(4, 0.0)
+    want = _log_mass(h.paths())  # 0.7 - log 2
+    g = rm_epsilon(h.copy(), use_log=True)
+    assert abs(_log_mass(g.paths()) - want) < 1e-9
+
+
+def test_shortest_distance_log_exact():
+    f = _eps_diamond()
+    d = f.shortest_distance("log")
+    # oracle per state by brute-force path enumeration
+    import itertools
+    want4 = _log_mass(f.paths())  # total to final 4 + final weight
+    # distance to state 3: two eps paths 0->2->3 and 0->1->2->3
+    w3 = -math.log(math.exp(-(1.5 + 0.3)) + math.exp(-(0.2 + 0.1 + 0.3)))
+    assert abs(d[3] - w3) < 1e-9
+    assert abs(d[4] - (w3 + 0.25)) < 1e-9
+    rd = f.shortest_distance("log", reverse=True)
+    assert abs(rd[0] - want4) < 1e-9
+
+
+def test_determinize_star_nonfunctional_raises():
+    """Two different output strings for one input: not functional; the
+    reference DeterminizeStar errors out rather than silently dropping one
+    (ref: fstext/determinize-star-inl.h 'was not functional')."""
+    f = Fst()
+    for _ in range(2):
+        f.add_state()
+    f.start = 0
+    f.add_arc(0, 1, 5, 0.0, 1)
+    f.add_arc(0, 1, 6, 0.0, 1)
+    f.set_final(1, 0.0)
+    with pytest.raises(RuntimeError, match="not functional"):
+        determinize_star(f)
+
+
+def test_compose_does_not_mutate_operands():
+    a = Fst.linear_acceptor([2, 1])
+    b = Fst()
+    for _ in range(2):
+        b.add_state()
+    b.start = 0
+    b.add_arc(0, 2, 9, 0.0, 1)   # deliberately NOT ilabel-sorted
+    b.add_arc(0, 1, 8, 0.0, 1)
+    b.add_arc(1, 1, 7, 0.0, 1)
+    b.set_final(1, 0.0)
+    snap = [list(arcs) for arcs in b.arcs]
+    c = compose(a, b)
+    assert b.arcs == snap
+    assert len(c.paths()) == 1
+
+
+def test_make_preceding_input_classes_start_seeded():
+    """A state entered by emitting arcs that is ALSO the start must be
+    split so the original start keeps the 'entered by nothing' class 0 —
+    else add_self_loops would hang a self-loop on the start state
+    (ref: MakePrecedingInputSymbolsSameClass(start_is_epsilon=true))."""
+    from kaldi_tpu.fst.hmm_graph import _make_preceding_input_classes_same
+    f = Fst()
+    for _ in range(2):
+        f.add_state()
+    f.start = 0
+    f.add_arc(0, 5, EPS, 0.1, 1)
+    f.add_arc(1, 7, EPS, 0.2, 0)   # emitting arc re-enters the start
+    f.set_final(0, 0.0)
+    classof = lambda i: 0 if i == EPS else 1
+    _make_preceding_input_classes_same(f, classof)
+    for s in range(f.num_states):
+        for (i, _o, _w, d) in f.arcs[s]:
+            assert not (d == f.start and classof(i) != 0)
+    # language unchanged: paths (), (5 7), (5 7 5 7) ... spot-check
+    il = {p[0] for p in f.paths(max_paths=50)}
+    assert () in il and (5, 7) in il
+
+
+def test_lexicon_initial_silence_routes_through_disambig():
+    """With sil_disambig given, the start-state optional silence must also
+    emit the disambig symbol (ref: utils/make_lexicon_fst.pl sildisambig
+    handling) — otherwise L_disambig is non-determinizable against
+    sil-prefixed homophones."""
+    from kaldi_tpu.fst.lang import make_lexicon_fst
+    lex = Lexicon.parse("A a\nB a")
+    prons, maxd = add_lex_disambig(lex)
+    phones = SymbolTable()
+    phones.add("<eps>")
+    for p in ["SIL", "a"] + [f"#{k}" for k in range(maxd + 2)]:
+        phones.add(p)
+    words = SymbolTable()
+    words.add("<eps>")
+    for w in ["A", "B"]:
+        words.add(w)
+    sil_dis = f"#{maxd + 1}"
+    L = make_lexicon_fst(lex, phones, words, prons_disambig=prons,
+                         sil_phone="SIL", sil_prob=0.5, sil_disambig=sil_dis)
+    sil, dis = phones["SIL"], phones[sil_dis]
+    for (i, _o, _w, d) in L.arcs[L.start]:
+        if i == sil:
+            labels = {a[0] for a in L.arcs[d]}
+            assert labels == {dis}, "initial SIL must go via sil_disambig"
