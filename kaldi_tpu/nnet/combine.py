@@ -93,8 +93,6 @@ def sum_group_log_posteriors(log_post: jnp.ndarray, group_ids,
     """[..., M] mixed-up log-posteriors -> [..., C] by log-sum-exp over
     each group (the MixtureProbComponent forward)."""
     gid = jnp.asarray(group_ids)
-    out = jnp.full(log_post.shape[:-1] + (num_groups,), -jnp.inf,
-                   log_post.dtype)
     # segment logsumexp via max-shift
     m = jax.ops.segment_max(jnp.moveaxis(log_post, -1, 0), gid,
                             num_segments=num_groups)

@@ -58,7 +58,17 @@ def compute_discriminative_post(
     if opts.criterion == "mmi":
         sparse, den_like = lattice_forward_backward_mmi(
             lat, num_ali, tm, opts.drop_frames, cancel=True)
-        objf = -den_like  # num part constant wrt this pass's reporting
+        # true MMI objective = num loglike - den loglike; the num term is
+        # NOT constant across epochs (loglikes move with the params), so
+        # reporting -den alone would make the history useless for
+        # divergence detection (ref: nnet-compute-discriminative.cc
+        # LatticeComputations computes tot_num_objf the same way)
+        pdfs = np.fromiter(
+            (tm.transition_id_to_pdf(int(t)) for t in num_ali), np.int64,
+            count=T)
+        num_like = opts.acoustic_scale * float(
+            loglikes[np.arange(T), pdfs].sum())
+        objf = num_like - den_like
     else:
         sparse, objf = lattice_forward_backward_mpe_variants(
             lat, num_ali, tm, opts.criterion, silence_phones,
@@ -88,6 +98,12 @@ def train_nnet_discriminative(
     tx = optax.sgd(opts.learning_rate)
     opt_state = tx.init(params)
 
+    # NOTE on the two forward passes per utterance (loglikes_np for the
+    # lattice rescoring + the one inside value_and_grad): an eager
+    # jax.vjp could share one forward across the host lattice pass and
+    # the pullback, but it cannot live inside jit (the posterior pass is
+    # host code between fwd and bwd), and on TPU the lost XLA fusion of
+    # an un-jitted fwd+bwd outweighs the saved jitted forward.
     @jax.jit
     def step(params, opt_state, feats, post):
         def loss_fn(p):

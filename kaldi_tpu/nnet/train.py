@@ -12,14 +12,11 @@ preconditioning, sharded over a device mesh.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from kaldi_tpu.nnet.tdnn import Tdnn
 from kaldi_tpu.parallel.mesh import tdnn_param_sharding, batch_sharding
@@ -82,7 +79,6 @@ def make_train_step(model: Tdnn, optimizer, mesh=None):
     if mesh is None:
         return jax.jit(step)
 
-    repl = NamedSharding(mesh, P())
     return jax.jit(
         step,
         in_shardings=(None, None, batch_sharding(mesh, 3),
@@ -120,8 +116,13 @@ def train_epochs(
         perm = rng.permutation(N)
         for k in range(steps_per_epoch):
             sel = perm[k * mb: (k + 1) * mb]
-            if len(sel) < mb:  # pad the tail minibatch
-                sel = np.concatenate([sel, perm[: mb - len(sel)]])
+            if len(sel) < mb:
+                # pad the tail minibatch to a FULL mb rows (tiling the
+                # permutation if N < mb): a short batch would retrace the
+                # jit program and break the 'data'-axis divisibility of
+                # the mesh sharding
+                pad = np.resize(perm, mb - len(sel))
+                sel = np.concatenate([sel, pad])
             params, opt_state, loss, acc = step_fn(
                 params, opt_state,
                 jnp.asarray(egs["feats"][sel]),

@@ -40,14 +40,22 @@ class FrameShuffler:
 
     def __init__(self, feats: np.ndarray, targets: np.ndarray,
                  minibatch: int = 256, seed: int = 0):
-        self.order = np.random.RandomState(seed).permutation(len(feats))
+        self.rng = np.random.RandomState(seed)
         self.feats, self.targets = feats, targets
         self.minibatch = minibatch
 
     def __iter__(self):
-        for lo in range(0, len(self.order) - self.minibatch + 1,
+        # fresh permutation per pass (the reference's MatrixRandomizer
+        # refills+reshuffles each epoch); the tail wraps with frames from
+        # the permutation head so every frame is trained on every epoch
+        order = self.rng.permutation(len(self.feats))
+        n = len(order)
+        if n >= self.minibatch and n % self.minibatch:
+            order = np.concatenate(
+                [order, order[: self.minibatch - n % self.minibatch]])
+        for lo in range(0, len(order) - self.minibatch + 1,
                         self.minibatch):
-            idx = self.order[lo: lo + self.minibatch]
+            idx = order[lo: lo + self.minibatch]
             yield self.feats[idx], self.targets[idx]
 
 

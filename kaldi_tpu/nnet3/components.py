@@ -31,19 +31,18 @@ def affine(params, x):
     return x @ params["w"].T + params["b"]
 
 
-def pnorm(x, output_dim: int, p: float = 2.0):
-    """(ref: nnet-simple-component.h PnormComponent)"""
-    B = x.shape[:-1]
-    group = x.shape[-1] // output_dim
-    xg = x.reshape(*B, output_dim, group)
-    return jnp.power(jnp.sum(jnp.abs(xg) ** p, axis=-1) + 1e-20, 1.0 / p)
+# shared with the nnet2-style stack — one implementation of the
+# layout-independent component math (ref: nnet-simple-component.h
+# PnormComponent / NormalizeComponent)
+from kaldi_tpu.nnet.components import pnorm, normalize  # noqa: E402,F401
 
 
-def normalize(x, target_rms: float = 1.0):
-    """(ref: NormalizeComponent — scale rows to rms=target_rms)"""
-    d = x.shape[-1]
-    rms = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True) / d + 1e-20)
-    return x * (target_rms / rms)
+def _param_stddev(cfg):
+    """param-stddev from a config line; None (-> 1/sqrt(in) default) only
+    when the key is ABSENT. An explicit param-stddev=0 means zero init
+    (the standard zero-init-final-layer idiom) and must not be coerced
+    to the random default by falsy-or chains."""
+    return float(cfg["param-stddev"]) if "param-stddev" in cfg else None
 
 
 COMPONENT_TYPES = {
@@ -52,16 +51,14 @@ COMPONENT_TYPES = {
         True,
         lambda key, cfg: init_affine(key, int(cfg["input-dim"]),
                                      int(cfg["output-dim"]),
-                                     float(cfg.get("param-stddev", 0) or 0)
-                                     or None,
+                                     _param_stddev(cfg),
                                      float(cfg.get("bias-stddev", 0.0))),
         lambda p, x, cfg: affine(p, x)),
     "NaturalGradientAffineComponent": (
         True,
         lambda key, cfg: init_affine(key, int(cfg["input-dim"]),
                                      int(cfg["output-dim"]),
-                                     float(cfg.get("param-stddev", 0) or 0)
-                                     or None,
+                                     _param_stddev(cfg),
                                      float(cfg.get("bias-stddev", 0.0))),
         lambda p, x, cfg: affine(p, x)),
     "RectifiedLinearComponent": (

@@ -13,9 +13,19 @@ def make_tdnn_config(
     splice_indexes=((-2, -1, 0, 1, 2), (-1, 2), (-3, 3), (0,)),
     hidden_dim: int = 512,
     nonlinearity: str = "RectifiedLinearComponent",
+    pnorm_output_dim: int | None = None,
     final_logsoftmax: bool = True,
 ) -> str:
-    """-> nnet3 config text for a multisplice TDNN."""
+    """-> nnet3 config text for a multisplice TDNN.
+
+    nonlinearity="PnormComponent" reduces hidden_dim -> pnorm_output_dim
+    per layer (default hidden_dim // 8, the reference's group-of-8), like
+    make_tdnn_configs.py's --pnorm-input-dim/--pnorm-output-dim pair.
+    """
+    is_pnorm = nonlinearity == "PnormComponent"
+    if is_pnorm and pnorm_output_dim is None:
+        pnorm_output_dim = max(hidden_dim // 8, 1)
+    nonlin_out = pnorm_output_dim if is_pnorm else hidden_dim
     lines = [f"input-node name=input dim={feat_dim}"]
     prev, prev_dim = "input", feat_dim
     for li, ctx in enumerate(splice_indexes):
@@ -24,6 +34,8 @@ def make_tdnn_config(
             prev if o == 0 else f"Offset({prev},{o})" for o in ctx)
             if len(ctx) > 1 else
             (prev if ctx[0] == 0 else f"Offset({prev},{ctx[0]})"))
+        nonlin_cfg = (f"input-dim={hidden_dim} output-dim={nonlin_out}"
+                      if is_pnorm else f"dim={hidden_dim}")
         lines += [
             f"component name=tdnn{li}.affine "
             f"type=NaturalGradientAffineComponent "
@@ -31,15 +43,15 @@ def make_tdnn_config(
             f"component-node name=tdnn{li}.affine_node "
             f"component=tdnn{li}.affine input={desc}",
             f"component name=tdnn{li}.nonlin type={nonlinearity} "
-            f"dim={hidden_dim}",
+            f"{nonlin_cfg}",
             f"component-node name=tdnn{li} component=tdnn{li}.nonlin "
             f"input=tdnn{li}.affine_node",
             f"component name=tdnn{li}.norm type=NormalizeComponent "
-            f"dim={hidden_dim}",
+            f"dim={nonlin_out}",
             f"component-node name=tdnn{li}n component=tdnn{li}.norm "
             f"input=tdnn{li}",
         ]
-        prev, prev_dim = f"tdnn{li}n", hidden_dim
+        prev, prev_dim = f"tdnn{li}n", nonlin_out
     lines += [
         f"component name=final.affine type=NaturalGradientAffineComponent "
         f"input-dim={prev_dim} output-dim={num_targets}",

@@ -82,3 +82,24 @@ def test_shifted_delta_shape():
     # module's documented contract: first 7 dims = static features
     assert out.shape[0] == 30
     np.testing.assert_allclose(out[:, :7], np.asarray(x), atol=1e-6)
+
+
+def test_train_epochs_small_corpus_pads_batch():
+    """N < minibatch_size must tile the permutation up to a full batch
+    (regression: short batches retrace jit / break mesh divisibility)."""
+    import jax
+    import numpy as np
+    from kaldi_tpu.nnet.tdnn import Tdnn, TdnnConfig
+    from kaldi_tpu.nnet.train import NnetTrainOpts, train_epochs, make_egs
+    cfg = TdnnConfig(feat_dim=4, num_pdfs=3, splice_indexes=((-1, 0, 1),),
+                     hidden_dim=8, nonlinearity="relu")
+    model = Tdnn(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    utts = [(rng.randn(11, 4).astype(np.float32),
+             rng.randint(0, 3, 11))]
+    egs = make_egs(utts, cfg.left_context, cfg.right_context, chunk=4)
+    assert egs["feats"].shape[0] < 16
+    opts = NnetTrainOpts(num_epochs=1, minibatch_size=16)
+    params2, hist = train_epochs(model, params, egs, opts)
+    assert hist and np.isfinite(hist[0][2])

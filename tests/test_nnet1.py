@@ -109,12 +109,18 @@ def test_rbm_cd1_reduces_reconstruction_error():
 def test_frame_shuffler():
     f = np.arange(10)[:, None].astype(np.float32)
     t = np.arange(10)
-    batches = list(FrameShuffler(f, t, minibatch=4, seed=0))
-    assert len(batches) == 2
+    sh = FrameShuffler(f, t, minibatch=4, seed=0)
+    batches = list(sh)
+    # tail wraps: every frame appears every epoch (10 -> 3 full batches)
+    assert len(batches) == 3
     seen = np.concatenate([b[0][:, 0] for b in batches])
-    assert len(np.unique(seen)) == 8           # no duplicates
+    assert set(seen.astype(int)) == set(range(10))
     for bf, bt in batches:
         np.testing.assert_array_equal(bf[:, 0].astype(int), bt)
+    # a second epoch reshuffles (MatrixRandomizer refills+reshuffles)
+    seen2 = np.concatenate([b[0][:, 0] for b in sh])
+    assert set(seen2.astype(int)) == set(range(10))
+    assert not np.array_equal(seen, seen2)
 
 
 def test_conv1d_and_pooling():

@@ -188,3 +188,35 @@ def test_natural_gradient_preserves_norm_and_direction_quality():
         return float(loss(w, xe))
 
     assert train(ng) < train(sgd)
+
+
+def test_zero_param_stddev_respected():
+    """param-stddev=0 is the zero-init-final-layer idiom; the falsy-or
+    coercion bug turned it into random init (regression)."""
+    cfg = ("input-node name=input dim=4\n"
+           "component name=a type=NaturalGradientAffineComponent "
+           "input-dim=4 output-dim=3 param-stddev=0 bias-stddev=0\n"
+           "component-node name=an component=a input=input\n"
+           "output-node name=output input=an\n")
+    net = Nnet3(cfg)
+    params = net.init(jax.random.PRNGKey(0))
+    assert float(jnp.abs(params["a"]["w"]).max()) == 0.0
+    assert float(jnp.abs(params["a"]["b"]).max()) == 0.0
+
+
+def test_make_tdnn_config_pnorm():
+    """PnormComponent configs must carry input-dim/output-dim and reduce
+    the layer dim (regression: KeyError 'output-dim' at apply time)."""
+    from kaldi_tpu.nnet3.configs import make_tdnn_config
+    text = make_tdnn_config(8, 5, splice_indexes=((-1, 0, 1), (0,)),
+                            hidden_dim=16, nonlinearity="PnormComponent",
+                            pnorm_output_dim=4)
+    net = Nnet3(text)
+    assert net.dims["output"] == 5
+    params = net.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 9, 8), jnp.float32)
+    y = net.apply(params, x, pad_context=True)
+    assert y.shape == (2, 9, 5)
+    assert np.isfinite(np.asarray(y)).all()
+    # the second affine consumes the REDUCED pnorm dim
+    assert params["tdnn1.affine"]["w"].shape[-1] == 4
