@@ -31,65 +31,34 @@ class CompressedMatrix:
 
     @staticmethod
     def compress(mat: np.ndarray) -> "CompressedMatrix":
+        """Delegates to the single on-disk-format implementation in
+        kaldi_io (_compute_col_header/_float_to_char), so in-memory
+        CompressedMatrix and write_ark(compress=True) quantize
+        identically."""
+        from kaldi_tpu.io.kaldi_io import (
+            _compute_col_headers, _float_to_char, _uint16_to_float)
         mat = np.asarray(mat, np.float32)
         T, D = mat.shape
-        gmin = float(mat.min()) if mat.size else 0.0
-        grange = float(mat.max() - gmin) if mat.size else 1.0
-        if grange <= 0:
-            grange = 1.0
-
-        def to_u16(v):
-            f = (v - gmin) / grange * 65535.0
-            return np.clip(f + 0.5, 0, 65535).astype(np.uint16)
-
-        def from_u16(u):
-            return gmin + u.astype(np.float64) * grange / 65535.0
-
-        # per-column percentiles (ref: ComputeColHeader — uses sorted
-        # quartiles with small safety gaps)
-        srt = np.sort(mat, axis=0)
-        q0 = srt[0]
-        q25 = srt[max(0, T // 4 - 1)] if T > 1 else srt[0]
-        q75 = srt[min(T - 1, (3 * T) // 4)] if T > 1 else srt[0]
-        q100 = srt[-1]
-        h = np.stack([to_u16(q0), to_u16(q25), to_u16(q75), to_u16(q100)],
-                     axis=1)  # [D, 4]
-        # enforce strictly increasing headers (avoid zero ranges)
-        for k in range(1, 4):
-            h[:, k] = np.maximum(h[:, k], h[:, k - 1] + 1)
-        h = np.minimum(h, 65535 - (3 - np.arange(4))[None, :]).astype(np.uint16)
-        p0, p25, p75, p100 = (from_u16(h[:, k]) for k in range(4))
-
-        x = mat.T.astype(np.float64)  # [D, T]
-        u8 = np.empty((D, T), np.uint8)
-        lo = x <= p25[:, None]
-        hi = x >= p75[:, None]
-        mid = ~lo & ~hi
-        with np.errstate(divide="ignore", invalid="ignore"):
-            flo = (x - p0[:, None]) / (p25 - p0)[:, None] * 64.0
-            fmid = 64.0 + (x - p25[:, None]) / (p75 - p25)[:, None] * 128.0
-            fhi = 192.0 + (x - p75[:, None]) / (p100 - p75)[:, None] * 63.0
-        f = np.where(lo, flo, np.where(mid, fmid, fhi))
-        u8 = np.clip(np.nan_to_num(f) + 0.5, 0, 255).astype(np.uint8)
+        if T == 0:
+            raise ValueError("cannot compress a zero-row matrix")
+        if D == 0:
+            return CompressedMatrix(0.0, 1e-20,
+                                    np.zeros((0, 4), np.uint16),
+                                    np.zeros((0, T), np.uint8), (T, 0))
+        gmin = float(mat.min())
+        grange = max(float(mat.max()) - gmin, 1e-20)
+        h = _compute_col_headers(gmin, grange, mat)
+        v = _uint16_to_float(gmin, grange, h)
+        u8 = _float_to_char(v[:, 0:1], v[:, 1:2], v[:, 2:3], v[:, 3:4],
+                            np.ascontiguousarray(mat.T))
         return CompressedMatrix(gmin, grange, h, u8, (T, D))
 
     def decompress(self) -> np.ndarray:
+        """Delegates to the one shared decoder in kaldi_io, so in-memory
+        round-trips are bit-identical to ark round-trips."""
+        from kaldi_tpu.io.kaldi_io import _char_to_float
         T, D = self.shape
-        gmin, grange = self.global_min, self.global_range
-
-        def from_u16(u):
-            return gmin + u.astype(np.float64) * grange / 65535.0
-
-        p0, p25, p75, p100 = (from_u16(self.col_headers[:, k])
-                              for k in range(4))
-        u = self.data.astype(np.float64)  # [D, T]
-        lo = u <= 64
-        hi = u >= 192
-        mid = ~lo & ~hi
-        x = np.where(
-            lo, p0[:, None] + (p25 - p0)[:, None] * (u / 64.0),
-            np.where(
-                mid,
-                p25[:, None] + (p75 - p25)[:, None] * ((u - 64.0) / 128.0),
-                p75[:, None] + (p100 - p75)[:, None] * ((u - 192.0) / 63.0)))
-        return x.T.astype(np.float32)
+        if D == 0:
+            return np.empty((T, 0), np.float32)
+        return _char_to_float(self.global_min, self.global_range,
+                              self.col_headers, self.data)

@@ -64,8 +64,7 @@ def open_rxfilename(name: str):
     if kind == "std":
         return io.BufferedReader(io.FileIO(0, "rb", closefd=False))
     if kind == "pipe_in":
-        p = _PipeReader(v)
-        return io.BufferedReader(p.stream.raw) if False else p.stream
+        return _PipeReader(v).stream
     if kind == "offset":
         base, off = v
         f = open(base, "rb")
@@ -267,62 +266,100 @@ def _uint16_to_float(gmin, grange, v):
     return gmin + grange * 1.52590218966964e-05 * v.astype(np.float32)
 
 
+def _compute_col_headers(gmin, grange, mat):
+    """Percentile markers for EVERY column at once -> [cols, 4] uint16,
+    byte-identical to the reference per column
+    (ref: compressed-matrix.cc:254-326 ComputeColHeader — quartiles at
+    sorted indices rows//4 and 3*(rows//4), forced strictly increasing
+    with caps 65532/65533/65534, plus the rows<5 pathological branch)."""
+    rows = mat.shape[0]
+    srt = np.sort(mat, axis=0)
+
+    def f2u(v):  # [cols] float -> [cols] int64 (FloatToUint16, truncating)
+        fr = np.clip((v.astype(np.float32) - np.float32(gmin))
+                     / np.float32(grange), 0.0, 1.0)
+        return (fr * 65535.0 + 0.499).astype(np.int64)
+
+    if rows >= 5:
+        q = rows // 4
+        m0 = np.minimum(f2u(srt[0]), 65532)
+        m25 = np.minimum(np.maximum(f2u(srt[q]), m0 + 1), 65533)
+        m75 = np.minimum(np.maximum(f2u(srt[3 * q]), m25 + 1), 65534)
+        m100 = np.maximum(f2u(srt[rows - 1]), m75 + 1)
+    else:
+        m0 = np.minimum(f2u(srt[0]), 65532)
+        m25 = (np.minimum(np.maximum(f2u(srt[1]), m0 + 1), 65533)
+               if rows > 1 else m0 + 1)
+        m75 = (np.minimum(np.maximum(f2u(srt[2]), m25 + 1), 65534)
+               if rows > 2 else m25 + 1)
+        m100 = (np.maximum(f2u(srt[3]), m75 + 1)
+                if rows > 3 else m75 + 1)
+    return np.stack([m0, m25, m75, m100], axis=1).astype(np.uint16)
+
+
+def _float_to_char(v0, v25, v75, v100, x):
+    """3-segment byte quantization, broadcasting — v* [cols, 1] against
+    x [cols, rows] (or plain 1-D) (ref: compressed-matrix.cc:331
+    FloatToChar — ranges [p0,p25) -> 0..64, [p25,p75) -> 64..192,
+    [p75,p100] -> 192..255, round-to-nearest)."""
+    lo = x < v25
+    hi = ~lo & (x >= v75)
+    f_lo = np.floor((x - v0) / np.maximum(v25 - v0, 1e-20) * 64.0 + 0.5)
+    f_mid = 64 + np.floor(
+        (x - v25) / np.maximum(v75 - v25, 1e-20) * 128.0 + 0.5)
+    f_hi = 192 + np.floor(
+        (x - v75) / np.maximum(v100 - v75, 1e-20) * 63.0 + 0.5)
+    b = np.where(lo, np.clip(f_lo, 0, 64),
+                 np.where(hi, np.clip(f_hi, 192, 255),
+                          np.clip(f_mid, 64, 192)))
+    return b.astype(np.uint8)
+
+
+def _char_to_float(gmin, grange, headers, raw):
+    """Inverse of _float_to_char for all columns: headers [cols, 4]
+    uint16, raw [cols, rows] uint8 -> [rows, cols] float32 — the ONE
+    decoder shared by the ark reader and CompressedMatrix.decompress
+    (ref: compressed-matrix.cc:364 CharToFloat; float32 arithmetic with
+    the reference's 1/65535 constant)."""
+    v = _uint16_to_float(gmin, grange,
+                         np.ascontiguousarray(headers, np.uint16))
+    v0, v25, v75, v100 = (v[:, k: k + 1] for k in range(4))
+    b = raw.astype(np.float32)
+    col = np.where(
+        b <= 64,
+        v0 + (v25 - v0) * (b * np.float32(1 / 64.0)),
+        np.where(
+            b <= 192,
+            v25 + (v75 - v25) * ((b - 64.0) * np.float32(1 / 128.0)),
+            v75 + (v100 - v75) * ((b - 192.0) * np.float32(1 / 63.0))))
+    return col.T.astype(np.float32)
+
+
 def _write_compressed_matrix(f, mat: np.ndarray):
     rows, cols = mat.shape
-    gmin = float(mat.min())
-    grange = max(float(mat.max()) - gmin, 1e-20)
+    if rows == 0:
+        raise ValueError("cannot compress a zero-row matrix "
+                         "(ref: ComputeColHeader asserts num_rows > 0)")
+    gmin = float(mat.min()) if cols else 0.0
+    grange = max(float(mat.max()) - gmin, 1e-20) if cols else 1e-20
     _write_token(f, "CM")
     f.write(struct.pack("<ffii", gmin, grange, rows, cols))
-    data_cols = []
-    headers = []
-    for c in range(cols):
-        col = mat[:, c]
-        srt = np.sort(col)
-        quarter = rows // 4 if rows >= 5 else 0
-        p0 = _float_to_uint16(gmin, grange, srt[quarter]) if rows else np.uint16(0)
-        p25 = srt[rows // 2] if rows else 0.0
-        p75 = srt[min(rows - 1, 3 * rows // 4)] if rows else 0.0
-        # markers: percentile_0, percentile_25, percentile_75, percentile_100
-        m0 = _float_to_uint16(gmin, grange, srt[0])
-        m25 = np.uint16(min(65535, max(int(m0) + 1, int(_float_to_uint16(gmin, grange, srt[rows // 4])))))
-        m75 = np.uint16(min(65535, max(int(m25) + 1, int(_float_to_uint16(gmin, grange, srt[(3 * rows) // 4])))))
-        m100 = np.uint16(min(65535, max(int(m75) + 1, int(_float_to_uint16(gmin, grange, srt[-1])))))
-        headers.append((int(m0), int(m25), int(m75), int(m100)))
-        v0, v25, v75, v100 = (_uint16_to_float(gmin, grange, np.array([m], np.uint16))[0]
-                              for m in (m0, m25, m75, m100))
-        byts = np.empty(rows, np.uint8)
-        lo = col < v25
-        hi = col > v75
-        mid = ~(lo | hi)
-        byts[lo] = np.clip((col[lo] - v0) / max(v25 - v0, 1e-20) * 64.0 + 0.5, 0, 64)
-        byts[mid] = np.clip(64 + (col[mid] - v25) / max(v75 - v25, 1e-20) * 128.0 + 0.5, 64, 192)
-        byts[hi] = np.clip(192 + (col[hi] - v75) / max(v100 - v75, 1e-20) * 63.0 + 0.5, 192, 255)
-        data_cols.append(byts)
-    for h in headers:
-        f.write(struct.pack("<HHHH", *h))
-    f.write(np.stack(data_cols, axis=0).tobytes())  # column-major: col-by-col
+    if cols:
+        h = _compute_col_headers(gmin, grange, mat)          # [cols, 4]
+        v = _uint16_to_float(gmin, grange, h)                # [cols, 4]
+        byts = _float_to_char(v[:, 0:1], v[:, 1:2], v[:, 2:3], v[:, 3:4],
+                              np.ascontiguousarray(mat.T, np.float32))
+        f.write(h.astype("<u2").tobytes())
+        f.write(byts.tobytes())  # column-major: col-by-col
 
 
 def _read_compressed_matrix(f) -> np.ndarray:
     gmin, grange, rows, cols = struct.unpack("<ffii", f.read(16))
-    headers = [struct.unpack("<HHHH", f.read(8)) for _ in range(cols)]
+    headers = np.frombuffer(f.read(8 * cols), dtype="<u2").reshape(cols, 4)
     raw = np.frombuffer(f.read(rows * cols), dtype=np.uint8).reshape(cols, rows)
-    out = np.empty((rows, cols), np.float32)
-    for c, (m0, m25, m75, m100) in enumerate(headers):
-        v0, v25, v75, v100 = (_uint16_to_float(gmin, grange, np.array([m], np.uint16))[0]
-                              for m in (m0, m25, m75, m100))
-        b = raw[c].astype(np.float32)
-        col = np.where(
-            b <= 64,
-            v0 + (v25 - v0) * (b / 64.0),
-            np.where(
-                b <= 192,
-                v25 + (v75 - v25) * ((b - 64.0) / 128.0),
-                v75 + (v100 - v75) * ((b - 192.0) / 63.0),
-            ),
-        )
-        out[:, c] = col
-    return out
+    if cols == 0:
+        return np.empty((rows, 0), np.float32)
+    return _char_to_float(gmin, grange, headers, raw)
 
 
 # ---------------------------------------------------------------------------
@@ -360,9 +397,10 @@ def read_ark(path_or_file) -> Iterator[tuple[str, np.ndarray]]:
     (pipes, offsets, text, compressed entries) uses the Python path.
     """
     own = isinstance(path_or_file, (str, os.PathLike))
+    skip = 0  # entries already yielded by the native reader
     if own:
         name = str(path_or_file)
-        if _classify(name) == "file" and os.path.exists(name):
+        if _classify(name)[0] == "file" and os.path.exists(name):
             from kaldi_tpu.io import native
             if native.available():
                 try:
@@ -372,17 +410,27 @@ def read_ark(path_or_file) -> Iterator[tuple[str, np.ndarray]]:
                     if sp > 0 and head[sp + 1: sp + 3] == b"\x00B" \
                             and head[sp + 3: sp + 5] in (b"FM", b"DM",
                                                          b"FV", b"DV"):
-                        yield from native.read_ark_native(name)
+                        for item in native.read_ark_native(name):
+                            yield item
+                            skip += 1
                         return
                 except (ValueError, OSError):
-                    pass  # fall through to the Python reader
+                    # mixed/unsupported entry mid-stream: fall through to
+                    # the Python reader, SKIPPING the entries the native
+                    # reader already yielded (a bare restart would
+                    # silently duplicate them)
+                    pass
     f = open_rxfilename(str(path_or_file)) if own else path_or_file
     try:
         while True:
             key = _read_token(f)
             if not key:
                 break
-            yield key, read_object(f)
+            value = read_object(f)
+            if skip:
+                skip -= 1
+                continue
+            yield key, value
     finally:
         if own:
             f.close()

@@ -36,7 +36,10 @@ def save_gmm_system(path: str, model) -> None:
         "lang": model.lang,
     }, protocol=pickle.HIGHEST_PROTOCOL)
     blobs["__host__"] = np.frombuffer(host, dtype=np.uint8)
-    np.savez(path, **blobs)
+    # write through a file handle: np.savez(str) appends '.npz' when the
+    # suffix is missing, which would break load(path-verbatim) round-trips
+    with open(path, "wb") as f:
+        np.savez(f, **blobs)
 
 
 def load_gmm_system(path: str):
@@ -73,15 +76,16 @@ def _pdfs_of(ctx, phone, pdf_class):
 
 def save_hclg(path: str, packed) -> None:
     """Save a PackedGraph (the immutable decode graph artifact)."""
-    np.savez(path,
-             __version__=np.int64(FORMAT_VERSION),
-             start=np.int64(packed.start),
-             arc_start=packed.arc_start, ilabel=packed.ilabel,
-             olabel=packed.olabel, cost=packed.cost,
-             nextstate=packed.nextstate,
-             pdf=(packed.pdf if packed.pdf is not None
-                  else np.zeros(0, np.int32)),
-             final=packed.final)
+    with open(path, "wb") as f:  # no implicit '.npz' suffix (see above)
+        np.savez(f,
+                 __version__=np.int64(FORMAT_VERSION),
+                 start=np.int64(packed.start),
+                 arc_start=packed.arc_start, ilabel=packed.ilabel,
+                 olabel=packed.olabel, cost=packed.cost,
+                 nextstate=packed.nextstate,
+                 pdf=(packed.pdf if packed.pdf is not None
+                      else np.zeros(0, np.int32)),
+                 final=packed.final)
 
 
 def load_hclg(path: str):

@@ -20,8 +20,16 @@ def read_wave(path_or_bytes) -> tuple[np.ndarray, float]:
     else:
         f = open(path_or_bytes, "rb")
     try:
-        riff, _size, wave_tag = struct.unpack("<4sI4s", f.read(12))
-        if riff not in (b"RIFF", b"RIFX") or wave_tag != b"WAVE":
+        head = f.read(12)
+        riff = head[:4]
+        if riff not in (b"RIFF", b"RIFX"):
+            raise ValueError("not a RIFF/WAVE file")
+        # RIFX = big-endian RIFF: ALL multi-byte fields (chunk sizes, fmt
+        # fields, samples) are big-endian (ref: wave-reader.cc swaps on
+        # the RIFX magic), not just the magic
+        bo = ">" if riff == b"RIFX" else "<"
+        _riff, _size, wave_tag = struct.unpack(f"{bo}4sI4s", head)
+        if wave_tag != b"WAVE":
             raise ValueError("not a RIFF/WAVE file")
         fmt = None
         data = None
@@ -29,10 +37,10 @@ def read_wave(path_or_bytes) -> tuple[np.ndarray, float]:
             hdr = f.read(8)
             if len(hdr) < 8:
                 break
-            tag, size = struct.unpack("<4sI", hdr)
+            tag, size = struct.unpack(f"{bo}4sI", hdr)
             payload = f.read(size)
             if tag == b"fmt ":
-                fmt = struct.unpack("<HHIIHH", payload[:16])
+                fmt = struct.unpack(f"{bo}HHIIHH", payload[:16])
             elif tag == b"data":
                 data = payload
             if size % 2 == 1:
@@ -44,7 +52,7 @@ def read_wave(path_or_bytes) -> tuple[np.ndarray, float]:
         audio_format, num_channels, samp_freq, _brate, block_align, bits = fmt
         if audio_format not in (1, 0xFFFE) or bits != 16:
             raise ValueError(f"only 16-bit PCM supported, got fmt={audio_format} bits={bits}")
-        samples = np.frombuffer(data, dtype="<i2")
+        samples = np.frombuffer(data, dtype=f"{bo}i2")
         n = len(samples) // num_channels
         samples = samples[: n * num_channels].reshape(n, num_channels).T
         return samples.astype(np.float32), float(samp_freq)

@@ -96,16 +96,21 @@ def shifted_delta(
     T = feats.shape[-2]
     scale = _delta_scales_np(order, window)[order]
     offset = (len(scale) - 1) // 2
-    delta = jnp.zeros_like(feats)
-    for j, w in enumerate(scale):
-        if w == 0.0:
-            continue
-        idx = jnp.clip(jnp.arange(T) + (j - offset), 0, T - 1)
-        delta = delta + float(w) * jnp.take(feats, idx, axis=-2)
     outs = [feats]
+    # each regression-window index t + b*P + j clamps to [0, T-1]
+    # INDIVIDUALLY (ref: feature-functions.cc:301-313 ShiftedDeltaFeatures
+    # ::Process) — clamping the block offset first and reading a
+    # precomputed delta gives nonzero tails where the reference is 0
     for b in range(num_blocks):
-        idx = jnp.clip(jnp.arange(T) + b * block_shift, 0, T - 1)
-        outs.append(jnp.take(delta, idx, axis=-2))
+        d = None
+        for j, w in enumerate(scale):
+            if w == 0.0:
+                continue
+            idx = jnp.clip(jnp.arange(T) + b * block_shift + (j - offset),
+                           0, T - 1)
+            term = float(w) * jnp.take(feats, idx, axis=-2)
+            d = term if d is None else d + term
+        outs.append(d if d is not None else jnp.zeros_like(feats))
     return jnp.concatenate(outs, axis=-1)
 
 

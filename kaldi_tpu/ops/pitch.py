@@ -91,8 +91,11 @@ def _viterbi_lags(costs, trans):
         i = bp_t[j]
         return i, j
 
-    _first, path_rev = jax.lax.scan(back, last, bps, reverse=True)
-    return jnp.concatenate([path_rev, last[None]])
+    # reverse scan emits [s_1 .. s_{T-1}] into path_rev and leaves s_0 in
+    # the final carry — prepend it (dropping it shifted the whole track
+    # by one frame and duplicated the last state)
+    s0, path_rev = jax.lax.scan(back, last, bps, reverse=True)
+    return jnp.concatenate([s0[None], path_rev])
 
 
 def compute_kaldi_pitch(wave: np.ndarray,
@@ -141,9 +144,11 @@ def process_pitch(pitch_feats: np.ndarray,
     nccf = np.clip(pitch_feats[:, 0], -1.0, 1.0)
     pitch = np.maximum(pitch_feats[:, 1], 1e-3)
     T = len(nccf)
-    # POV nonlinearity (ref: pitch-functions.cc NccfToPovFeature)
-    a = np.abs(nccf)
-    pov = 2.0 * (1.0001 - a) ** 0.15 - 1.0
+    # POV nonlinearity: pow(1.0001 - nccf, 0.15) - 1, signed — NOT abs()
+    # (ref: pitch-functions.cc:44-52 NccfToPovFeature; abs would map a
+    # strongly unvoiced nccf=-0.9 onto the same value as voiced +0.9 and
+    # destroy the probability-of-voicing signal)
+    pov = (1.0001 - nccf) ** 0.15 - 1.0
     pov_feature = opts.pov_scale * pov
     log_pitch = np.log(pitch)
     # mean-subtract log pitch over a sliding window, POV-weighted

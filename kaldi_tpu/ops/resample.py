@@ -67,7 +67,14 @@ class LinearResample:
         if single:
             wave = wave[None]
         B, S = wave.shape
-        n_out = int(S * self.rate_out / self.rate_in)
+        # number of output samples with t_k = k/rate_out strictly inside
+        # [0, S/rate_in): exact integer arithmetic, equivalent to the
+        # tick-based count in GetNumOutputSamples(flush=true)
+        # (ref: resample.cc:58-101) — plain int() truncation is one short
+        # for non-divisible lengths (e.g. S=239 at 16k->8k: 120, not 119)
+        prod = S * int(round(self.rate_out))
+        den = int(round(self.rate_in))
+        n_out = prod // den + (1 if prod % den else 0)
         pad = self.half_width + self.in_step + 1
         padded = np.pad(wave, ((0, 0), (pad, pad)))
         out = np.zeros((B, n_out))

@@ -106,8 +106,10 @@ def _frame_index_matrix(n_samp: int, n_frames: int, opts: FrameOpts) -> np.ndarr
                 + shift // 2)  # int(shift*(f+0.5)) with integer shift
         begins = mids - length // 2
         idx = begins[:, None] + offs[None, :]
-        # reflect: i<0 -> -i ; i>=n -> 2n-1-i  (single reflection is enough
-        # unless the file is shorter than one frame, then modulo as ref does)
+        # reflect: i<0 -> (-i) % n ; i>=n -> n-1-((i-n) % n). This matches
+        # THIS reference exactly (feature-functions.cc:123-136 uses
+        # reflected_f = -f, i.e. -1 -> 1) — note modern upstream Kaldi's
+        # feature-window.cc instead reflects -f-1; do not "fix" to that.
         neg = idx < 0
         idx = np.where(neg, (-idx) % max(n_samp, 1), idx)
         over = idx >= n_samp

@@ -41,3 +41,60 @@ def test_adpcm_roundtrip_snr_and_streaming_state():
         o, st_d = adpcm_decode(codes2[lo:lo + 900], st_d)
         outs.append(o)
     np.testing.assert_allclose(np.concatenate(outs), y, atol=0)
+
+
+def test_compressed_write_matches_in_memory_class():
+    """write_ark(compress=True) and CompressedMatrix.compress must
+    quantize identically (regression: two divergent implementations)."""
+    import io as _io
+    import numpy as np
+    from kaldi_tpu.io.kaldi_io import write_ark, read_ark
+    from kaldi_tpu.io.compressed import CompressedMatrix
+    rng = np.random.RandomState(7)
+    for rows in (1, 2, 3, 4, 5, 6, 7, 50):
+        m = rng.randn(rows, 5).astype(np.float32)
+        buf = _io.BytesIO()
+        write_ark(buf, [("k", m)], compress=True)
+        buf.seek(0)
+        (_k, via_ark), = list(read_ark(buf))
+        via_cls = CompressedMatrix.compress(m).decompress()
+        np.testing.assert_allclose(via_ark, via_cls, atol=1e-6)
+
+
+def test_compress_empty_matrix_raises():
+    import io as _io
+    import numpy as np
+    import pytest
+    from kaldi_tpu.io.kaldi_io import write_ark
+    buf = _io.BytesIO()
+    with pytest.raises(ValueError):
+        write_ark(buf, [("k", np.zeros((0, 4), np.float32))], compress=True)
+
+
+def test_compress_zero_cols_roundtrip():
+    import io as _io
+    import numpy as np
+    from kaldi_tpu.io.kaldi_io import write_ark, read_ark
+    from kaldi_tpu.io.compressed import CompressedMatrix
+    m = np.zeros((3, 0), np.float32)
+    buf = _io.BytesIO()
+    write_ark(buf, [("k", m)], compress=True)
+    buf.seek(0)
+    (_k, back), = list(read_ark(buf))
+    assert back.shape == (3, 0)
+    assert CompressedMatrix.compress(m).decompress().shape == (3, 0)
+
+
+def test_in_memory_and_ark_decoders_bit_identical():
+    import io as _io
+    import numpy as np
+    from kaldi_tpu.io.kaldi_io import write_ark, read_ark
+    from kaldi_tpu.io.compressed import CompressedMatrix
+    rng = np.random.RandomState(3)
+    m = rng.randn(40, 7).astype(np.float32)
+    buf = _io.BytesIO()
+    write_ark(buf, [("k", m)], compress=True)
+    buf.seek(0)
+    (_k, via_ark), = list(read_ark(buf))
+    via_cls = CompressedMatrix.compress(m).decompress()
+    np.testing.assert_array_equal(via_ark, via_cls)  # bit-identical

@@ -255,3 +255,20 @@ def test_wave_roundtrip(tmp_path):
     back, freq = read_wave(path)
     assert freq == 16000
     np.testing.assert_allclose(back, data)
+
+
+def test_read_wave_rifx_big_endian(tmp_path):
+    """RIFX = big-endian RIFF; all fields byte-swapped (regression: the
+    magic was accepted but everything parsed little-endian)."""
+    import struct
+    import numpy as np
+    from kaldi_tpu.io import read_wave
+    samples = np.array([100, -200, 300, -400], np.int16)
+    pcm = samples.astype(">i2").tobytes()
+    buf = struct.pack(">4sI4s", b"RIFX", 36 + len(pcm), b"WAVE")
+    buf += struct.pack(">4sI", b"fmt ", 16)
+    buf += struct.pack(">HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    buf += struct.pack(">4sI", b"data", len(pcm)) + pcm
+    data, sf = read_wave(buf)
+    assert sf == 8000.0
+    np.testing.assert_allclose(data[0], samples.astype(np.float32))

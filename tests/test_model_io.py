@@ -106,3 +106,27 @@ def test_cli_mkgraph(yesno_graph, tmp_path):
     main(["mkgraph", mdl, str(arpa), gout])
     g = load_hclg(gout)
     assert g.num_states == packed.num_states
+
+
+def test_save_load_without_npz_suffix(tmp_path):
+    """Regression: np.savez(str path) appends '.npz', breaking verbatim
+    save->load round trips for user-supplied extensionless paths."""
+    import numpy as np
+    from kaldi_tpu.decoder.graph_pack import PackedGraph
+    from kaldi_tpu.io.model_io import save_hclg, load_hclg
+    g = PackedGraph(
+        start=0,
+        arc_start=np.array([0, 1, 1], np.int32),
+        ilabel=np.array([1], np.int32),
+        olabel=np.array([2], np.int32),
+        cost=np.array([0.5], np.float32),
+        nextstate=np.array([1], np.int32),
+        pdf=None,
+        final=np.array([np.inf, 0.0], np.float32))
+    p = str(tmp_path / "HCLG.graph")   # no .npz suffix
+    save_hclg(p, g)
+    import os
+    assert os.path.exists(p)
+    g2 = load_hclg(p)
+    assert g2.start == 0
+    np.testing.assert_allclose(g2.cost, g.cost)

@@ -77,3 +77,45 @@ def test_read_ark_fast_path_dispatch(tmp_path, lib_ok):
     write_ark(ark2, plain, compress=True)
     got2 = dict(read_ark(ark2))   # python CM path
     assert np.abs(got2["u1"] - plain["u1"]).max() < 0.05
+
+
+def test_read_ark_dispatches_to_native(tmp_path, monkeypatch):
+    """Regression: _classify(name) == 'file' compared a tuple to a string,
+    so the native fast path was dead code."""
+    import numpy as np
+    from kaldi_tpu.io import native
+    from kaldi_tpu.io.kaldi_io import write_ark, read_ark
+    if not native.available():
+        import pytest
+        pytest.skip("native ark reader not built")
+    m = np.arange(12, dtype=np.float32).reshape(3, 4)
+    p = str(tmp_path / "x.ark")
+    write_ark(p, [("u1", m)])
+    called = {}
+    orig = native.read_ark_native
+
+    def spy(path):
+        called["yes"] = True
+        return orig(path)
+
+    monkeypatch.setattr(native, "read_ark_native", spy)
+    items = list(read_ark(p))
+    assert called.get("yes"), "native fast path not taken for a plain ark"
+    assert items[0][0] == "u1"
+    np.testing.assert_allclose(items[0][1], m)
+
+
+def test_read_ark_mixed_entries_no_duplicates(tmp_path):
+    """Regression: when the native reader fails mid-stream on an entry
+    type it doesn't handle, the Python fallback must not re-yield the
+    entries the native reader already produced."""
+    import numpy as np
+    from kaldi_tpu.io.kaldi_io import write_ark, read_ark
+    m = np.arange(6, dtype=np.float32).reshape(2, 3)
+    ali = np.array([1, 2, 3], np.int32)
+    p = str(tmp_path / "mixed.ark")
+    write_ark(p, [("a", m), ("b", ali), ("c", m + 1.0)])
+    items = list(read_ark(p))
+    assert [k for k, _v in items] == ["a", "b", "c"]
+    np.testing.assert_allclose(items[0][1], m)
+    np.testing.assert_allclose(items[2][1], m + 1.0)

@@ -120,3 +120,62 @@ def test_mbr_decode():
     assert conf[0] == pytest.approx(1.0, abs=1e-6)   # word 1 on all paths
     assert 0.5 < conf[1] < 1.0                        # word 2 vs 3
     assert expected_wer(lat, hyp) < expected_wer(lat, [1, 3])
+
+
+def test_viterbi_lag_backtrace_exact():
+    """Regression: the backtrace dropped frame 0's state and duplicated
+    the last (path came out shifted by one frame)."""
+    from kaldi_tpu.ops.pitch import _viterbi_lags
+    import jax.numpy as jnp
+    BIG = 100.0
+    costs = np.full((3, 3), BIG, np.float64)
+    costs[0, 0] = 0.0
+    costs[1, 1] = 0.0
+    costs[2, 2] = 0.0
+    trans = np.zeros((3, 3))
+    path = np.asarray(_viterbi_lags(jnp.asarray(costs), jnp.asarray(trans)))
+    np.testing.assert_array_equal(path, [0, 1, 2])
+
+
+def test_pov_feature_signed():
+    """NccfToPovFeature is pow(1.0001-nccf,0.15)-1, signed (regression:
+    abs() collapsed voiced and unvoiced; ref pitch-functions.cc:44)."""
+    from kaldi_tpu.ops.pitch import process_pitch
+    raw = np.array([[0.9, 200.0], [-0.9, 200.0]], np.float32)
+    feats = process_pitch(raw)
+    pov_scale = 2.0  # ProcessPitchOpts default
+    want_voiced = pov_scale * ((1.0001 - 0.9) ** 0.15 - 1.0)
+    want_unvoiced = pov_scale * ((1.0001 + 0.9) ** 0.15 - 1.0)
+    assert abs(feats[0, 0] - want_voiced) < 1e-4
+    assert abs(feats[1, 0] - want_unvoiced) < 1e-4
+    assert feats[0, 0] != feats[1, 0]
+
+
+def test_linear_resample_output_count_exact():
+    """Regression: int() truncation lost one output sample for
+    non-divisible lengths (ref: resample.cc GetNumOutputSamples)."""
+    rs = LinearResample(16000, 8000)
+    y = rs.resample(np.zeros(239, np.float64))
+    assert len(y) == 120
+    y = rs.resample(np.zeros(240, np.float64))
+    assert len(y) == 120
+
+
+def test_shifted_delta_tail_blocks_zero():
+    """Regression: blocks whose offset frame falls past the end must be
+    exactly 0 (every window index clamps to T-1; ref:
+    feature-functions.cc ShiftedDeltaFeatures::Process)."""
+    from kaldi_tpu.ops.delta import shifted_delta
+    import jax.numpy as jnp
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(5, 2).astype(np.float32))
+    out = np.asarray(shifted_delta(x, window=1, block_shift=3, num_blocks=3))
+    D = 2
+    # frame t=4, block b=1: offsets {6,7,8} all clamp to 4 -> delta 0
+    np.testing.assert_allclose(out[4, D * 2: D * 3], 0.0, atol=1e-7)
+    # block b=2 at t=4 likewise
+    np.testing.assert_allclose(out[4, D * 3: D * 4], 0.0, atol=1e-7)
+    # oracle for an in-range block: b=0 at t=2 -> 0.5*(x[3]-x[1])
+    # (scales are j/sum(j^2) = [-0.5, 0, 0.5] for window=1)
+    want = 0.5 * (np.asarray(x)[3] - np.asarray(x)[1])
+    np.testing.assert_allclose(out[2, D: D * 2], want, atol=1e-6)
