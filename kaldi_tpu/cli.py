@@ -70,7 +70,9 @@ def _feature_cmd(kind):
         elif kind == "pitch":
             from kaldi_tpu.ops.pitch import (PitchOpts, compute_kaldi_pitch,
                                              process_pitch)
-            popts = PitchOpts(samp_freq=args.sample_frequency)
+            popts = PitchOpts(samp_freq=args.sample_frequency,
+                              frame_shift_ms=args.frame_shift,
+                              frame_length_ms=args.frame_length)
             compute = lambda w: process_pitch(                 # noqa: E731
                 compute_kaldi_pitch(np.asarray(w), popts))
         n = 0
@@ -410,6 +412,214 @@ def cmd_decode_faster(args):
         out.close()
 
 
+def cmd_transform_feats(args):
+    """Apply a linear/affine transform matrix to features
+    (ref: featbin/transform-feats.cc — [D_out, D] linear or [D_out, D+1]
+    affine, auto-detected by width)."""
+    from kaldi_tpu.io.kaldi_io import (open_rspecifier, open_wspecifier,
+                                       read_ark)
+    mats = list(read_ark(args.transform))
+    if len(mats) != 1:
+        raise SystemExit("transform must be a single-matrix ark")
+    W = np.asarray(mats[0][1], np.float64)
+    with open_wspecifier(args.wspecifier, compress=args.compress) as out:
+        for utt, feats in open_rspecifier(args.rspecifier):
+            D = feats.shape[1]
+            if W.shape[1] == D:
+                y = feats @ W.T
+            elif W.shape[1] == D + 1:
+                y = feats @ W[:, :D].T + W[:, D]
+            else:
+                raise SystemExit(
+                    f"transform cols {W.shape[1]} vs feat dim {D}")
+            out.write(utt, y.astype(np.float32))
+
+
+def cmd_paste_feats(args):
+    """Concatenate feature streams frame-by-frame
+    (ref: featbin/paste-feats.cc; length mismatches within
+    --length-tolerance are truncated to the shortest)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    streams = [dict(open_rspecifier(r)) for r in args.rspecifiers]
+    with open_wspecifier(args.wspecifier, compress=args.compress) as out:
+        for utt in streams[0]:
+            if not all(utt in s for s in streams):
+                continue
+            mats = [s[utt] for s in streams]
+            lens = [m.shape[0] for m in mats]
+            if max(lens) - min(lens) > args.length_tolerance:
+                print(f"paste-feats: skipping {utt}: lengths {lens}",
+                      file=sys.stderr)
+                continue
+            L = min(lens)
+            out.write(utt, np.concatenate([m[:L] for m in mats], axis=1))
+
+
+def cmd_subset_feats(args):
+    """First N (or --last) utterances (ref: featbin/subset-feats.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    items = list(open_rspecifier(args.rspecifier))
+    keep = items[-args.n:] if args.last else items[: args.n]
+    with open_wspecifier(args.wspecifier, compress=args.compress) as out:
+        for utt, feats in keep:
+            out.write(utt, feats)
+
+
+def cmd_apply_cmvn_sliding(args):
+    """Sliding-window CMVN (ref: featbin/apply-cmvn-sliding.cc)."""
+    import jax.numpy as jnp
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    from kaldi_tpu.ops.delta import SlidingCmvnOpts, sliding_cmvn
+    opts = SlidingCmvnOpts(cmn_window=args.cmn_window,
+                           min_window=args.min_window,
+                           normalize_variance=args.norm_vars,
+                           center=args.center)
+    with open_wspecifier(args.wspecifier, compress=args.compress) as out:
+        for utt, feats in open_rspecifier(args.rspecifier):
+            out.write(utt, np.asarray(sliding_cmvn(jnp.asarray(feats),
+                                                   opts)))
+
+
+def cmd_copy_matrix(args):
+    """Copy a matrix/vector ark (optionally scaling)
+    (ref: bin/copy-matrix.cc / copy-vector.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    with open_wspecifier(args.wspecifier, compress=args.compress) as out:
+        for key, m in open_rspecifier(args.rspecifier):
+            out.write(key, np.asarray(m) * args.scale)
+
+
+def cmd_ali_to_phones(args):
+    """Alignment tids -> phone sequences or segment lengths
+    (ref: bin/ali-to-phones.cc)."""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.lat.align import ali_to_phones
+    model = load_gmm_system(args.model)
+    tm = model.trans_model
+    for utt, ali in open_rspecifier(args.ali_rspecifier):
+        segs = ali_to_phones(tm, np.asarray(ali, np.int64))
+        if args.write_lengths:
+            body = " ; ".join(f"{ph} {dur}" for (ph, _s, dur) in segs)
+        elif args.ctm_output:
+            body = "\n".join(
+                f"{utt} 1 {s * args.frame_shift:.2f} "
+                f"{dur * args.frame_shift:.2f} {ph}"
+                for (ph, s, dur) in segs)
+            print(body)
+            continue
+        else:
+            body = " ".join(str(ph) for (ph, _s, _d) in segs)
+        print(f"{utt} {body}")
+
+
+def _load_lattice_cmd(fn):
+    """Wrap a per-lattice transform into an ark->ark command."""
+    def run(args):
+        from kaldi_tpu.lat.io import read_lattice_ark, write_lattice_ark
+        out = {}
+        for key, lat in read_lattice_ark(args.lattice_ark):
+            r = fn(args, key, lat)
+            if r is not None:
+                out[key] = r
+        write_lattice_ark(args.out_ark, out)
+    return run
+
+
+def cmd_lattice_scale(args, key, lat):
+    from kaldi_tpu.lat.functions import lattice_scale
+    return lattice_scale(lat, lm_scale=args.lm_scale,
+                         acoustic_scale=args.acoustic_scale)
+
+
+def cmd_lattice_prune(args, key, lat):
+    from kaldi_tpu.lat.functions import prune_lattice
+    return prune_lattice(lat, args.beam)
+
+
+def cmd_lattice_nbest(args):
+    """N best paths per lattice (ref: latbin/lattice-to-nbest.cc)."""
+    from kaldi_tpu.lat.io import read_lattice_ark
+    from kaldi_tpu.lat.functions import nbest
+    for key, lat in read_lattice_ark(args.lattice_ark):
+        for i, (words, _tids, cost) in enumerate(nbest(lat, args.n)):
+            print(f"{key}-{i + 1} {cost:.4f} "
+                  + " ".join(str(w) for w in words))
+
+
+def cmd_lattice_mbr_decode(args):
+    """Minimum-Bayes-risk decode with confidences
+    (ref: latbin/lattice-mbr-decode.cc)."""
+    from kaldi_tpu.lat.io import read_lattice_ark
+    from kaldi_tpu.lat.functions import lattice_scale
+    from kaldi_tpu.lat.mbr import mbr_decode
+    for key, lat in read_lattice_ark(args.lattice_ark):
+        lattice_scale(lat, lm_scale=args.lm_scale,
+                      acoustic_scale=args.acoustic_scale)
+        words, bins = mbr_decode(lat)
+        body = " ".join(f"{w}:{b.get(w, 0.0):.3f}"
+                        for w, b in zip(words, bins))
+        print(f"{key} {body}")
+
+
+def cmd_lattice_oracle(args):
+    """Oracle WER path through each lattice
+    (ref: latbin/lattice-oracle.cc)."""
+    from kaldi_tpu.lat.io import read_lattice_ark
+    from kaldi_tpu.lat.align import lattice_oracle
+    refs = {}
+    with open(args.ref_text) as f:
+        for line in f:
+            parts = line.split()
+            refs[parts[0]] = [int(w) for w in parts[1:]]
+    tot_err = tot_words = 0
+    for key, lat in read_lattice_ark(args.lattice_ark):
+        if key not in refs:
+            continue
+        errs, path = lattice_oracle(lat, refs[key])
+        errs = int(errs)
+        tot_err += errs
+        tot_words += len(refs[key])
+        print(f"{key} {errs} " + " ".join(str(w) for w in path))
+    if tot_words:
+        print(f"%oracle-WER {100.0 * tot_err / tot_words:.2f} "
+              f"[ {tot_err} / {tot_words} ]", file=sys.stderr)
+
+
+def cmd_lattice_lmrescore_const_arpa(args):
+    """Replace/interpolate LM scores via a const-arpa LM
+    (ref: latbin/lattice-lmrescore-const-arpa.cc)."""
+    from kaldi_tpu.lat.io import read_lattice_ark, write_lattice_ark
+    from kaldi_tpu.lm.arpa import ArpaLm
+    from kaldi_tpu.lm.const_arpa import (ConstArpaLm,
+                                         lattice_lmrescore_const_arpa)
+    from kaldi_tpu.io.model_io import load_gmm_system
+    model = load_gmm_system(args.model)
+    with open(args.arpa) as f:
+        clm = ConstArpaLm(ArpaLm.parse(f.read()), model.lang.words)
+    out = {}
+    for key, lat in read_lattice_ark(args.lattice_ark):
+        out[key] = lattice_lmrescore_const_arpa(lat, clm,
+                                                lm_scale=args.lm_scale)
+    write_lattice_ark(args.out_ark, out)
+
+
+def cmd_compile_train_graphs(args):
+    """Per-utterance training graphs from transcripts
+    (ref: bin/compile-train-graphs.cc); prints states/arcs per utt."""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.fst.graph import TrainingGraphCompiler
+    model = load_gmm_system(args.model)
+    compiler = TrainingGraphCompiler(model.lang, model.trans_model,
+                                     model.ctx_dep)
+    with open(args.text) as f:
+        for line in f:
+            parts = line.split()
+            g = compiler.compile_transcript(parts[1:])
+            n_arcs = sum(len(a) for a in g.arcs)
+            print(f"{parts[0]} states={g.num_states} arcs={n_arcs}")
+
+
 def cmd_info(args):
     import jax
     import kaldi_tpu
@@ -572,6 +782,95 @@ def main(argv=None):
     q.add_argument("--acoustic-scale", type=float, default=1.0)
     q.add_argument("--word-ins-penalty", type=float, default=0.0)
     q.set_defaults(func=cmd_lattice_best_path)
+
+    q = sub.add_parser("transform-feats")
+    q.add_argument("transform")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.add_argument("--compress", action="store_true")
+    q.set_defaults(func=cmd_transform_feats)
+
+    q = sub.add_parser("paste-feats")
+    q.add_argument("rspecifiers", nargs="+")
+    q.add_argument("wspecifier")
+    q.add_argument("--length-tolerance", type=int, default=0)
+    q.add_argument("--compress", action="store_true")
+    q.set_defaults(func=cmd_paste_feats)
+
+    q = sub.add_parser("subset-feats")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.add_argument("--n", type=int, default=10)
+    q.add_argument("--last", action="store_true")
+    q.add_argument("--compress", action="store_true")
+    q.set_defaults(func=cmd_subset_feats)
+
+    q = sub.add_parser("apply-cmvn-sliding")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.add_argument("--cmn-window", type=int, default=600)
+    q.add_argument("--min-window", type=int, default=100)
+    q.add_argument("--norm-vars", action="store_true")
+    q.add_argument("--center", action="store_true")
+    q.add_argument("--compress", action="store_true")
+    q.set_defaults(func=cmd_apply_cmvn_sliding)
+
+    q = sub.add_parser("copy-matrix")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.add_argument("--scale", type=float, default=1.0)
+    q.add_argument("--compress", action="store_true")
+    q.set_defaults(func=cmd_copy_matrix)
+
+    q = sub.add_parser("ali-to-phones")
+    q.add_argument("model")
+    q.add_argument("ali_rspecifier")
+    q.add_argument("--write-lengths", action="store_true")
+    q.add_argument("--ctm-output", action="store_true")
+    q.add_argument("--frame-shift", type=float, default=0.01)
+    q.set_defaults(func=cmd_ali_to_phones)
+
+    q = sub.add_parser("lattice-scale")
+    q.add_argument("lattice_ark")
+    q.add_argument("out_ark")
+    q.add_argument("--lm-scale", type=float, default=1.0)
+    q.add_argument("--acoustic-scale", type=float, default=1.0)
+    q.set_defaults(func=_load_lattice_cmd(cmd_lattice_scale))
+
+    q = sub.add_parser("lattice-prune")
+    q.add_argument("lattice_ark")
+    q.add_argument("out_ark")
+    q.add_argument("--beam", type=float, default=4.0)
+    q.set_defaults(func=_load_lattice_cmd(cmd_lattice_prune))
+
+    q = sub.add_parser("lattice-to-nbest")
+    q.add_argument("lattice_ark")
+    q.add_argument("--n", type=int, default=10)
+    q.set_defaults(func=cmd_lattice_nbest)
+
+    q = sub.add_parser("lattice-mbr-decode")
+    q.add_argument("lattice_ark")
+    q.add_argument("--lm-scale", type=float, default=1.0)
+    q.add_argument("--acoustic-scale", type=float, default=0.1)
+    q.set_defaults(func=cmd_lattice_mbr_decode)
+
+    q = sub.add_parser("lattice-oracle")
+    q.add_argument("lattice_ark")
+    q.add_argument("ref_text")
+    q.set_defaults(func=cmd_lattice_oracle)
+
+    q = sub.add_parser("lattice-lmrescore-const-arpa")
+    q.add_argument("model")
+    q.add_argument("arpa")
+    q.add_argument("lattice_ark")
+    q.add_argument("out_ark")
+    q.add_argument("--lm-scale", type=float, default=1.0)
+    q.set_defaults(func=cmd_lattice_lmrescore_const_arpa)
+
+    q = sub.add_parser("compile-train-graphs")
+    q.add_argument("model")
+    q.add_argument("text")
+    q.set_defaults(func=cmd_compile_train_graphs)
 
     q = sub.add_parser("mkgraph")
     q.add_argument("model")

@@ -55,9 +55,11 @@ class LogisticRegression:
 
         w = w0
         for _ in range(config.max_steps):
-            w, st, loss = step(w, st)
+            w, st, _loss = step(w, st)
         self.weights = np.array(w)
-        return float(loss)
+        # loss of the FINAL weights (also well-defined for max_steps=0,
+        # where the in-loop value would be unbound)
+        return float(loss_fn(w))
 
     def log_posteriors(self, X: np.ndarray) -> np.ndarray:
         Xp = np.concatenate([X, np.ones((len(X), 1))], axis=1)

@@ -58,8 +58,7 @@ def align_hits(refs, hits, max_distance: int = 50):
 
 
 def compute_twv(refs, hits, audio_duration_sec: float,
-                opts: TwvOptions = TwvOptions(),
-                frame_shift: float = 0.01):
+                opts: TwvOptions = TwvOptions()):
     """-> dict with atwv, stwv, per-kw TWV at the decision threshold.
 
     ATWV applies the score threshold to hits; STWV ignores false alarms
@@ -72,7 +71,11 @@ def compute_twv(refs, hits, audio_duration_sec: float,
     counts = align_hits(refs, thresholded)
     counts_all = align_hits(refs, hits)
 
-    n_trials = audio_duration_sec / frame_shift  # trials ≈ frames
+    # NIST/KWS convention: one false-alarm trial per SECOND of audio
+    # (ref: kws/kws-scoring.cc TwvMetrics — beta=999.9 is calibrated for
+    # 1-second trials; counting frames made P_fa ~100x too small and
+    # inflated ATWV)
+    n_trials = audio_duration_sec
     per_kw = {}
     atwv_terms, stwv_terms = [], []
     for kw, (n_corr, n_fa, n_ref) in counts.items():

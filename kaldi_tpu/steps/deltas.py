@@ -42,6 +42,16 @@ class DeltasTrainOpts(MonoTrainOpts):
     realign_iters: tuple = (10, 20, 30)
     context_width: int = 3
     central_position: int = 1
+    # silence tree-root convention:
+    #  'shared_not_split'  one pdf for all states of each silence phone —
+    #                      the robust small-corpus setting (one step past
+    #                      prepare_lang --share-silence-phones), default;
+    #  'shared_split'      prepare_lang.sh:229 default roots.txt — shared
+    #                      root, splittable by pdf-class/context questions;
+    #  'per_state'         'not-shared not-split': one unsplit pdf per
+    #                      HMM state (prepare_lang --share-silence-phones
+    #                      line-1 convention).
+    sil_roots: str = "shared_not_split"
 
 
 def build_triphone_tree(
@@ -99,12 +109,24 @@ def build_triphone_tree(
         num_pdf_classes=max(lang.topo.num_pdf_classes(p)
                             for p in lang.topo.phones),
         N=opts.context_width, P=opts.central_position)
-    # roots: silence phones get their own unsplit shared roots; real phones
-    # one root each, split (ref: the lang/phones/roots.txt convention)
+    # roots: real phones get "shared split" (ref: prepare_lang.sh:229
+    # roots.txt); the silence convention is opts.sil_roots — see
+    # DeltasTrainOpts (kaldi exposes the same policy space via
+    # prepare_lang --share-silence-phones)
     phone_sets = [[p] for p in lang.topo.phones]
-    share_roots = [True] * len(phone_sets)
-    do_split = [lang.phones.sym(p) not in lang.silence_phones
-                for (p,) in phone_sets]
+    is_sil = [lang.phones.sym(p) in lang.silence_phones
+              for (p,) in phone_sets]
+    if opts.sil_roots == "shared_split":
+        share_roots = [True] * len(phone_sets)
+        do_split = [True] * len(phone_sets)
+    elif opts.sil_roots == "per_state":
+        share_roots = [not s for s in is_sil]
+        do_split = [not s for s in is_sil]
+    elif opts.sil_roots == "shared_not_split":
+        share_roots = [True] * len(phone_sets)
+        do_split = [not s for s in is_sil]
+    else:
+        raise ValueError(f"unknown sil_roots {opts.sil_roots!r}")
     tree, num_leaves = build_tree(
         stats, questions, phone_sets,
         {p: lang.topo.num_pdf_classes(p) for p in lang.topo.phones},

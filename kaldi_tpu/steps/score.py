@@ -32,24 +32,36 @@ def score_lattices(
     all_stats = {}
     best = None
     for lmwt in lm_scales:
+        # scale ONCE per lmwt (the old per-(lmwt,wip) deepcopy dominated
+        # sweep cost); word-insertion penalties are then applied as
+        # cumulative deltas on the same copies
+        scaled = {}
+        for utt, lat0 in lattices.items():
+            if utt not in refs:
+                continue  # no reference to score against (mode=present)
+            if lat0 is None:
+                scaled[utt] = None  # failed decode: scores as deletions
+                continue
+            lat = copy.deepcopy(lat0)
+            # graph*1, acoustic * 1/(lmwt*decode_scale)
+            lattice_scale(lat, lm_scale=1.0,
+                          acoustic_scale=1.0 / (lmwt *
+                                                decode_acoustic_scale))
+            scaled[utt] = lat
+        prev_wip = 0.0
         for wip in word_ins_penalties:
             refs_sym, hyps_sym = {}, {}
-            for utt, lat0 in lattices.items():
-                if lat0 is None:
-                    continue
-                lat = copy.deepcopy(lat0)
-                # graph*1, acoustic * 1/(lmwt*decode_scale)
-                lattice_scale(lat, lm_scale=1.0,
-                              acoustic_scale=1.0 / (lmwt *
-                                                    decode_acoustic_scale))
-                if wip:
-                    add_word_ins_penalty(lat, wip)
-                res = lattice_best_path(lat)
-                hyp = res[0] if res else []
+            for utt, lat in scaled.items():
+                hyp = []
+                if lat is not None:
+                    if wip != prev_wip:
+                        add_word_ins_penalty(lat, wip - prev_wip)
+                    res = lattice_best_path(lat)
+                    hyp = res[0] if res else []
                 hyps_sym[utt] = ([words.sym(w) for w in hyp]
                                  if words is not None else list(hyp))
-                r = refs[utt]
-                refs_sym[utt] = list(r)
+                refs_sym[utt] = list(refs[utt])
+            prev_wip = wip
             stats = compute_wer(refs_sym, hyps_sym)
             all_stats[(lmwt, wip)] = stats
             if best is None or stats.wer < all_stats[best].wer:

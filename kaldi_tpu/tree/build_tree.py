@@ -46,15 +46,19 @@ def accumulate_tree_stats(
         trans_model.transition_id_to_phone(t)
     )[trans_model.transition_id_to_hmm_state(t)].pdf_class for t in alignment]
     # segment boundaries: a new segment starts when the phone changes or a
-    # new instance of the same phone begins (hmm-state goes "backward")
+    # new instance of the same phone begins — detected like ali_to_phones
+    # (tid at hmm-state 0 that is not a self-loop), which also catches
+    # back-to-back instances of 1-state phones where the hmm-state never
+    # decreases (ref: hmm-utils.cc SplitToPhonesInternal)
     seg_start = [0]
     for t in range(1, T):
         new_phone = phones[t] != phones[t - 1]
+        tid = int(alignment[t])
+        # in reordered alignments the non-self-loop state-0 tid occurs
+        # exactly once, at the first frame of each phone instance
         restart = (not new_phone
-                   and trans_model.transition_id_to_hmm_state(alignment[t])
-                   < trans_model.transition_id_to_hmm_state(alignment[t - 1]))
-        # also restart when previous tid was final-ish; conservative: rely on
-        # hmm-state ordering + phone change
+                   and trans_model.transition_id_to_hmm_state(tid) == 0
+                   and not trans_model.is_self_loop(tid))
         if new_phone or restart:
             seg_start.append(t)
     seg_start.append(T)
@@ -330,9 +334,14 @@ def build_tree(
     tree = _replace_leaves(tree, build_leaf)
 
     # leaf clustering (merge leaves under the same stub root whose merge
-    # costs < cluster_thresh)
+    # costs < cluster_thresh); cluster_thresh < 0 means "use the smallest
+    # split gain actually taken" (ref: build-tree.cc BuildTree
+    # cluster_thresh==-1 convention)
     if cluster_thresh is None:
         cluster_thresh = thresh
+    if cluster_thresh < 0:
+        cluster_thresh = (smallest_split
+                          if smallest_split < float("inf") else 0.0)
     if cluster_thresh > 0:
         tree, num_leaves = _cluster_leaves(tree, stub, stats, cluster_thresh,
                                            leaf_alloc[0])

@@ -111,7 +111,12 @@ def fix_data_dir(d: DataDir) -> DataDir:
     if d.feats_scp:
         utts &= set(d.feats_scp)
     if d.segments:
-        utts &= set(d.segments)
+        # a segment is only usable if its recording exists in wav.scp
+        # (ref: utils/fix_data_dir.sh removes such segments; keeping them
+        # crashes consumers like extract-segments with a missing key)
+        usable = {u for u, (rec, _b, _e) in d.segments.items()
+                  if not d.wav_scp or rec in d.wav_scp}
+        utts &= usable
     elif d.wav_scp:
         utts &= set(d.wav_scp)
 

@@ -80,7 +80,9 @@ def test_twv_scoring():
             "kw2": []}
     res = compute_twv(refs, hits, audio_duration_sec=600.0)
     opts = TwvOptions()
-    n_trials = 600.0 / 0.01
+    # NIST convention: one FA trial per SECOND of audio (regression: the
+    # old frames-based trial count made P_fa ~100x too small)
+    n_trials = 600.0
     exp_kw1 = 1.0 - 0.5 - opts.beta * (1.0 / (n_trials - 2))
     exp_kw2 = 0.0  # 1 - p_miss(1) - 0
     assert res["per_kw"]["kw1"] == pytest.approx(exp_kw1, abs=1e-6)

@@ -154,3 +154,62 @@ def test_obtain_questions():
     qsets = {tuple(q) for q in qs}
     assert (1, 2, 3, 4) in qsets
     assert (1, 2) in qsets and (3, 4) in qsets
+
+
+def test_build_tree_cluster_thresh_negative_uses_smallest_split():
+    """cluster_thresh < 0 must activate leaf clustering at the smallest
+    split gain (ref: build-tree.cc convention), not silently skip it
+    (regression: any non-positive value skipped clustering)."""
+    import numpy as np
+    from kaldi_tpu.tree.build_tree import build_tree, Questions
+    from kaldi_tpu.tree.clustering import GaussStats
+    from kaldi_tpu.tree.event_map import KPDF_CLASS
+    rng = np.random.RandomState(0)
+    stats = {}
+    # one phone (id 5) at center position 1, 1 pdf-class; left contexts
+    # that barely differ -> splits happen at tiny gains, then negative
+    # cluster_thresh merges some back
+    for left in (1, 2, 3, 4):
+        s = GaussStats(2)
+        for _ in range(50):
+            s.accumulate(rng.randn(2) * 0.1 + 0.001 * left)
+        ev = frozenset([(0, left), (1, 5), (2, 0), (KPDF_CLASS, 0)])
+        stats[ev] = s
+    questions = Questions([[1], [1, 2], [1, 2, 3], [0]], num_pdf_classes=1)
+    _t_skip, n_skip = build_tree(stats, questions, [[5]], {5: 1},
+                                 max_leaves=10, thresh=1e-6,
+                                 cluster_thresh=0.0)
+    _t_neg, n_neg = build_tree(stats, questions, [[5]], {5: 1},
+                               max_leaves=10, thresh=1e-6,
+                               cluster_thresh=-1.0)
+    assert n_skip > 1          # splitting actually happened
+    assert n_neg <= n_skip     # negative thresh clustered leaves back
+
+
+def test_tree_stats_back_to_back_one_state_phone():
+    """Two consecutive instances of a 1-state phone must form two
+    segments, each seeing the other as context (regression: the
+    hmm-state-decreasing heuristic merged them; ref: hmm-utils.cc
+    SplitToPhonesInternal)."""
+    import numpy as np
+    from kaldi_tpu.hmm.topology import HmmTopology
+    from kaldi_tpu.hmm.transition_model import TransitionModel
+    from kaldi_tpu.tree.build_tree import accumulate_tree_stats
+    topo = HmmTopology.three_state([1], num_states=1)
+    tm = TransitionModel(topo, lambda ph, pc: 0)
+    # transition-state 1 = (phone 1, state 0, pdf 0): tids
+    fwd = None
+    sl = tm.self_loop_of(1)
+    for tid in range(1, tm.num_transition_ids + 1):
+        if not tm.is_self_loop(tid):
+            fwd = tid
+    assert fwd is not None and sl != 0 and fwd != sl
+    # two instances: [fwd, sl | fwd, sl]  (reordered convention)
+    ali = np.array([fwd, sl, fwd, sl])
+    feats = np.arange(8, dtype=np.float64).reshape(4, 2)
+    stats = accumulate_tree_stats(feats, ali, tm, N=3, P=1)
+    # each instance must see phone 1 as its neighbour on one side
+    lefts = {dict(ev)[0] for ev in stats}
+    rights = {dict(ev)[2] for ev in stats}
+    assert 1 in lefts, "second instance lost its left context"
+    assert 1 in rights, "first instance lost its right context"
