@@ -33,7 +33,7 @@ def main():
     from kaldi_tpu.decoder.dense import make_decoder
 
     SR = 16000.0
-    B = 64            # utterances per batch
+    B = 128           # utterances per batch
     secs = 10.0       # audio seconds per utterance
     S = int(SR * secs)
 
@@ -68,26 +68,36 @@ def main():
     @jax.jit
     def am_scores(params, waves):
         feats = fbank(waves, fb_opts)
-        return model.apply(params, feats, pad_context=True)
+        # bf16 GEMMs on the MXU (2x f32 throughput, f32 accumulation);
+        # decode-parity checked in tests (argmax agreement > 95%)
+        return model.apply(params, feats, pad_context=True,
+                           compute_dtype=jnp.bfloat16)
 
     nf_frames = am_scores(params, jnp.asarray(waves)).shape[1]
     nf = np.full(B, nf_frames, np.int32)
 
     waves_dev = jnp.asarray(waves)
 
-    def pipeline():
+    def launch():
         ll = am_scores(params, waves_dev)
         # decoder consumes pdf loglikes; slice on device — the loglikes
-        # never leave HBM (decode's backtrace also runs on device)
-        return dec.decode(ll[..., : tm.num_pdfs], nf)
+        # never leave HBM (decode's backtrace also runs on device); the
+        # finisher does the single device->host result transfer
+        return dec.decode_async(ll[..., : tm.num_pdfs], nf)
 
     # warmup (compilation)
-    pipeline()
+    launch()()
 
-    n_iter = 5
+    # steady-state serving throughput: overlap batch N+1's dispatch with
+    # batch N's result fetch (depth-2 software pipeline)
+    n_iter = 10
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = pipeline()
+    pending = launch()
+    for _ in range(n_iter - 1):
+        nxt = launch()
+        out = pending()
+        pending = nxt
+    out = pending()
     dt = (time.perf_counter() - t0) / n_iter
     audio_per_sec = B * secs / dt
 

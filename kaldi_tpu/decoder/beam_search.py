@@ -323,10 +323,11 @@ class BeamSearchDecoder:
         scaled loglikes — inputs for lattice generation."""
         o = self.opts
         B, T, P = loglikes.shape
-        mask = np.arange(T)[None, :] < np.asarray(num_frames)[:, None]
+        from kaldi_tpu.decoder.dense import _device_mask
+        mask = _device_mask(np.asarray(num_frames), T)
         ll_scaled = loglikes * o.acoustic_scale
         out = _decode_batch(
-            jnp.asarray(ll_scaled), jnp.asarray(mask),
+            jnp.asarray(ll_scaled), mask,
             self._tabs["ilabel"], self._tabs["olabel"], self._tabs["cost"],
             self._tabs["nxt"], self._tabs["pdf"], self._final,
             int(self.graph.start), int(o.max_active), int(self.E),
@@ -334,9 +335,13 @@ class BeamSearchDecoder:
         )
         return jax.tree.map(np.asarray, out) + (ll_scaled,)
 
-    def decode(self, loglikes, num_frames: np.ndarray):
-        """loglikes [B, T, P] unscaled (np or jnp — device arrays stay on
-        device); returns list of (words, tids, total_cost) per utterance.
+    def decode_async(self, loglikes, num_frames: np.ndarray):
+        """Dispatch the decode program; -> finisher callable producing the
+        per-utterance (words, tids, total_cost) list (one device->host
+        transfer at finish time, so a serving loop can overlap batches).
+
+        loglikes [B, T, P] unscaled (np or jnp — device arrays stay on
+        device).
 
         The backtrace runs on-device (_decode_batch_traced); only [B, T, R]
         label sequences cross to the host — at max_active=512 that is
@@ -344,29 +349,28 @@ class BeamSearchDecoder:
         """
         o = self.opts
         B, T, P = loglikes.shape
-        mask = np.arange(T)[None, :] < np.asarray(num_frames)[:, None]
+        from kaldi_tpu.decoder.dense import _device_mask
+        mask = _device_mask(np.asarray(num_frames), T)
         ll = jnp.asarray(loglikes) * o.acoustic_scale
         ols, ils, init_ols, best_cost = _decode_batch_traced(
-            ll, jnp.asarray(mask),
+            ll, mask,
             self._tabs["ilabel"], self._tabs["olabel"], self._tabs["cost"],
             self._tabs["nxt"], self._tabs["pdf"], self._final,
             int(self.graph.start), int(o.max_active), int(self.E),
             int(o.eps_expansions), float(o.beam),
         )
-        ols = np.asarray(ols)          # [B, T, R]
-        ils = np.asarray(ils)
-        init_ols = np.asarray(init_ols)
-        best_cost = np.asarray(best_cost)
-        out = []
-        for b in range(B):
-            Tb = int(num_frames[b])
-            if best_cost[b] >= BIG * 0.5:
-                out.append(None)
-                continue
-            flat_o = np.concatenate([init_ols[b].ravel(),
-                                     ols[b, :Tb].ravel()])
-            words = flat_o[flat_o != 0].tolist()
-            flat_i = ils[b, :Tb].ravel()
-            tids = flat_i[flat_i != 0].tolist()
-            out.append((words, tids, float(best_cost[b])))
-        return out
+        from kaldi_tpu.decoder.hostpack import pack4, unpack4
+        from kaldi_tpu.decoder.dense import _parse_label_seqs
+        # [B, T, R] label sequences + costs packed for ONE device->host
+        # transfer at finish() time
+        packed, shapes = pack4(ols, ils, init_ols, best_cost)
+        nf = np.asarray(num_frames)
+
+        def finish():
+            o_, i_, n_, c_ = unpack4(np.asarray(packed), shapes)
+            return _parse_label_seqs(o_, i_, n_, c_, nf)
+
+        return finish
+
+    def decode(self, loglikes, num_frames: np.ndarray):
+        return self.decode_async(loglikes, num_frames)()

@@ -268,6 +268,43 @@ def _dense_decode_assoc(
     return ols, ils, init_ols, cost
 
 
+def _parse_label_seqs(ols, ils, init_ols, cost, num_frames):
+    """Host parse shared by the dense and beam decoders: strip label-0
+    padding -> per-utterance (words, tids, total_cost) or None."""
+    out = []
+    for b in range(len(num_frames)):
+        Tb = int(num_frames[b])
+        if cost[b] >= BIG * 0.5:
+            out.append(None)
+            continue
+        flat_o = np.concatenate([init_ols[b].ravel(),
+                                 ols[b, :Tb].ravel()])
+        words = flat_o[flat_o != 0].tolist()
+        flat_i = ils[b, :Tb].ravel()
+        tids = flat_i[flat_i != 0].tolist()
+        out.append((words, tids, float(cost[b])))
+    return out
+
+
+_mask_cache: dict = {}
+
+
+def _device_mask(num_frames: np.ndarray, T: int):
+    """Device-resident frame-validity mask [B, T], cached by value.
+
+    Streaming/bench loops call decode with the same lengths every batch;
+    re-uploading the mask each call costs a host->device transfer on the
+    critical path (expensive over a tunneled TPU link)."""
+    key = (num_frames.tobytes(), T)
+    m = _mask_cache.get(key)
+    if m is None:
+        if len(_mask_cache) > 256:
+            _mask_cache.clear()
+        m = jnp.asarray(np.arange(T)[None, :] < num_frames[:, None])
+        _mask_cache[key] = m
+    return m
+
+
 @dataclasses.dataclass(frozen=True)
 class DenseDecoderOpts:
     eps_expansions: int = 3
@@ -320,38 +357,40 @@ class DenseViterbiDecoder:
         self._il_e = jnp.asarray(il[emit].astype(np.int32))
         self._ol_z = jnp.asarray(self._z_np[2].astype(np.int32))
 
-    def decode(self, loglikes, num_frames: np.ndarray):
+    def decode_async(self, loglikes, num_frames: np.ndarray):
+        """Launch the decode program and return a finisher callable.
+
+        The device program is dispatched immediately; calling the
+        returned thunk performs the single device->host transfer and the
+        host-side parse. Lets a serving loop overlap batch N+1's compute
+        with batch N's result fetch (the streaming analogue of the
+        reference's TaskSequencer pipelining)."""
+        from kaldi_tpu.decoder.hostpack import pack4, unpack4
         o = self.opts
         B, T, P = loglikes.shape
-        mask = np.arange(T)[None, :] < np.asarray(num_frames)[:, None]
+        nf = np.asarray(num_frames)
+        mask = _device_mask(nf, T)
         ll = jnp.asarray(loglikes) * o.acoustic_scale
         fn = (_dense_decode_assoc
               if self.graph.num_states <= o.assoc_max_states
               else _dense_decode)
         ols, ils, init_ols, cost = fn(
-            ll, jnp.asarray(mask),
+            ll, mask,
             self._e[0], self._e[1], self._e[2], self._e[3],
             self._ol_e, self._il_e,
             self._z[0], self._z[1], self._z[2], self._ol_z,
             self._final, int(self.graph.start),
             int(self.graph.num_states), int(o.eps_expansions))
-        ols = np.asarray(ols)
-        ils = np.asarray(ils)
-        init_ols = np.asarray(init_ols)
-        cost = np.asarray(cost)
-        out = []
-        for b in range(B):
-            Tb = int(num_frames[b])
-            if cost[b] >= BIG * 0.5:
-                out.append(None)
-                continue
-            flat_o = np.concatenate([init_ols[b].ravel(),
-                                     ols[b, :Tb].ravel()])
-            words = flat_o[flat_o != 0].tolist()
-            flat_i = ils[b, :Tb].ravel()
-            tids = flat_i[flat_i != 0].tolist()
-            out.append((words, tids, float(cost[b])))
-        return out
+        packed, shapes = pack4(ols, ils, init_ols, cost)
+
+        def finish():
+            ols, ils, init_ols, cost = unpack4(np.asarray(packed), shapes)
+            return _parse_label_seqs(ols, ils, init_ols, cost, nf)
+
+        return finish
+
+    def decode(self, loglikes, num_frames: np.ndarray):
+        return self.decode_async(loglikes, num_frames)()
 
 
 def make_decoder(graph: PackedGraph, beam_opts=None,

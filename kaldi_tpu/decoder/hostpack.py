@@ -1,0 +1,59 @@
+"""Single-round-trip device->host result transfer for the decoders.
+
+Fetching the decode outputs (olabels, ilabels, init olabels, costs) as
+four separate np.asarray calls costs four device->host round trips; on a
+remote/tunneled TPU each round trip is tens of milliseconds of latency,
+which dominated the whole pipeline (the decode program itself runs in
+<1 ms). Packing everything into ONE int32 buffer on device makes the
+host sync a single transfer.
+
+(ref: the reference decoder has no analogue — it is host-resident; this
+is the TPU-native replacement for its result marshalling.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def _pack4(ols, ils, init_ols, cost):
+    """-> one [B, n_ol + n_il + n_init + 1] int32 buffer (cost bitcast)."""
+    B = ols.shape[0]
+    return jnp.concatenate([
+        ols.reshape(B, -1).astype(jnp.int32),
+        ils.reshape(B, -1).astype(jnp.int32),
+        init_ols.reshape(B, -1).astype(jnp.int32),
+        jax.lax.bitcast_convert_type(
+            cost.astype(jnp.float32), jnp.int32).reshape(B, 1),
+    ], axis=1)
+
+
+def pack4(ols, ils, init_ols, cost):
+    """Device-side pack; -> (packed device buffer, shapes) for unpack4."""
+    return _pack4(ols, ils, init_ols, cost), (ols.shape, ils.shape,
+                                              init_ols.shape)
+
+
+def unpack4(buf: np.ndarray, shapes):
+    """Host-side unpack of a fetched pack4 buffer."""
+    shp_o, shp_i, shp_n = shapes
+    n_o = int(np.prod(shp_o[1:]))
+    n_i = int(np.prod(shp_i[1:]))
+    n_n = int(np.prod(shp_n[1:]))
+    out_o = buf[:, :n_o].reshape(shp_o)
+    out_i = buf[:, n_o: n_o + n_i].reshape(shp_i)
+    out_n = buf[:, n_o + n_i: n_o + n_i + n_n].reshape(shp_n)
+    out_c = buf[:, -1].view(np.float32)
+    return out_o, out_i, out_n, out_c
+
+
+def fetch4(ols, ils, init_ols, cost):
+    """Fetch the four decode outputs with ONE device->host transfer.
+
+    -> (ols, ils, init_ols, cost) as numpy arrays with original shapes.
+    """
+    packed, shapes = pack4(ols, ils, init_ols, cost)
+    return unpack4(np.asarray(packed), shapes)

@@ -103,3 +103,22 @@ def test_train_epochs_small_corpus_pads_batch():
     opts = NnetTrainOpts(num_epochs=1, minibatch_size=16)
     params2, hist = train_epochs(model, params, egs, opts)
     assert hist and np.isfinite(hist[0][2])
+
+
+def test_tdnn_bf16_inference_close_to_f32():
+    """bf16 MXU fast path: log-posteriors near f32, argmax agrees."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from kaldi_tpu.nnet.tdnn import Tdnn, TdnnConfig
+    cfg = TdnnConfig(feat_dim=8, num_pdfs=32, hidden_dim=64,
+                     pnorm_output_dim=16,
+                     splice_indexes=((-1, 0, 1), (0,)))
+    model = Tdnn(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 20, 8), np.float32)
+    f32 = np.asarray(model.apply(params, x))
+    bf16 = np.asarray(model.apply(params, x, compute_dtype=jnp.bfloat16))
+    assert np.abs(f32 - bf16).max() < 0.15
+    agree = (f32.argmax(-1) == bf16.argmax(-1)).mean()
+    assert agree > 0.95
