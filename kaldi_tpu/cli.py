@@ -604,6 +604,27 @@ def cmd_lattice_lmrescore_const_arpa(args):
     write_lattice_ark(args.out_ark, out)
 
 
+def cmd_lattice_to_ctm_conf(args):
+    """Best-path CTM with MBR word confidences
+    (ref: latbin/lattice-to-ctm-conf.cc): 'utt chan start dur word conf'
+    with times in seconds."""
+    from kaldi_tpu.lat.io import read_lattice_ark
+    from kaldi_tpu.lat.functions import (lattice_scale, best_path_ctm)
+    from kaldi_tpu.lat.mbr import mbr_decode, word_confidences
+    for key, lat in read_lattice_ark(args.lattice_ark):
+        lattice_scale(lat, lm_scale=args.lm_scale,
+                      acoustic_scale=args.acoustic_scale)
+        ctm = best_path_ctm(lat)
+        words, bins = mbr_decode(lat)
+        confs = word_confidences(words, bins)
+        conf_of = ({w: c for w, c in zip(words, confs)}
+                   if len(words) == len(confs) else {})
+        for (w, s0, dur) in ctm:
+            c = conf_of.get(w, 1.0)
+            print(f"{key} 1 {s0 * args.frame_shift:.2f} "
+                  f"{dur * args.frame_shift:.2f} {w} {c:.2f}")
+
+
 def cmd_compile_train_graphs(args):
     """Per-utterance training graphs from transcripts
     (ref: bin/compile-train-graphs.cc); prints states/arcs per utt."""
@@ -871,6 +892,13 @@ def main(argv=None):
     q.add_argument("model")
     q.add_argument("text")
     q.set_defaults(func=cmd_compile_train_graphs)
+
+    q = sub.add_parser("lattice-to-ctm-conf")
+    q.add_argument("lattice_ark")
+    q.add_argument("--lm-scale", type=float, default=1.0)
+    q.add_argument("--acoustic-scale", type=float, default=0.1)
+    q.add_argument("--frame-shift", type=float, default=0.01)
+    q.set_defaults(func=cmd_lattice_to_ctm_conf)
 
     q = sub.add_parser("mkgraph")
     q.add_argument("model")

@@ -373,3 +373,102 @@ def lattice_interp(a: Lattice, b: Lattice, alpha: float = 0.5):
         out.add_arc(cur, 0, 0, cost, 0.0, term)
         out.set_final(term)
     return out if found else None
+
+
+def phone_align_lattice(lat: Lattice, tm, replace_output_symbols=False):
+    """Re-arc a tid-level lattice so every arc spans exactly one phone
+    instance (phone boundaries = arc boundaries).
+
+    (ref: lat/phone-align-lattice.h PhoneAlignLattice — mid-phone lattice
+    states are split away; each output arc carries one whole phone's tids
+    with summed costs, the word olabel of the first merged arc — or the
+    phone id with replace_output_symbols, like --replace-output-symbols.)
+
+    Output states exist only at phone boundaries; a BFS item carries
+    (lattice state, buffered arcs of the open phone, origin out-state).
+    A phone is complete when its final transition-id has been buffered
+    and (reordered convention) any trailing self-loops of that final
+    transition state have been swallowed.
+    """
+    from collections import deque
+
+    out = Lattice()
+    key2id: dict = {}
+
+    def get(ls):
+        s = key2id.get(ls)
+        if s is None:
+            s = out.add_state()
+            key2id[ls] = s
+        return s
+
+    def final_ts(buf):
+        for (t, _o, _g, _a) in buf:
+            if tm.is_final(t):
+                return tm.transition_id_to_transition_state(t)
+        return None
+
+    def flush(origin, buf, dst_ls):
+        tids = tuple(t for (t, _o, _g, _a) in buf)
+        gc = sum(g for (_t, _o, g, _a) in buf)
+        ac = sum(a for (_t, _o, _g, a) in buf)
+        ol = next((o for (_t, o, _g, _a) in buf if o != 0), 0)
+        if replace_output_symbols:
+            ol = tm.transition_id_to_phone(tids[0])
+        dst = get(dst_ls)
+        out.add_arc(origin, tids[0], ol, gc, ac, dst)
+        arc = out.arcs[origin][-1]
+        arc.tids = tids
+        return dst
+
+    out.start = get(lat.start)
+    items = deque([(lat.start, (), get(lat.start))])
+    seen = {(lat.start, (), get(lat.start))}
+
+    def push(item):
+        if item not in seen:
+            seen.add(item)
+            items.append(item)
+
+    while items:
+        ls, buf, origin = items.popleft()
+        if ls in lat.finals and not buf:
+            g, a = lat.finals[ls]
+            out.set_final(key2id[ls], g, a)
+        fts = final_ts(buf)
+        for arc in lat.arcs[ls]:
+            info = (arc.ilabel, arc.olabel, arc.graph_cost,
+                    arc.acoustic_cost)
+            if arc.ilabel == 0:
+                # eps/word-only arc: a phone boundary must already hold
+                if buf:
+                    if fts is None:
+                        continue  # mid-phone eps: ill-formed path, drop
+                    origin2 = flush(origin, buf, ls)
+                else:
+                    origin2 = origin
+                dst = get(arc.nextstate)
+                out.add_arc(origin2, 0, arc.olabel, arc.graph_cost,
+                            arc.acoustic_cost, dst)
+                push((arc.nextstate, (), dst))
+                continue
+            tid = arc.ilabel
+            if fts is not None:
+                # open phone is complete; this tid either extends it
+                # (trailing self-loop of the final transition state,
+                # reordered convention) or starts the next phone
+                if (tm.is_self_loop(tid)
+                        and tm.transition_id_to_transition_state(tid)
+                        == fts):
+                    push((arc.nextstate, buf + (info,), origin))
+                else:
+                    origin2 = flush(origin, buf, ls)
+                    push((arc.nextstate, (info,), origin2))
+            else:
+                push((arc.nextstate, buf + (info,), origin))
+        # a completed phone ending exactly at a final lattice state
+        if buf and fts is not None and ls in lat.finals:
+            dst = flush(origin, buf, ls)
+            g, a = lat.finals[ls]
+            out.set_final(dst, g, a)
+    return out.connect()

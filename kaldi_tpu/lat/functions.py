@@ -311,3 +311,52 @@ def rescore_nbest(paths, lm, words_table, lm_scale=1.0, old_lm_costs=None):
         old = old_lm_costs[k] if old_lm_costs else 0.0
         out.append((words, tids, cost - old + lm_scale * new_lm))
     return sorted(out, key=lambda x: x[2])
+
+
+def best_path_ctm(lat: Lattice):
+    """Best-path word timings: [(word, start_frame, dur_frames)].
+
+    A word starts at the frame of the arc that EMITS its olabel and ends
+    where the next word starts (or the path ends) — the tid-level lattice
+    has one frame per emitting (ilabel != 0) arc
+    (ref: latbin/lattice-to-ctm-conf.cc one-best mode; MBR sausage times
+    replace these when --decode-mbr is on).
+    """
+    res = lattice_best_path(lat)
+    if res is None:
+        return []
+    order = lat.topological_order()
+    n = lat.num_states
+    alpha = np.full(n, INF)
+    back: list = [None] * n
+    alpha[lat.start] = 0.0
+    for s in order:
+        if alpha[s] == INF:
+            continue
+        for a in lat.arcs[s]:
+            c = alpha[s] + a.cost
+            if c < alpha[a.nextstate]:
+                alpha[a.nextstate] = c
+                back[a.nextstate] = (s, a)
+    best_s, best_c = -1, INF
+    for s, (g, ac) in lat.finals.items():
+        if alpha[s] + g + ac < best_c:
+            best_c, best_s = alpha[s] + g + ac, s
+    arcs = []
+    s = best_s
+    while back[s] is not None:
+        p, a = back[s]
+        arcs.append(a)
+        s = p
+    arcs.reverse()
+    ctm = []
+    t = 0
+    for a in arcs:
+        if a.olabel:
+            ctm.append([a.olabel, t, 0])
+        if a.ilabel:
+            t += 1
+            if ctm:
+                ctm[-1][2] = t - ctm[-1][1]
+    # close any zero-duration word at path end
+    return [(w, s0, max(d, 1)) for (w, s0, d) in ctm]

@@ -101,3 +101,49 @@ def test_lattice_subcommands(tmp_path, capsys):
         f.write("u 7 9\n")
     out = _run(["lattice-oracle", lark, ref], capsys)
     assert out.split()[0] == "u" and out.split()[1] == "0"
+
+
+def test_lattice_to_ctm_conf(tmp_path, capsys):
+    lark = _toy_lattice_ark(tmp_path)
+    out = _run(["lattice-to-ctm-conf", lark, "--acoustic-scale", "1.0",
+                "--frame-shift", "0.01"], capsys)
+    lines = [l.split() for l in out.strip().splitlines()]
+    # best path: arcs 7 then 9 (cost 1.5 < 2.0); two words, 1 frame each
+    assert [l[4] for l in lines] == ["7", "9"]
+    assert lines[0][2] == "0.00" and lines[0][3] == "0.01"
+    assert lines[1][2] == "0.01"
+    assert all(0.0 <= float(l[5]) <= 1.0 for l in lines)
+
+
+def test_check_packed_graph_valid_and_invalid():
+    """Graph verifier: silent on the yesno-style graph, raises on
+    corruption (the nnet3 ComputationChecker analogue for decode)."""
+    import dataclasses
+    import numpy as np
+    from kaldi_tpu.decoder.graph_pack import PackedGraph
+    from kaldi_tpu.decoder.verify import check_packed_graph
+    g = PackedGraph(
+        start=0,
+        arc_start=np.array([0, 2, 3, 3], np.int32),
+        ilabel=np.array([5, 0, 6], np.int32),
+        olabel=np.array([1, 0, 2], np.int32),
+        cost=np.array([0.5, 0.1, 0.2], np.float32),
+        nextstate=np.array([1, 2, 2], np.int32),
+        pdf=np.array([3, -1, 4], np.int32),
+        final=np.array([np.inf, np.inf, 0.0], np.float32))
+    check_packed_graph(g, num_pdfs=5)  # silent
+    bad = dataclasses.replace(
+        g, nextstate=np.array([1, 5, 2], np.int32))
+    import pytest
+    with pytest.raises(ValueError, match="nextstate"):
+        check_packed_graph(bad)
+    bad2 = dataclasses.replace(g, pdf=np.array([3, -1, 9], np.int32))
+    with pytest.raises(ValueError, match="num_pdfs"):
+        check_packed_graph(bad2, num_pdfs=5)
+    # eps-before-emitting ordering violation
+    bad3 = dataclasses.replace(
+        g,
+        ilabel=np.array([0, 5, 6], np.int32),
+        pdf=np.array([-1, 3, 4], np.int32))
+    with pytest.raises(ValueError, match="emitting-first"):
+        check_packed_graph(bad3)

@@ -244,3 +244,61 @@ def test_compressed_matrix_roundtrip():
     assert np.median(err) < np.median(col_range) / 100.0
     # storage ~ 1 byte per element
     assert c.nbytes < x.size * 1.2 + 200
+
+
+def test_phone_align_lattice_linear():
+    """A linear tid lattice splits into one arc per phone instance with
+    summed costs and the word label preserved
+    (ref: lat/phone-align-lattice.h)."""
+    import numpy as np
+    from kaldi_tpu.hmm.topology import HmmTopology
+    from kaldi_tpu.hmm.transition_model import TransitionModel
+    from kaldi_tpu.lat.lattice import Lattice
+    from kaldi_tpu.lat.align import phone_align_lattice
+    topo = HmmTopology.three_state([1, 2], num_states=1)
+    tm = TransitionModel(topo, lambda ph, pc: ph - 1)
+    fwd = {}
+    sl = {}
+    for tid in range(1, tm.num_transition_ids + 1):
+        ph = tm.transition_id_to_phone(tid)
+        if tm.is_self_loop(tid):
+            sl[ph] = tid
+        else:
+            fwd[ph] = tid
+    # phone 1 for 2 frames (fwd, sl), then phone 2 for 1 frame (fwd);
+    # word 9 on the first arc
+    ali = [(fwd[1], 9), (sl[1], 0), (fwd[2], 0)]
+    lat = Lattice()
+    states = [lat.add_state() for _ in range(len(ali) + 1)]
+    lat.start = states[0]
+    for k, (tid, w) in enumerate(ali):
+        lat.add_arc(states[k], tid, w, 0.1, 0.5, states[k + 1])
+    lat.set_final(states[-1])
+    # NOTE: in our 1-state reordered convention fwd IS the phone-final
+    # transition; its self-loop frames trail it
+    al = phone_align_lattice(lat, tm)
+    paths = []
+    s = al.start
+    arcs_per_phone = []
+    while True:
+        assert len(al.arcs[s]) <= 1
+        if not al.arcs[s]:
+            break
+        a = al.arcs[s][0]
+        arcs_per_phone.append(a)
+        s = a.nextstate
+    assert len(arcs_per_phone) == 2  # two phone instances
+    a1, a2 = arcs_per_phone
+    assert getattr(a1, "tids") == (fwd[1], sl[1])
+    assert getattr(a2, "tids") == (fwd[2],)
+    assert a1.olabel == 9 and a2.olabel == 0
+    assert abs(a1.graph_cost - 0.2) < 1e-6
+    assert abs(a1.acoustic_cost - 1.0) < 1e-6
+    # replace_output_symbols: phone ids on the arcs
+    al2 = phone_align_lattice(lat, tm, replace_output_symbols=True)
+    ols = []
+    s = al2.start
+    while al2.arcs[s]:
+        ols.append(al2.arcs[s][0].olabel)
+        s = al2.arcs[s][0].nextstate
+    assert ols == [1, 2]

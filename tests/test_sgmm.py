@@ -184,3 +184,43 @@ def test_speaker_vector_adaptation(sgmm_setup):
     accs1.accumulate(model, spk_feats, spk_post, num_gselect=4, spk=spk)
     adapted = accs1.tot_like / accs1.tot_frames
     assert adapted > base, (base, adapted)
+
+
+def test_sgmm2_fmllr_recovers_feature_transform(sgmm_setup):
+    """Corrupt features with a known affine map; SGMM fMLLR must improve
+    the likelihood and largely undo the corruption
+    (ref: sgmm2/fmllr-sgmm2.h — randomized recovery check like
+    fmllr-sgmm2-test.cc)."""
+    from kaldi_tpu.sgmm import Sgmm2Accs, update_sgmm2
+    from kaldi_tpu.sgmm.fmllr import (FmllrSgmm2Accs, estimate_sgmm2_fmllr,
+                                      apply_fmllr)
+    model, feats, post, rng = sgmm_setup
+    import copy
+    m = copy.deepcopy(model)
+    for _ in range(4):
+        accs = Sgmm2Accs(m)
+        accs.accumulate(m, feats, post)
+        m = update_sgmm2(m, accs, ("vc", "Mc"))
+    D = feats.shape[1]
+    A = np.eye(D) * 0.7
+    b = np.full(D, 0.8)
+    bad = feats @ A.T + b
+
+    def total_ll(x):
+        gsel = m.gselect(x)
+        return sum(m.log_likelihood(j, x[t], gsel[t])
+                   for t, frame in enumerate(post) for (j, _w) in frame)
+
+    ll_bad = total_ll(bad)
+    fa = FmllrSgmm2Accs(m)
+    fa.accumulate(m, bad, post)
+    W, impr = estimate_sgmm2_fmllr(fa, m)
+    assert impr > 0.0
+    fixed = apply_fmllr(W, bad)
+    ll_fixed = total_ll(fixed)
+    assert ll_fixed > ll_bad + 0.2 * len(post)  # clearly better per frame
+    # low occupancy -> identity
+    fa2 = FmllrSgmm2Accs(m)
+    W2, impr2 = estimate_sgmm2_fmllr(fa2, m)
+    np.testing.assert_allclose(W2[:, :D], np.eye(D))
+    assert impr2 == 0.0
