@@ -58,17 +58,21 @@ def check_packed_graph(graph, num_pdfs: int | None = None) -> None:
                 errs.append(f"emitting arc pdf >= num_pdfs ({num_pdfs})")
             if (pdf[~emit] != -1).any():
                 errs.append("eps arc with pdf != -1")
-    # per-state emitting-before-eps ordering (packing contract)
-    if len(a0) == S + 1 and not errs:
-        for s in range(S):
-            seg = il[a0[s]: a0[s + 1]]
-            if len(seg) > 1:
-                is_eps = seg == 0
-                if (np.diff(is_eps.astype(np.int8)) < 0).any():
-                    errs.append(
-                        f"state {s}: eps arc before an emitting arc "
-                        "(emitting-first packing violated)")
-                    break
+    # per-state emitting-before-eps ordering (packing contract) — O(A)
+    # vectorized: an eps->emitting transition inside a state is a
+    # violation; transitions that cross a state boundary are exempt
+    if len(a0) == S + 1 and not errs and A > 1:
+        is_eps = (il == 0).astype(np.int8)
+        bad = np.diff(is_eps) < 0                   # eps then emitting
+        boundary = np.zeros(A - 1, bool)
+        starts = a0[1:-1]                           # interior boundaries
+        boundary[starts[(starts > 0) & (starts < A)] - 1] = True
+        viol = np.where(bad & ~boundary)[0]
+        if len(viol):
+            s = int(np.searchsorted(a0, viol[0], side="right") - 1)
+            errs.append(
+                f"state {s}: eps arc before an emitting arc "
+                "(emitting-first packing violated)")
     if errs:
         raise ValueError("packed graph verification failed:\n  "
                          + "\n  ".join(errs))

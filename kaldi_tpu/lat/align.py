@@ -408,6 +408,21 @@ def phone_align_lattice(lat: Lattice, tm, replace_output_symbols=False):
                 return tm.transition_id_to_transition_state(t)
         return None
 
+    emitted: set = set()
+
+    def add_arc_once(src, il, ol, gc, ac, dst, tids=None):
+        """Converging BFS items can ask for the same output arc (e.g.
+        two items flushing the same completed phone at a multi-fanout
+        state, or the same eps arc from a shared boundary state) —
+        dedup so path multiplicity is preserved exactly."""
+        key = (src, il, ol, round(gc, 9), round(ac, 9), dst, tids)
+        if key in emitted:
+            return
+        emitted.add(key)
+        out.add_arc(src, il, ol, gc, ac, dst)
+        if tids is not None:
+            out.arcs[src][-1].tids = tids
+
     def flush(origin, buf, dst_ls):
         tids = tuple(t for (t, _o, _g, _a) in buf)
         gc = sum(g for (_t, _o, g, _a) in buf)
@@ -416,9 +431,7 @@ def phone_align_lattice(lat: Lattice, tm, replace_output_symbols=False):
         if replace_output_symbols:
             ol = tm.transition_id_to_phone(tids[0])
         dst = get(dst_ls)
-        out.add_arc(origin, tids[0], ol, gc, ac, dst)
-        arc = out.arcs[origin][-1]
-        arc.tids = tids
+        add_arc_once(origin, tids[0], ol, gc, ac, dst, tids)
         return dst
 
     out.start = get(lat.start)
@@ -448,8 +461,8 @@ def phone_align_lattice(lat: Lattice, tm, replace_output_symbols=False):
                 else:
                     origin2 = origin
                 dst = get(arc.nextstate)
-                out.add_arc(origin2, 0, arc.olabel, arc.graph_cost,
-                            arc.acoustic_cost, dst)
+                add_arc_once(origin2, 0, arc.olabel, arc.graph_cost,
+                             arc.acoustic_cost, dst)
                 push((arc.nextstate, (), dst))
                 continue
             tid = arc.ilabel

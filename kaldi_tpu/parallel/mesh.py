@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -59,16 +60,10 @@ def decode_sharded(decoder, loglikes, num_frames, mesh: Mesh):
     B must be divisible by the data-axis size. Works with both
     DenseViterbiDecoder and BeamSearchDecoder.
     """
-    import numpy as np
     B = loglikes.shape[0]
     ddim = mesh.shape["data"]
     assert B % ddim == 0, (B, ddim)
-    ll = jax.device_put(jnp_asarray(loglikes),
+    ll = jax.device_put(jnp.asarray(loglikes),
                         batch_sharding(mesh, 3))
     with mesh:
         return decoder.decode(ll, np.asarray(num_frames))
-
-
-def jnp_asarray(x):
-    import jax.numpy as jnp
-    return jnp.asarray(x)

@@ -69,13 +69,18 @@ def estimate_sgmm2_fmllr(accs: FmllrSgmm2Accs, model: AmSgmm2,
         sign, logdet = np.linalg.slogdet(W[:, :D])
         if sign <= 0:
             return -np.inf
-        quad = np.einsum("ide,df,ifg,eg->", Sinv, W, G, W)
+        # pairwise contraction (NOT one naive 4-operand einsum, which
+        # iterates the full I*D*D*(D+1)^2 index space): WG_i = W G_i,
+        # then sum_i tr(Sigma_i^-1 W G_i W^T)
+        WG = np.einsum("df,ifg->idg", W, G, optimize=True)   # [I, D, D+1]
+        quad = np.einsum("ide,ieg,dg->", Sinv, WG, W, optimize=True)
         return beta * logdet - 0.5 * quad + np.sum(K * W)
 
     def grad(W):
         g = np.zeros_like(W)
         g[:, :D] = beta * np.linalg.inv(W[:, :D]).T
-        g -= np.einsum("ide,ef,ifg->dg", Sinv, W, G)
+        WG = np.einsum("ef,ifg->ieg", W, G, optimize=True)
+        g -= np.einsum("ide,ieg->dg", Sinv, WG, optimize=True)
         return g + K
 
     W = ident.copy()

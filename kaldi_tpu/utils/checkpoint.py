@@ -19,9 +19,18 @@ import numpy as np
 import jax
 
 
+def _savable(arr: np.ndarray) -> np.ndarray:
+    """np.savez silently stores ml_dtypes leaves (bfloat16/fp8) as raw
+    void arrays that np.load cannot interpret — upcast them losslessly
+    to float32 for storage; load_checkpoint(like=...) casts back."""
+    if arr.dtype.kind not in "biufc":
+        return arr.astype(np.float32)
+    return arr
+
+
 def _flatten(tree):
     flat = jax.tree_util.tree_leaves_with_path(tree)
-    return {jax.tree_util.keystr(path): np.asarray(leaf)
+    return {jax.tree_util.keystr(path): _savable(np.asarray(leaf))
             for path, leaf in flat}
 
 
@@ -37,7 +46,9 @@ def save_checkpoint(ckpt_dir: str, step: int, tree, keep: int = 3,
         meta = {"step": step, "keys": sorted(flat.keys()),
                 "extra": extra or {}}
         with open(os.path.join(tmp, "meta.json"), "w") as f:
-            json.dump(meta, f)
+            # default=str: numpy/JAX scalars in `extra` (losses etc.)
+            # must not abort the checkpoint mid-training
+            json.dump(meta, f, default=str)
         final = os.path.join(ckpt_dir, f"step_{step:010d}")
         if os.path.exists(final):
             shutil.rmtree(final)
@@ -78,9 +89,12 @@ def load_checkpoint(ckpt_dir: str, step: int | None = None,
     arrs = np.load(os.path.join(d, "arrays.npz"))
     flat = {k.replace("╱", "/"): arrs[k] for k in arrs.files}
     if like is not None:
-        paths = [jax.tree_util.keystr(p)
-                 for p, _l in jax.tree_util.tree_leaves_with_path(like)]
-        leaves = [flat[p] for p in paths]
+        like_flat = jax.tree_util.tree_leaves_with_path(like)
+        paths = [jax.tree_util.keystr(p) for p, _l in like_flat]
+        # restore non-native dtypes (bf16/fp8 stored as f32 — see _savable)
+        leaves = [flat[p].astype(np.asarray(l).dtype)
+                  if np.asarray(l).dtype != flat[p].dtype else flat[p]
+                  for p, (_kp, l) in zip(paths, like_flat)]
         tree = jax.tree_util.tree_unflatten(
             jax.tree_util.tree_structure(like), leaves)
         return step, tree, meta.get("extra", {})

@@ -23,7 +23,6 @@ class Experiment:
                  from_stage: str | None = None):
         self.dir = exp_dir
         os.makedirs(exp_dir, exist_ok=True)
-        self._force = from_stage is not None
         self._from_stage = from_stage
         self._seen_from = False
         if config is not None:

@@ -54,6 +54,11 @@ def run_jobs(n_jobs: int, task, log_dir: str | None = None,
                 f.flush()
                 rc = subprocess.run(cmd, shell=True, stdout=f,
                                     stderr=subprocess.STDOUT).returncode
+                # accounting line like run.pl: a failed job's log must be
+                # distinguishable even when the command wrote no output
+                f.write(f"# job {job} "
+                        + ("ok" if rc == 0 else f"FAILED rc={rc}")
+                        + f" in {time.time() - t0:.2f}s\n")
             return (rc == 0, None)
         except Exception as e:  # noqa: BLE001 — job isolation
             if log_path:

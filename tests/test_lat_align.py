@@ -302,3 +302,47 @@ def test_phone_align_lattice_linear():
         ols.append(al2.arcs[s][0].olabel)
         s = al2.arcs[s][0].nextstate
     assert ols == [1, 2]
+
+
+def test_phone_align_lattice_branching_no_duplicate_arcs():
+    """Regression: a completed phone at a state with multiple outgoing
+    arcs must be flushed ONCE, not once per successor arc (duplicates
+    double path multiplicity in downstream forward-backward)."""
+    import numpy as np
+    from kaldi_tpu.hmm.topology import HmmTopology
+    from kaldi_tpu.hmm.transition_model import TransitionModel
+    from kaldi_tpu.lat.lattice import Lattice
+    from kaldi_tpu.lat.align import phone_align_lattice
+    topo = HmmTopology.three_state([1, 2, 3], num_states=1)
+    tm = TransitionModel(topo, lambda ph, pc: ph - 1)
+    fwd, sl = {}, {}
+    for tid in range(1, tm.num_transition_ids + 1):
+        ph = tm.transition_id_to_phone(tid)
+        (sl if tm.is_self_loop(tid) else fwd)[ph] = tid
+    lat = Lattice()
+    s = [lat.add_state() for _ in range(4)]
+    lat.start = s[0]
+    # phone 1 (2 frames), then branch: phone 2 or phone 3
+    lat.add_arc(s[0], fwd[1], 7, 0.0, 0.5, s[1])
+    lat.add_arc(s[1], sl[1], 0, 0.0, 0.5, s[2])
+    lat.add_arc(s[2], fwd[2], 8, 0.0, 1.0, s[3])
+    lat.add_arc(s[2], fwd[3], 9, 0.0, 2.0, s[3])
+    lat.set_final(s[3])
+    al = phone_align_lattice(lat, tm)
+    # start state must have exactly ONE arc (the single phone-1 instance)
+    assert len(al.arcs[al.start]) == 1
+    a1 = al.arcs[al.start][0]
+    assert a1.tids == (fwd[1], sl[1])
+    # its destination branches into phone 2 and phone 3
+    nxt = al.arcs[a1.nextstate]
+    assert sorted(a.olabel for a in nxt) == [8, 9]
+    # path count preserved: exactly 2 full paths
+    n_paths = 0
+    stack = [(al.start, 0)]
+    while stack:
+        st, depth = stack.pop()
+        if st in al.finals and not al.arcs[st]:
+            n_paths += 1
+        for a in al.arcs[st]:
+            stack.append((a.nextstate, depth + 1))
+    assert n_paths == 2

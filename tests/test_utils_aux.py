@@ -74,3 +74,37 @@ def test_profiler_and_guards():
     check_finite({"a": np.ones(3)})
     with pytest.raises(FloatingPointError, match="'b'"):
         check_finite({"a": np.ones(3), "b": np.array([1.0, np.nan])})
+
+
+def test_checkpoint_bf16_roundtrip(tmp_path):
+    """Regression: bf16 leaves silently became void arrays through
+    np.savez; they must round-trip (stored as f32, cast back on load)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import ml_dtypes
+    from kaldi_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
+    tree = {"w": jnp.asarray(np.arange(6, dtype=np.float32).reshape(2, 3),
+                             jnp.bfloat16),
+            "b": np.ones(3, np.float32)}
+    d = str(tmp_path / "ck")
+    # numpy scalar in extra must not crash the json dump either
+    save_checkpoint(d, 1, tree, extra={"loss": np.float32(1.5)})
+    step, back, extra = load_checkpoint(d, like=tree)
+    assert step == 1
+    assert np.asarray(back["w"]).dtype == ml_dtypes.bfloat16
+    np.testing.assert_allclose(np.asarray(back["w"], np.float32),
+                               np.asarray(tree["w"], np.float32))
+
+
+def test_run_jobs_failure_marker(tmp_path):
+    """run.pl contract: a failed job's log carries an accounting line
+    (regression: silent-failure logs looked identical to success)."""
+    import pytest
+    from kaldi_tpu.utils.jobs import run_jobs, JobFailure
+    d = str(tmp_path)
+    with pytest.raises(JobFailure):
+        run_jobs(2, "exit JOB", log_dir=d, name="t")
+    log1 = open(f"{d}/t.1.log").read()
+    log2 = open(f"{d}/t.2.log").read()
+    assert "FAILED rc=1" in log1
+    assert "FAILED rc=2" in log2
