@@ -604,6 +604,59 @@ def cmd_lattice_lmrescore_const_arpa(args):
     write_lattice_ark(args.out_ark, out)
 
 
+def cmd_lattice_determinize(args, key, lat):
+    from kaldi_tpu.lat.functions import determinize_lattice
+    return determinize_lattice(lat, beam=args.beam if args.beam > 0
+                               else None)
+
+
+def cmd_lattice_push(args, key, lat):
+    from kaldi_tpu.lat.align import push_lattice
+    return push_lattice(lat)
+
+
+def cmd_lattice_minimize(args, key, lat):
+    from kaldi_tpu.lat.align import minimize_lattice
+    return minimize_lattice(lat)
+
+
+def cmd_lattice_union(args):
+    """Per-key union of two lattice arks (ref: latbin/lattice-union.cc)."""
+    from kaldi_tpu.lat.io import read_lattice_ark, write_lattice_ark
+    from kaldi_tpu.lat.align import lattice_union
+    a = dict(read_lattice_ark(args.ark_a))
+    b = dict(read_lattice_ark(args.ark_b))
+    out = {}
+    for key in sorted(set(a) | set(b)):
+        if key in a and key in b:
+            out[key] = lattice_union(a[key], b[key])
+        else:
+            out[key] = a.get(key) or b[key]
+    write_lattice_ark(args.out_ark, out)
+
+
+def cmd_lattice_interp(args):
+    """Weighted lattice interpolation (ref: latbin/lattice-interp.cc)."""
+    from kaldi_tpu.lat.io import read_lattice_ark, write_lattice_ark
+    from kaldi_tpu.lat.align import lattice_interp
+    a = dict(read_lattice_ark(args.ark_a))
+    b = dict(read_lattice_ark(args.ark_b))
+    out = {}
+    for key in sorted(set(a) & set(b)):
+        out[key] = lattice_interp(a[key], b[key], args.alpha)
+    write_lattice_ark(args.out_ark, out)
+
+
+def cmd_nbest_to_linear(args):
+    """Split each lattice's n-best into numbered linear transcripts
+    (ref: latbin/nbest-to-linear.cc output contract: per-path words)."""
+    from kaldi_tpu.lat.io import read_lattice_ark
+    from kaldi_tpu.lat.functions import nbest
+    for key, lat in read_lattice_ark(args.lattice_ark):
+        for i, (words, tids, cost) in enumerate(nbest(lat, args.n)):
+            print(f"{key}-{i + 1} " + " ".join(str(w) for w in words))
+
+
 def cmd_lattice_to_ctm_conf(args):
     """Best-path CTM with MBR word confidences
     (ref: latbin/lattice-to-ctm-conf.cc): 'utt chan start dur word conf'
@@ -892,6 +945,40 @@ def main(argv=None):
     q.add_argument("model")
     q.add_argument("text")
     q.set_defaults(func=cmd_compile_train_graphs)
+
+    q = sub.add_parser("lattice-determinize")
+    q.add_argument("lattice_ark")
+    q.add_argument("out_ark")
+    q.add_argument("--beam", type=float, default=0.0)
+    q.set_defaults(func=_load_lattice_cmd(cmd_lattice_determinize))
+
+    q = sub.add_parser("lattice-push")
+    q.add_argument("lattice_ark")
+    q.add_argument("out_ark")
+    q.set_defaults(func=_load_lattice_cmd(cmd_lattice_push))
+
+    q = sub.add_parser("lattice-minimize")
+    q.add_argument("lattice_ark")
+    q.add_argument("out_ark")
+    q.set_defaults(func=_load_lattice_cmd(cmd_lattice_minimize))
+
+    q = sub.add_parser("lattice-union")
+    q.add_argument("ark_a")
+    q.add_argument("ark_b")
+    q.add_argument("out_ark")
+    q.set_defaults(func=cmd_lattice_union)
+
+    q = sub.add_parser("lattice-interp")
+    q.add_argument("ark_a")
+    q.add_argument("ark_b")
+    q.add_argument("out_ark")
+    q.add_argument("--alpha", type=float, default=0.5)
+    q.set_defaults(func=cmd_lattice_interp)
+
+    q = sub.add_parser("nbest-to-linear")
+    q.add_argument("lattice_ark")
+    q.add_argument("--n", type=int, default=10)
+    q.set_defaults(func=cmd_nbest_to_linear)
 
     q = sub.add_parser("lattice-to-ctm-conf")
     q.add_argument("lattice_ark")

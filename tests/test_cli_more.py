@@ -147,3 +147,33 @@ def test_check_packed_graph_valid_and_invalid():
         pdf=np.array([-1, 3, 4], np.int32))
     with pytest.raises(ValueError, match="emitting-first"):
         check_packed_graph(bad3)
+
+
+def test_lattice_surgery_subcommands(tmp_path, capsys):
+    lark = _toy_lattice_ark(tmp_path)
+    dark = str(tmp_path / "det.ark")
+    main(["lattice-determinize", lark, dark])
+    out = _run(["lattice-to-nbest", dark, "--n", "5"], capsys)
+    assert "u-1" in out
+
+    park = str(tmp_path / "push.ark")
+    main(["lattice-push", lark, park])
+    mark = str(tmp_path / "min.ark")
+    main(["lattice-minimize", lark, mark])
+    # total best cost invariant under push/minimize
+    for ark in (park, mark):
+        out = _run(["lattice-to-nbest", ark, "--n", "1"], capsys)
+        assert float(out.split()[1]) == pytest.approx(1.5, abs=1e-4)
+
+    uark = str(tmp_path / "u.ark")
+    main(["lattice-union", lark, lark, uark])
+    out = _run(["lattice-to-nbest", uark, "--n", "5"], capsys)
+    assert "u-1" in out
+
+    iark = str(tmp_path / "i.ark")
+    main(["lattice-interp", lark, lark, iark, "--alpha", "0.5"])
+    out = _run(["lattice-to-nbest", iark, "--n", "1"], capsys)
+    assert float(out.split()[1]) == pytest.approx(1.5, abs=1e-2)
+
+    out = _run(["nbest-to-linear", lark, "--n", "2"], capsys)
+    assert out.splitlines()[0].startswith("u-1 ")
