@@ -182,3 +182,77 @@ def test_make_decoder_dispatch(yesno_graph):
     assert isinstance(d, DenseViterbiDecoder)
     d2 = make_decoder(packed, dense_threshold=1)
     assert isinstance(d2, BeamSearchDecoder)
+
+
+def test_checkpointed_traceback_matches_full_arena():
+    """_dense_decode_ckpt must produce identical results to the full
+    arena path, including with T not a multiple of the chunk and
+    per-utterance lengths."""
+    import dataclasses
+    import numpy as np
+    import jax.numpy as jnp
+    from kaldi_tpu.decoder.dense import DenseViterbiDecoder, DenseDecoderOpts
+    from kaldi_tpu.decoder.graph_pack import PackedGraph
+    rng = np.random.RandomState(7)
+    S, deg, P = 120, 3, 16
+    A = S * deg
+    arc_start = np.arange(S + 1, dtype=np.int32) * deg
+    il = np.zeros(A, np.int32)
+    ol = np.zeros(A, np.int32)
+    pdf = np.full(A, -1, np.int32)
+    nxt = rng.randint(0, S, A).astype(np.int32)
+    cost = rng.uniform(0.1, 2.0, A).astype(np.float32)
+    for k in range(deg - 1):
+        idx = np.arange(S) * deg + k
+        il[idx] = rng.randint(1, 40, S)
+        pdf[idx] = rng.randint(0, P, S)
+        ol[idx] = rng.randint(0, 6, S)
+    final = np.full(S, np.inf, np.float32)
+    final[rng.randint(0, S, 10)] = 0.0
+    g = PackedGraph(start=0, arc_start=arc_start, ilabel=il, olabel=ol,
+                    cost=cost, nextstate=nxt, pdf=pdf, final=final)
+    B, T = 3, 37   # deliberately not a multiple of the chunk
+    ll = rng.randn(B, T, P).astype(np.float32)
+    nf = np.array([37, 20, 31], np.int32)
+    dec_full = DenseViterbiDecoder(g, DenseDecoderOpts(acoustic_scale=0.3))
+    dec_ckpt = DenseViterbiDecoder(
+        g, DenseDecoderOpts(acoustic_scale=0.3, traceback_chunk=8))
+    out_full = dec_full.decode(ll, nf)
+    out_ckpt = dec_ckpt.decode(ll, nf)
+    for b in range(B):
+        assert (out_full[b] is None) == (out_ckpt[b] is None)
+        if out_full[b] is None:
+            continue
+        wf, tf, cf = out_full[b]
+        wc, tc, cc = out_ckpt[b]
+        assert wf == wc, b
+        assert tf == tc, b
+        assert abs(cf - cc) < 1e-3, b
+
+
+def test_make_decoder_picks_checkpointed_dense():
+    from kaldi_tpu.decoder.dense import (make_decoder, DenseViterbiDecoder)
+    from kaldi_tpu.decoder.beam_search import (BeamSearchDecoder,
+                                               BeamSearchOpts)
+    import numpy as np
+    from kaldi_tpu.decoder.graph_pack import PackedGraph
+    S = 5000
+    g = PackedGraph(start=0,
+                    arc_start=np.zeros(S + 1, np.int32),
+                    ilabel=np.zeros(0, np.int32),
+                    olabel=np.zeros(0, np.int32),
+                    cost=np.zeros(0, np.float32),
+                    nextstate=np.zeros(0, np.int32),
+                    pdf=np.zeros(0, np.int32),
+                    final=np.zeros(S, np.float32))
+    # small batch: full arena fits -> plain dense
+    d = make_decoder(g, batch_hint=(4, 100))
+    assert isinstance(d, DenseViterbiDecoder)
+    assert d.opts.traceback_chunk == 0
+    # big batch: arena too big -> checkpointed dense
+    d = make_decoder(g, batch_hint=(64, 2000))
+    assert isinstance(d, DenseViterbiDecoder)
+    assert d.opts.traceback_chunk > 0
+    # enormous graph -> beam
+    d = make_decoder(g, dense_threshold=1000)
+    assert isinstance(d, BeamSearchDecoder)
