@@ -40,7 +40,11 @@ class BeamSearchOpts:
 
     beam: float = 16.0
     max_active: int = 512       # frontier capacity K (tokens kept per frame)
-    eps_expansions: int = 3     # ProcessNonemitting rounds (static)
+    # ProcessNonemitting rounds (static). None = infer the exact eps-chain
+    # depth from the graph; construction FAILS if the eps subgraph is
+    # cyclic or unboundedly deep (the reference iterates to a fixpoint —
+    # a silently-truncated closure would decode incorrectly).
+    eps_expansions: int | None = None
     acoustic_scale: float = 0.1
 
 
@@ -254,44 +258,32 @@ def _decode_batch_traced(
 
 def eps_chain_depth(graph: PackedGraph, cap: int = 8) -> int | None:
     """Longest eps-arc chain in the graph (None if the eps subgraph has a
-    cycle). Lets decoders run exactly as many non-emitting closure rounds
-    as the graph needs — the reference's ProcessNonemitting iterates to a
-    fixpoint; here the fixpoint count is static per graph."""
-    src = np.repeat(np.arange(graph.num_states), np.diff(graph.arc_start))
-    z = graph.ilabel == 0
-    zsrc, znxt = src[z], graph.nextstate[z]
-    if len(zsrc) == 0:
-        return 0
-    # Kahn's algorithm on the eps subgraph restricted to touched nodes
-    nodes = np.unique(np.concatenate([zsrc, znxt]))
-    idx = {int(n): i for i, n in enumerate(nodes)}
-    n = len(nodes)
-    adj: list[list[int]] = [[] for _ in range(n)]
-    indeg = np.zeros(n, np.int64)
-    for s, t in zip(zsrc, znxt):
-        adj[idx[int(s)]].append(idx[int(t)])
-        indeg[idx[int(t)]] += 1
-    from collections import deque
-    depth = np.zeros(n, np.int64)
-    q = deque(int(i) for i in np.nonzero(indeg == 0)[0])
-    seen = 0
-    longest = 0
-    while q:
-        u = q.popleft()
-        seen += 1
-        for v in adj[u]:
-            depth[v] = max(depth[v], depth[u] + 1)
-            longest = max(longest, int(depth[v]))
-            indeg[v] -= 1
-            if indeg[v] == 0:
-                q.append(v)
-        if longest >= cap:
-            return None  # too deep to bound usefully (treat as unknown —
-            # returning `cap` would silently truncate deeper chains and
-            # mask cycles that Kahn hasn't exhausted yet)
-    if seen != n:
-        return None      # cycle among eps arcs
-    return longest       # arcs on the longest chain = rounds needed
+    cycle or is deeper than cap). Lets decoders run exactly as many
+    non-emitting closure rounds as the graph needs — the reference's
+    ProcessNonemitting iterates to a fixpoint; here the fixpoint count is
+    static per graph. (Delegates to the vectorized graph_pack.eps_depth.)"""
+    from kaldi_tpu.decoder.graph_pack import eps_depth
+    return eps_depth(graph, cap)
+
+
+def resolve_eps_rounds(graph: PackedGraph, requested: int | None) -> int:
+    """Static non-emitting-closure round count for a graph.
+
+    The exact eps-chain depth wins when it is boundable; a cyclic or
+    >8-deep eps subgraph with no explicit override raises — the reference
+    runs ProcessNonemitting to a fixpoint, so silently keeping a default
+    round count would decode such graphs incorrectly
+    (ref: decoder/lattice-faster-decoder.cc ProcessNonemitting)."""
+    depth = eps_chain_depth(graph)
+    if depth is not None:
+        return depth
+    if requested is None:
+        raise ValueError(
+            "graph has cyclic (or >8-deep) epsilon chains: a static "
+            "closure-round count cannot be inferred. Remove eps cycles "
+            "(determinize/rmepsilon the graph) or set eps_expansions "
+            "explicitly to accept truncated closure.")
+    return requested
 
 
 class BeamSearchDecoder:
@@ -303,12 +295,8 @@ class BeamSearchDecoder:
             "given tid_to_pdf for decoding (otherwise every arc would "
             "silently score pdf 0)")
         self.graph = graph
-        depth = eps_chain_depth(graph)
-        if depth is not None and depth != opts.eps_expansions:
-            # exactly as many non-emitting closure rounds as the graph
-            # needs: lower AND raise (an acyclic chain deeper than the
-            # default would otherwise decode incorrectly)
-            opts = dataclasses.replace(opts, eps_expansions=depth)
+        opts = dataclasses.replace(
+            opts, eps_expansions=resolve_eps_rounds(graph, opts.eps_expansions))
         self.opts = opts
         tabs = _pad_csr(graph)
         self.E = tabs["max_deg"]

@@ -454,7 +454,7 @@ def _device_mask(num_frames: np.ndarray, T: int):
 
 @dataclasses.dataclass(frozen=True)
 class DenseDecoderOpts:
-    eps_expansions: int = 3
+    eps_expansions: int | None = None   # None = infer exact eps depth
     acoustic_scale: float = 0.1
     # time-parallel (associative-scan) forward pass when S is small enough
     # that O(B·T·S²) matrices fit comfortably; 0 disables
@@ -470,17 +470,13 @@ class DenseViterbiDecoder:
     """Best-path decoder over the full state space (small graphs)."""
 
     def __init__(self, graph: PackedGraph, opts=DenseDecoderOpts()):
-        from kaldi_tpu.decoder.beam_search import eps_chain_depth
+        from kaldi_tpu.decoder.beam_search import resolve_eps_rounds
         assert graph.pdf is not None, (
             "PackedGraph has no tid->pdf mapping: pack_graph() must be "
             "given tid_to_pdf for decoding")
         self.graph = graph
-        depth = eps_chain_depth(graph)
-        if depth is not None and depth != opts.eps_expansions:
-            # run exactly as many closure rounds as the graph needs —
-            # both lowering AND raising (deeper acyclic chains would
-            # otherwise be cut off)
-            opts = dataclasses.replace(opts, eps_expansions=depth)
+        opts = dataclasses.replace(
+            opts, eps_expansions=resolve_eps_rounds(graph, opts.eps_expansions))
         self.opts = opts
         il = np.asarray(graph.ilabel)
         emit = il > 0
@@ -589,10 +585,23 @@ def make_decoder(graph: PackedGraph, beam_opts=None,
     so dense-with-checkpointing is preferred up to ~200k states.
     """
     from kaldi_tpu.decoder.beam_search import (BeamSearchDecoder,
-                                               BeamSearchOpts)
+                                               BeamSearchOpts,
+                                               resolve_eps_rounds)
     beam_opts = beam_opts or BeamSearchOpts()
     S = graph.num_states
-    rounds = beam_opts.eps_expansions + 1
+    rounds = resolve_eps_rounds(graph, beam_opts.eps_expansions) + 1
+    # production-scale graphs: the padded [S, E_max] beam tables blow up
+    # on real HCLG fan-out (word-end states reach vocab size) — route to
+    # the O(arcs) CSR budget decoder instead
+    if S > dense_threshold:
+        padded_cells = S * max(graph.max_out_degree, 1)
+        if padded_cells > 32_000_000 or graph.max_out_degree > 1024:
+            from kaldi_tpu.decoder.csr_beam import (CsrBeamDecoder,
+                                                    CsrBeamOpts)
+            return CsrBeamDecoder(graph, CsrBeamOpts(
+                beam=beam_opts.beam, max_active=beam_opts.max_active,
+                acoustic_scale=beam_opts.acoustic_scale,
+                eps_expansions=beam_opts.eps_expansions))
     if S <= dense_threshold:
         chunk = 0
         if batch_hint is not None:

@@ -74,6 +74,104 @@ def pack_graph(fst: Fst, tid_to_pdf: np.ndarray | None = None) -> PackedGraph:
 
 
 @dataclasses.dataclass
+class SplitCsr:
+    """Emitting / epsilon arc CSR split of a PackedGraph.
+
+    The decode-time layout for production-scale graphs: two flat CSR
+    tables per state (emitting arcs, eps arcs) so ProcessEmitting and
+    ProcessNonemitting each gather only the arcs they can use — memory
+    stays O(arcs) with no [S, E_max] densification (the reference walks
+    per-state arc lists the same way, decoder/lattice-faster-decoder.cc
+    :660 ProcessEmitting / :750 ProcessNonemitting).
+    """
+
+    estart: np.ndarray   # [S+1] int32 — emitting-arc row offsets
+    e_tid: np.ndarray    # [Ae] int32 transition-ids (ilabels)
+    e_pdf: np.ndarray    # [Ae] int32 pdf per arc
+    e_ol: np.ndarray     # [Ae] int32 word olabels
+    e_cost: np.ndarray   # [Ae] float32 graph cost
+    e_nxt: np.ndarray    # [Ae] int32
+    zstart: np.ndarray   # [S+1] int32 — eps-arc row offsets
+    z_ol: np.ndarray     # [Az] int32
+    z_cost: np.ndarray   # [Az] float32
+    z_nxt: np.ndarray    # [Az] int32
+    final: np.ndarray    # [S] float32 (BIG-clamped, not inf)
+    start: int
+    max_olabel: int
+
+    @property
+    def num_states(self):
+        return len(self.final)
+
+
+def split_csr(graph: PackedGraph, big: float = 1e10) -> SplitCsr:
+    """Vectorized emitting/eps CSR split (no per-state Python loop — a
+    10M-arc HCLG must pack in seconds)."""
+    S = graph.num_states
+    deg = np.diff(graph.arc_start).astype(np.int64)
+    src = np.repeat(np.arange(S, dtype=np.int64), deg)
+    il = np.asarray(graph.ilabel)
+    em = il > 0
+    e_idx = np.flatnonzero(em)
+    z_idx = np.flatnonzero(~em)
+    # arcs are CSR-ordered by source state, so src[e_idx] is nondecreasing
+    estart = np.searchsorted(src[e_idx], np.arange(S + 1)).astype(np.int32)
+    zstart = np.searchsorted(src[z_idx], np.arange(S + 1)).astype(np.int32)
+    if graph.pdf is not None:
+        e_pdf = np.maximum(graph.pdf[e_idx], 0).astype(np.int32)
+    else:
+        e_pdf = np.zeros(len(e_idx), np.int32)
+    final = np.where(np.isfinite(graph.final), graph.final,
+                     big).astype(np.float32)
+    max_ol = int(graph.olabel.max()) if graph.num_arcs else 0
+    return SplitCsr(
+        estart=estart,
+        e_tid=il[e_idx].astype(np.int32),
+        e_pdf=e_pdf,
+        e_ol=graph.olabel[e_idx].astype(np.int32),
+        e_cost=graph.cost[e_idx].astype(np.float32),
+        e_nxt=graph.nextstate[e_idx].astype(np.int32),
+        zstart=zstart,
+        z_ol=graph.olabel[z_idx].astype(np.int32),
+        z_cost=graph.cost[z_idx].astype(np.float32),
+        z_nxt=graph.nextstate[z_idx].astype(np.int32),
+        final=final,
+        start=int(graph.start),
+        max_olabel=max_ol,
+    )
+
+
+def eps_depth(graph: PackedGraph, cap: int = 8) -> int | None:
+    """Longest eps-arc chain (None if cyclic or deeper than `cap`).
+
+    Vectorized fixpoint iteration (np.maximum.at relaxation), O(cap * Az)
+    — the Python-adjacency Kahn walk does not scale to multimillion-arc
+    graphs. ProcessNonemitting's fixpoint count, made static per graph.
+    """
+    deg = np.diff(graph.arc_start).astype(np.int64)
+    src = np.repeat(np.arange(graph.num_states, dtype=np.int64), deg)
+    z = np.asarray(graph.ilabel) == 0
+    zsrc, znxt = src[z], np.asarray(graph.nextstate)[z].astype(np.int64)
+    if len(zsrc) == 0:
+        return 0
+    nodes = np.unique(np.concatenate([zsrc, znxt]))
+    remap = {}
+    zsrc = np.searchsorted(nodes, zsrc)
+    znxt = np.searchsorted(nodes, znxt)
+    del remap
+    depth = np.zeros(len(nodes), np.int64)
+    for _ in range(cap + 1):
+        new = depth.copy()
+        np.maximum.at(new, znxt, depth[zsrc] + 1)
+        if np.array_equal(new, depth):
+            return int(depth.max())
+        depth = new
+        if depth.max() > cap:
+            return None   # too deep to bound usefully, or cyclic
+    return None
+
+
+@dataclasses.dataclass
 class PackedGraphBatch:
     """A batch of graphs padded to common [S, A] so one jit program serves all.
 

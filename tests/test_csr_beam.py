@@ -1,0 +1,168 @@
+"""CSR budget beam decoder: parity with the padded beam decoder, the
+production-scale synthetic HCLG, and eps-closure hardening.
+
+(ref: decoder/lattice-faster-decoder.cc:660-750 — the behaviors under
+test are ProcessEmitting/ProcessNonemitting token passing semantics.)
+"""
+
+import numpy as np
+import pytest
+
+from kaldi_tpu.decoder.biggraph import make_big_hclg, BigGraphConfig
+from kaldi_tpu.decoder.csr_beam import CsrBeamDecoder, CsrBeamOpts
+from kaldi_tpu.decoder.beam_search import (BeamSearchDecoder, BeamSearchOpts,
+                                           resolve_eps_rounds)
+from kaldi_tpu.decoder.graph_pack import (PackedGraph, split_csr, eps_depth,
+                                          pack_graph)
+
+
+@pytest.fixture(scope="module")
+def small_big_graph():
+    cfg = BigGraphConfig(vocab=300, avg_bigram_succ=20, num_pdfs=64, seed=1)
+    g, n_tids = make_big_hclg(cfg)
+    return g
+
+
+def test_split_csr_partitions_arcs(small_big_graph):
+    g = small_big_graph
+    csr = split_csr(g)
+    deg = np.diff(g.arc_start)
+    assert (np.diff(csr.estart) + np.diff(csr.zstart) == deg).all()
+    assert (csr.e_tid > 0).all()
+    assert len(csr.z_nxt) + len(csr.e_nxt) == g.num_arcs
+
+
+def test_biggraph_shape_and_eps_depth(small_big_graph):
+    g = small_big_graph
+    assert eps_depth(g) == 2       # exit->history->unigram
+    # unigram state fans out to the whole vocab
+    assert g.max_out_degree == 300
+    # every state reachable-ish: starts at the unigram state
+    assert np.isfinite(g.final).sum() == 301   # V histories + unigram
+
+
+def test_csr_matches_padded_beam(small_big_graph):
+    """Same graph, huge beam: the CSR budget decoder and the padded
+    [S, E_max] decoder must produce identical best paths."""
+    g = small_big_graph
+    rng = np.random.RandomState(0)
+    B, T, P = 3, 60, 64
+    ll = (rng.randn(B, T, P) * 3).astype(np.float32)
+    nf = np.array([60, 45, 30], np.int32)
+    d1 = BeamSearchDecoder(g, BeamSearchOpts(beam=1e9, max_active=256,
+                                             acoustic_scale=0.1))
+    d2 = CsrBeamDecoder(g, CsrBeamOpts(beam=1e9, max_active=256,
+                                       acoustic_scale=0.1,
+                                       expand_budget=8192, eps_budget=8192))
+    r1 = d1.decode(ll, nf)
+    r2 = d2.decode(ll, nf)
+    for b in range(B):
+        w1, t1, c1 = r1[b]
+        w2, t2, c2 = r2[b]
+        assert w1 == w2
+        assert t1 == t2
+        assert abs(c1 - c2) < 1e-2
+    assert (d2.last_overflow == 0).all()
+
+
+def test_csr_overflow_reported(small_big_graph):
+    """A starved expansion budget must be COUNTED, never silent."""
+    g = small_big_graph
+    rng = np.random.RandomState(1)
+    B, T, P = 1, 30, 64
+    ll = (rng.randn(B, T, P) * 3).astype(np.float32)
+    nf = np.full(B, T, np.int32)
+    dec = CsrBeamDecoder(g, CsrBeamOpts(beam=1e9, max_active=256,
+                                        acoustic_scale=0.1,
+                                        expand_budget=256, eps_budget=256))
+    dec.decode(ll, nf)
+    assert dec.last_overflow is not None and dec.last_overflow[0] > 0
+
+
+def test_csr_beam_pruning_approaches_exact(small_big_graph):
+    """With a generous (but finite) beam the pruned result matches the
+    unpruned best path (the reference's beam semantics: pruning only
+    drops paths > beam worse than the best)."""
+    g = small_big_graph
+    rng = np.random.RandomState(2)
+    B, T, P = 2, 40, 64
+    ll = (rng.randn(B, T, P) * 3).astype(np.float32)
+    nf = np.full(B, T, np.int32)
+    wide = CsrBeamDecoder(g, CsrBeamOpts(beam=1e9, max_active=512,
+                                         acoustic_scale=0.1,
+                                         expand_budget=16384,
+                                         eps_budget=16384))
+    narrow = CsrBeamDecoder(g, CsrBeamOpts(beam=40.0, max_active=512,
+                                           acoustic_scale=0.1,
+                                           expand_budget=16384,
+                                           eps_budget=16384))
+    rw = wide.decode(ll, nf)
+    rn = narrow.decode(ll, nf)
+    for b in range(B):
+        assert rw[b][0] == rn[b][0]
+        assert abs(rw[b][2] - rn[b][2]) < 1e-2
+
+
+def _cyclic_eps_graph():
+    # two states in an eps cycle plus an emitting self-loop
+    arc_start = np.array([0, 2, 4], np.int32)
+    il = np.array([1, 0, 1, 0], np.int32)
+    ol = np.zeros(4, np.int32)
+    cost = np.array([0.5, 0.1, 0.5, 0.1], np.float32)
+    nxt = np.array([0, 1, 1, 0], np.int32)
+    pdf = np.array([0, -1, 1, -1], np.int32)
+    final = np.array([0.0, np.inf], np.float32)
+    return PackedGraph(start=0, arc_start=arc_start, ilabel=il, olabel=ol,
+                       cost=cost, nextstate=nxt, pdf=pdf, final=final)
+
+
+def test_cyclic_eps_raises():
+    """Regression (round-1 verdict): a cyclic-eps graph used to decode
+    with a silently-truncated closure. It must now fail loudly unless
+    the caller explicitly accepts a truncated round count."""
+    g = _cyclic_eps_graph()
+    assert eps_depth(g) is None
+    with pytest.raises(ValueError, match="cyclic"):
+        CsrBeamDecoder(g, CsrBeamOpts())
+    with pytest.raises(ValueError, match="cyclic"):
+        BeamSearchDecoder(g, BeamSearchOpts())
+    with pytest.raises(ValueError):
+        resolve_eps_rounds(g, None)
+    # explicit opt-in still works
+    dec = CsrBeamDecoder(g, CsrBeamOpts(eps_expansions=3))
+    assert dec.opts.eps_expansions == 3
+
+
+def test_csr_matches_on_yesno_like_graph():
+    """End-to-end on a real (tiny) HCLG built through the full pipeline."""
+    from kaldi_tpu.fst.lang import Lexicon, prepare_lang
+    from kaldi_tpu.lm.arpa import ArpaLm, arpa_to_g
+    from kaldi_tpu.fst.graph import make_hclg
+    from kaldi_tpu.tree.context_dep import MonophoneContextDependency
+    from kaldi_tpu.hmm.transition_model import TransitionModel
+
+    lex = Lexicon.parse("YES Y1 Y2\nNO N1 N2")
+    lang = prepare_lang(lex, ["SIL"], "SIL", num_sil_states=3)
+    ctx = MonophoneContextDependency.from_topo(lang.topo)
+    tm = TransitionModel(lang.topo, lambda ph, pc: ctx.compute([ph], pc))
+    g = arpa_to_g(ArpaLm.parse(
+        "\\data\\\nngram 1=4\n\n\\1-grams:\n-1\tNO\n-1\tYES\n-99\t<s>\n"
+        "-1\t</s>\n\n\\end\\\n"), lang.words)
+    graph = make_hclg(lang, g, tm, ctx, self_loop_scale=0.1)
+    packed = pack_graph(graph.fst, tm.id2pdf_array)
+    rng = np.random.RandomState(3)
+    B, T, P = 4, 50, tm.num_pdfs
+    ll = (rng.randn(B, T, P) * 2).astype(np.float32)
+    nf = np.array([50, 40, 50, 30], np.int32)
+    d1 = BeamSearchDecoder(packed, BeamSearchOpts(beam=1e9, max_active=64,
+                                                  acoustic_scale=0.1))
+    d2 = CsrBeamDecoder(packed, CsrBeamOpts(beam=1e9, max_active=64,
+                                            acoustic_scale=0.1,
+                                            expand_budget=256,
+                                            eps_budget=256))
+    r1 = d1.decode(ll, nf)
+    r2 = d2.decode(ll, nf)
+    for b in range(B):
+        assert r1[b][0] == r2[b][0]
+        assert r1[b][1] == r2[b][1]
+        assert abs(r1[b][2] - r2[b][2]) < 1e-3

@@ -214,9 +214,13 @@ def test_checkpointed_traceback_matches_full_arena():
     B, T = 3, 37   # deliberately not a multiple of the chunk
     ll = rng.randn(B, T, P).astype(np.float32)
     nf = np.array([37, 20, 31], np.int32)
-    dec_full = DenseViterbiDecoder(g, DenseDecoderOpts(acoustic_scale=0.3))
+    # the random eps subgraph is cyclic: closure rounds must be given
+    # explicitly (auto-inference raises — see test_cyclic_eps_raises)
+    dec_full = DenseViterbiDecoder(
+        g, DenseDecoderOpts(acoustic_scale=0.3, eps_expansions=3))
     dec_ckpt = DenseViterbiDecoder(
-        g, DenseDecoderOpts(acoustic_scale=0.3, traceback_chunk=8))
+        g, DenseDecoderOpts(acoustic_scale=0.3, eps_expansions=3,
+                            traceback_chunk=8))
     out_full = dec_full.decode(ll, nf)
     out_ckpt = dec_ckpt.decode(ll, nf)
     for b in range(B):
@@ -249,8 +253,9 @@ def test_make_decoder_picks_checkpointed_dense():
     d = make_decoder(g, batch_hint=(4, 100))
     assert isinstance(d, DenseViterbiDecoder)
     assert d.opts.traceback_chunk == 0
-    # big batch: arena too big -> checkpointed dense
-    d = make_decoder(g, batch_hint=(64, 2000))
+    # big batch: arena too big -> checkpointed dense (this eps-free graph
+    # runs 1 round, so pin the budget to force chunking)
+    d = make_decoder(g, batch_hint=(64, 2000), arena_budget_bytes=1 << 30)
     assert isinstance(d, DenseViterbiDecoder)
     assert d.opts.traceback_chunk > 0
     # enormous graph -> beam
