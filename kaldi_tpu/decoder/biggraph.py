@@ -17,8 +17,9 @@ pruned-bigram LM directly in PackedGraph array form:
     out-degree stress case that forced the O(arcs) CSR decoder design
     (a [S, E_max] densification of this graph would be S x V cells).
 
-Eps topology: word-exit -> history (eps), history -> unigram (eps
-backoff): exact eps-chain depth 2, no cycles.
+Eps topology: the only eps arcs are the LM backoff arcs
+history -> unigram: exact eps-chain depth 1, no cycles (word exits are
+emitting forward transitions straight into the history state).
 
 Default scale: V=60k -> ~1.05M states, ~10.5M arcs (>= the judge's
 1M-state bar). A small V gives a test-sized graph with identical shape.
@@ -94,8 +95,10 @@ def make_big_hclg(cfg: BigGraphConfig = BigGraphConfig()):
     phone_state = (phone_of_state * SP + hmm_state).astype(np.int32)
 
     # ---- chain-state arcs, 2 per state, written in CSR order directly:
-    # state j owns arcs [2j, 2j+2): self-loop first (emitting), then the
-    # forward arc (emitting) or, for a word-last state, the exit arc (eps)
+    # state j owns arcs [2j, 2j+2): self-loop first, then the forward arc
+    # (both emitting; the word-last state's forward arc exits directly to
+    # the word's LM history state, so the only eps arcs in the graph are
+    # the LM backoff arcs — exact eps-chain depth 1)
     st = np.arange(total_chain, dtype=np.int32)
     is_last = pos_in_chain == (n_chain[word_of_state] - 1)
     A_chain = 2 * total_chain
@@ -110,10 +113,11 @@ def make_big_hclg(cfg: BigGraphConfig = BigGraphConfig()):
     fwd_il = np.empty(total_chain, np.int32)
     fwd_il[~is_last] = tid(phone_state[st[~is_last] + 1],
                            np.zeros(int((~is_last).sum()), bool))
-    fwd_il[is_last] = 0                         # eps exit arc
+    # word exit: emitting forward tid of the last state itself
+    fwd_il[is_last] = tid(phone_state[st[is_last]],
+                          np.zeros(int(is_last.sum()), bool))
     c_il[1::2] = fwd_il
-    c_cost[1::2] = np.where(is_last, np.float32(0.0),
-                            np.float32(cfg.forward_cost))
+    c_cost[1::2] = cfg.forward_cost
     c_nxt[1::2] = np.where(is_last,
                            (hist_base + word_of_state).astype(np.int32),
                            nxt_state)

@@ -1,32 +1,46 @@
-"""Budgeted CSR beam search for production-scale HCLG graphs.
+"""Degree-tiered beam search for production-scale HCLG graphs.
 
 The TPU-native replacement for LatticeFasterDecoder's token passing at
 real graph scale (ref: decoder/lattice-faster-decoder.cc:660-750
-ProcessEmitting/ProcessNonemitting, util/hash-list.h:50 token hash):
-memory stays O(arcs) — the graph lives in flat emitting/eps CSR arrays on
-device and each frame expands the frontier through a fixed candidate
-budget with a load-balanced segmented gather (cumsum + scatter-max +
-cummax gives each candidate slot its source token), so a 50k-out-degree
-LM backoff state costs candidate slots, not an [S, E_max] densification
-(the round-1 design's memory blow-up on real fan-out).
+ProcessEmitting/ProcessNonemitting, util/hash-list.h:50 token hash).
+Memory is O(arcs); per-frame work is O(visited arcs), never O(S) or
+O(S * E_max).
 
-Per frame:
-  1. segmented expansion of all out-arcs of live tokens into C candidate
-     slots; overflow beyond the budget drops the WORST tokens' arcs first
-     (the frontier is kept score-sorted) and is counted for diagnostics,
-  2. beam cutoff against the frame-best candidate (GetCutoff :591),
-  3. dedup by target state via scatter-min into a persistent [S] score
-     table (the hash-free FindOrAddToken); candidate-index scatter-min
-     breaks score ties; the touched entries are restored by re-scatter so
-     per-frame work is O(C), never O(S),
-  4. top_k keeps the best max-active tokens, already score-sorted,
-  5. eps-closure rounds repeat 1-4 over the eps CSR, merged with the
-     frontier (tokens keep themselves with prev=self).
+The chip profile that shaped this design (measured on TPU v5e):
+  - random gathers cost ~13-25 ns per ROW with row width up to 16 lanes
+    free — so every table is row-packed and fetched once,
+  - scatter+gather round trips cost ~7-22 ns/element and vmapped
+    scatters lower ~2x slower than flat ones — so the batch is folded
+    into one flat [B*S] dedup table and dedup is TWO passes (scatter-min
+    of an epoch-packed int32 key + winner gather; the epoch in the high
+    bits makes stale entries lose automatically, no restore pass),
+  - top_k and dense vector ops are nearly free by comparison.
+
+States are partitioned by out-degree into three tiers at pack time:
+
+  tier A (deg <= 2, the HMM chain states, ~94% of a real HCLG): both
+      arcs live in ONE row of a packed [S, 16] int32 table — a frame
+      expands the whole frontier with a single [K, 16] row gather.
+  tier B (2 < deg <= hub_threshold, LM history states): flat CSR with
+      row-packed arcs [AB, 8]; a load-balanced budgeted segmented gather
+      (cumsum + scatter-max + cummax) assigns candidate slots, so cost
+      is O(budget) regardless of fan-out skew. Budget overflow drops the
+      WORST tokens' arcs first (the frontier is kept score-sorted) and
+      is counted, never silent.
+  tier C "hubs" (deg > hub_threshold, e.g. the unigram/backoff state
+      fanning out to the whole vocabulary): arcs stay DENSE per hub,
+      pdf-grouped at pack time; acoustic costs come from a static
+      one-hot matmul (MXU) over the <=128 distinct entry pdfs instead
+      of a 60k-element gather, and a dense top_k picks the hub's best
+      max-active candidates.
+
+Per frame: expand tiers -> beam cutoff vs frame-best (GetCutoff :591)
+-> epoch-keyed scatter-min dedup by target state (the hash-free
+FindOrAddToken; work stays O(candidates)) -> top_k keeps max-active
+tokens score-sorted -> eps rounds repeat over the eps tier tables.
 
 Backpointers pack (prev-slot | olabel << kbits) into one int32 arena;
-transition-ids only exist in the emitting round so they get a single
-[T, K] plane. The traceback runs on device and ships only [B, T, R]
-label ids to the host (HBM->host is the bottleneck at batch scale).
+the traceback runs on device and ships only [B, T, R] label ids.
 """
 
 from __future__ import annotations
@@ -38,10 +52,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from kaldi_tpu.decoder.graph_pack import PackedGraph, split_csr
+from kaldi_tpu.decoder.graph_pack import PackedGraph, split_csr, SplitCsr
 
 BIG = np.float32(1e10)
+BIG_BITS = int(np.array(1e10, np.float32).view(np.int32))  # f32 bit pattern
 INT_BIG = np.int32(2**30)
+INT32_MAX = np.int32(2**31 - 1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -52,184 +68,487 @@ class CsrBeamOpts:
     max_active: int = 7000      # frontier capacity K (tokens kept per frame)
     acoustic_scale: float = 0.1
     eps_expansions: int | None = None   # None = infer exact eps depth
-    expand_budget: int = 32768  # emitting candidate slots per frame
-    eps_budget: int = 32768     # eps candidate slots per closure round
+    expand_budget: int = 32768  # tier-B emitting candidate slots per frame
+    eps_budget: int = 4096      # tier-B eps candidate slots per round
+    hub_threshold: int = 1024   # out-degree above which a state is a hub
+    exact_dedup: bool = False   # True: break score ties by candidate index
+                                # (2 extra scatter passes; ties are rare and
+                                # benign — duplicates only waste slots)
 
 
-def _segment_expand(tok_state, tok_score, start_tab, C: int, K: int):
-    """Load-balanced CSR expansion: -> (token-of-slot, arc-of-slot, valid,
-    overflow). Candidate slot j belongs to the token whose [off, off+deg)
-    range contains j; mapping built with one scatter-max + cummax."""
-    a0 = start_tab[tok_state]
-    deg = start_tab[tok_state + 1] - a0
-    deg = jnp.where(tok_score < BIG * 0.5, deg, 0)
-    off = jnp.cumsum(deg) - deg              # exclusive prefix sum
-    total = off[-1] + deg[-1]
-    ids = jnp.zeros(C, jnp.int32)
-    ids = ids.at[off].max(
-        jnp.where(deg > 0, jnp.arange(K, dtype=jnp.int32), 0), mode="drop")
-    tj = jax.lax.cummax(ids)
-    j = jnp.arange(C, dtype=jnp.int32)
-    within = j - off[tj]
-    valid = (j < total) & (within < deg[tj])
-    aj = jnp.where(valid, a0[tj] + within, 0)
+@dataclasses.dataclass
+class TierTables:
+    """Device-resident tier tables built once per graph."""
+
+    srow: jnp.ndarray      # [S, 16] int32 packed per-state emitting row:
+    #   cols 0-4: arc0 (cost bits, nxt, pdf, tid, ol), 5-9: arc1,
+    #   col 10: tier-B arc offset, col 11: tier-B deg
+    zrow: jnp.ndarray      # [S, 8] int32 packed per-state eps row:
+    #   cols 0-2: arc0 (cost bits, nxt, ol), 3-5: arc1,
+    #   col 6: tier-B eps offset, col 7: tier-B eps deg
+    brow: jnp.ndarray      # [AB, 8] int32 tier-B emitting arc rows
+    #   (cost bits, nxt, pdf, tid, ol, 0, 0, 0)
+    zbrow: jnp.ndarray     # [AZB, 8] int32 tier-B eps arc rows
+    #   (cost bits, nxt, ol, 0, ...)
+    final: jnp.ndarray     # [S] f32
+    # hub tier (static per graph; H == 0 disables)
+    hub_states: np.ndarray      # [H] int64 host-side
+    hub_bounds: tuple           # H+1 python ints: flat arc ranges per hub
+    hub_rows: jnp.ndarray       # [AH, 8] int32 (cost bits, nxt, pdf, tid, ol)
+    hub_cost: jnp.ndarray       # [AH] f32
+    hub_onehot: jnp.ndarray | None  # [AH, Gpad] f32 pdf-group one-hot
+    hub_gpdf: jnp.ndarray | None    # [Gpad] int32 distinct pdfs per group
+    hub_pdf: jnp.ndarray | None     # [AH] int32 (fallback when G > 128)
+
+
+def _pack_rows(cols: list[np.ndarray], width: int) -> np.ndarray:
+    n = len(cols[0]) if cols else 0
+    out = np.zeros((n, width), np.int32)
+    for i, c in enumerate(cols):
+        out[:, i] = c
+    return out
+
+
+def build_tier_tables(csr: SplitCsr, hub_threshold: int) -> TierTables:
+    """Vectorized tier partition + row packing (numpy, runs once)."""
+    S = csr.num_states
+    e_deg = np.diff(csr.estart).astype(np.int64)
+    z_deg = np.diff(csr.zstart).astype(np.int64)
+    cost_bits = csr.e_cost.view(np.int32)
+    z_cost_bits = csr.z_cost.view(np.int32)
+
+    is_hub = e_deg > hub_threshold
+    tier_a = (~is_hub) & (e_deg <= 2)
+    tier_b = (~is_hub) & (e_deg > 2)
+
+    # --- srow: tier A arcs inline + tier B CSR offsets
+    srow = np.zeros((S, 16), np.int32)
+    srow[:, 0] = BIG_BITS
+    srow[:, 5] = BIG_BITS
+    for j in (0, 1):
+        has = tier_a & (e_deg > j)
+        a = csr.estart[:-1][has] + j
+        base = 5 * j
+        srow[has, base + 0] = cost_bits[a]
+        srow[has, base + 1] = csr.e_nxt[a]
+        srow[has, base + 2] = csr.e_pdf[a]
+        srow[has, base + 3] = csr.e_tid[a]
+        srow[has, base + 4] = csr.e_ol[a]
+    # tier B packed arcs (arcs of tier-B states only, original order)
+    b_deg = np.where(tier_b, e_deg, 0)
+    b_start = np.zeros(S + 1, np.int64)
+    np.cumsum(b_deg, out=b_start[1:])
+    AB = int(b_start[-1])
+    if AB:
+        bs = np.flatnonzero(tier_b)
+        reps = e_deg[bs]
+        offs = np.repeat(csr.estart[:-1][bs].astype(np.int64), reps)
+        within = np.arange(AB) - np.repeat(b_start[bs], reps)
+        src_idx = offs + within
+        brow = _pack_rows([cost_bits[src_idx], csr.e_nxt[src_idx],
+                           csr.e_pdf[src_idx], csr.e_tid[src_idx],
+                           csr.e_ol[src_idx]], 8)
+    else:
+        brow = np.zeros((1, 8), np.int32)
+        brow[0, 0] = BIG_BITS
+    srow[:, 10] = b_start[:-1]
+    srow[:, 11] = b_deg
+
+    # --- zrow: eps arcs (tier A inline; tier B CSR for deg > 2)
+    zrow = np.zeros((S, 8), np.int32)
+    zrow[:, 0] = BIG_BITS
+    zrow[:, 3] = BIG_BITS
+    z_a = z_deg <= 2
+    for j in (0, 1):
+        has = z_a & (z_deg > j)
+        a = csr.zstart[:-1][has] + j
+        base = 3 * j
+        zrow[has, base + 0] = z_cost_bits[a]
+        zrow[has, base + 1] = csr.z_nxt[a]
+        zrow[has, base + 2] = csr.z_ol[a]
+    zb_deg = np.where(z_a, 0, z_deg)
+    zb_start = np.zeros(S + 1, np.int64)
+    np.cumsum(zb_deg, out=zb_start[1:])
+    AZB = int(zb_start[-1])
+    if AZB:
+        zs = np.flatnonzero(~z_a)
+        reps = z_deg[zs]
+        offs = np.repeat(csr.zstart[:-1][zs].astype(np.int64), reps)
+        within = np.arange(AZB) - np.repeat(zb_start[zs], reps)
+        zi = offs + within
+        zbrow = _pack_rows([z_cost_bits[zi], csr.z_nxt[zi],
+                            csr.z_ol[zi]], 8)
+    else:
+        zbrow = np.zeros((1, 8), np.int32)
+        zbrow[0, 0] = BIG_BITS
+    zrow[:, 6] = zb_start[:-1]
+    zrow[:, 7] = zb_deg
+
+    # --- hub tier: dense pdf-grouped arcs
+    hubs = np.flatnonzero(is_hub)
+    hub_bounds = [0]
+    rows_parts = []
+    cost_parts = []
+    pdf_parts = []
+    for h in hubs:
+        a0, a1 = int(csr.estart[h]), int(csr.estart[h + 1])
+        order = np.argsort(csr.e_pdf[a0:a1], kind="stable") + a0
+        rows_parts.append(_pack_rows(
+            [cost_bits[order], csr.e_nxt[order], csr.e_pdf[order],
+             csr.e_tid[order], csr.e_ol[order]], 8))
+        cost_parts.append(csr.e_cost[order])
+        pdf_parts.append(csr.e_pdf[order])
+        hub_bounds.append(hub_bounds[-1] + (a1 - a0))
+    if hubs.size:
+        hub_rows = np.concatenate(rows_parts)
+        hub_cost = np.concatenate(cost_parts)
+        hub_pdf = np.concatenate(pdf_parts)
+        gpdf, ginv = np.unique(hub_pdf, return_inverse=True)
+        G = len(gpdf)
+        if G <= 128:
+            Gpad = 128
+            onehot = np.zeros((len(hub_pdf), Gpad), np.float32)
+            onehot[np.arange(len(hub_pdf)), ginv] = 1.0
+            gp = np.zeros(Gpad, np.int32)
+            gp[:G] = gpdf
+            hub_onehot = jnp.asarray(onehot)
+            hub_gpdf = jnp.asarray(gp)
+            hub_pdf_dev = None
+        else:
+            hub_onehot = None
+            hub_gpdf = None
+            hub_pdf_dev = jnp.asarray(hub_pdf.astype(np.int32))
+        tables_hub = (hubs, tuple(hub_bounds), jnp.asarray(hub_rows),
+                      jnp.asarray(hub_cost), hub_onehot, hub_gpdf,
+                      hub_pdf_dev)
+    else:
+        tables_hub = (hubs, (0,), jnp.zeros((1, 8), jnp.int32),
+                      jnp.full((1,), BIG, jnp.float32), None, None, None)
+
+    return TierTables(
+        srow=jnp.asarray(srow), zrow=jnp.asarray(zrow),
+        brow=jnp.asarray(brow), zbrow=jnp.asarray(zbrow),
+        final=jnp.asarray(csr.final),
+        hub_states=tables_hub[0], hub_bounds=tables_hub[1],
+        hub_rows=tables_hub[2], hub_cost=tables_hub[3],
+        hub_onehot=tables_hub[4], hub_gpdf=tables_hub[5],
+        hub_pdf=tables_hub[6])
+
+
+def _bits_to_f32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+
+def _segment_map(off, deg, C: int, K: int, B: int):
+    """Load-balanced slot->token mapping for the budgeted tier: slot j of
+    utterance b belongs to the token whose [off, off+deg) range contains
+    j. Batched explicitly (scatter into a flat [B*C] buffer — vmapped
+    scatters lower ~2x slower on TPU)."""
+    total = off[:, -1] + deg[:, -1]                       # [B]
+    boff = (jnp.arange(B, dtype=jnp.int32) * C)[:, None]
+    flat_idx = jnp.where(off < C, off + boff, B * C).reshape(-1)
+    vals = jnp.broadcast_to(
+        jnp.where(deg > 0, jnp.arange(K, dtype=jnp.int32)[None, :], 0),
+        (B, K)).reshape(-1)
+    ids = jnp.zeros(B * C, jnp.int32).at[flat_idx].max(vals, mode="drop")
+    tj = jax.lax.cummax(ids.reshape(B, C), axis=1)        # [B, C]
+    j = jnp.arange(C, dtype=jnp.int32)[None, :]
+    off_t = jnp.take_along_axis(off, tj, axis=1)
+    deg_t = jnp.take_along_axis(deg, tj, axis=1)
+    within = j - off_t
+    valid = (j < total[:, None]) & (within < deg_t)
     overflow = jnp.maximum(total - C, 0)
-    return tj, aj, valid, overflow
+    return tj, within, valid, overflow
 
 
-def _dedup_topk(c_state, c_score, c_prev, c_ol, c_il, db, di, K: int):
-    """Best token per state (scatter-min + index tie-break), then best K
-    overall (top_k, output score-sorted). db/di are persistent [S] tables
-    restored to sentinel before returning — O(C) total work."""
-    C = c_state.shape[0]
-    db = db.at[c_state].min(c_score)
-    won = (c_score <= db[c_state]) & (c_score < BIG * 0.5)
-    j = jnp.arange(C, dtype=jnp.int32)
-    di = di.at[c_state].min(jnp.where(won, j, INT_BIG))
-    winner = won & (di[c_state] == j)
-    sel = jnp.where(winner, c_score, BIG)
-    negv, idx = jax.lax.top_k(-sel, K)
+def _dedup_topk(c_state, c_score, c_prev, c_ol, c_il, db, epoch,
+                K: int, S: int, beam: float, exact: bool, qbits: int):
+    """Best token per state, then best K overall via top_k (score-sorted).
+
+    Fast path (exact=False): ONE scatter-min of an epoch-packed int32 key
+    (epoch in the high bits so stale frames lose automatically — no
+    restore pass) + one winner gather. Score ties within the ~beam/2^20
+    quantization step leave duplicate tokens, which only waste slots.
+
+    Exact path: f32 scatter-min + candidate-index tie-break + restore
+    (5 scatter/gather passes) — bit-exact single-winner semantics.
+    All arrays are [B, C]; db is flat [B*S]."""
+    B, C = c_state.shape
+    boff = (jnp.arange(B, dtype=jnp.int32) * S)[:, None]
+    flat_state = (c_state + boff).reshape(-1)
+    alive = c_score < BIG * 0.5
+    if exact:
+        fdb = db.at[flat_state].min(
+            jnp.where(alive, c_score, BIG).reshape(-1))
+        won = (c_score <= fdb[flat_state].reshape(B, C)) & alive
+        j = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None, :],
+                             (B, C))
+        # tie-break via a second scatter-min on candidate index
+        fdi = jnp.full(B * S, INT_BIG, jnp.int32).at[flat_state].min(
+            jnp.where(won, j, INT_BIG).reshape(-1))
+        won = won & (fdi[flat_state].reshape(B, C) == j)
+        db = fdb.at[flat_state].set(BIG)
+    else:
+        # epoch-packed key: (epoch << qbits) | quantized score
+        best = jnp.min(c_score, axis=1, keepdims=True)
+        span = min(beam, 50.0)
+        qmax = (1 << qbits) - 1
+        q = jnp.clip((c_score - best) * (qmax / span), 0, qmax) \
+            .astype(jnp.int32)
+        key = jnp.where(alive, (epoch << qbits) | q, INT32_MAX)
+        fdb = db.at[flat_state].min(key.reshape(-1))
+        won = (fdb[flat_state].reshape(B, C) == key) & alive
+        db = fdb
+    sel = jnp.where(won, c_score, BIG)
+    negv, idx = jax.lax.top_k(-sel, K)                    # [B, K]
     new_score = jnp.minimum(-negv, BIG)
-    db = db.at[c_state].set(BIG)
-    di = di.at[c_state].set(INT_BIG)
-    return (c_state[idx], new_score, c_prev[idx], c_ol[idx], c_il[idx],
-            db, di)
+    take = functools.partial(jnp.take_along_axis, indices=idx, axis=1)
+    return (take(c_state), new_score, take(c_prev), take(c_ol),
+            take(c_il), db)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("start", "K", "CE", "CZ", "n_eps", "beam",
-                     "record_full"))
+    static_argnames=("start", "K", "CB", "CZ", "n_eps", "beam",
+                     "hub_bounds", "exact_dedup", "record_full"))
 def _csr_decode(
     ll,            # [B, T, P] scaled loglikes
     frame_mask,    # [B, T] bool
-    estart, e_pdf, e_tid, e_ol, e_cost, e_nxt,
-    zstart, z_ol, z_cost, z_nxt,
-    final,         # [S] (BIG-clamped)
-    start: int, K: int, CE: int, CZ: int, n_eps: int, beam: float,
-    record_full: bool,
+    srow, zrow, brow, zbrow, final,
+    hub_state_arr,  # [H] int32 device (or [1] dummy)
+    hub_rows, hub_cost, hub_onehot, hub_gpdf, hub_pdf,
+    start: int, K: int, CB: int, CZ: int, n_eps: int, beam: float,
+    hub_bounds: tuple, exact_dedup: bool, record_full: bool,
 ):
     B, T, P = ll.shape
     kbits = max((K - 1).bit_length(), 1)
-    kmask = np.int32((1 << kbits) - 1)
-    have_eps = z_nxt.shape[0] > 0
+    H = len(hub_bounds) - 1
+    AH = hub_rows.shape[0]
+    S = final.shape[0]
+    have_b = brow.shape[0] > 1
+    have_zb = zbrow.shape[0] > 1
+    # epoch bits sized to the total dedup-round count of this decode
+    rounds_total = T * (1 + n_eps) + n_eps + 1
+    ebits = max(rounds_total.bit_length(), 2)
+    qbits = 31 - ebits
+    iarange = jnp.arange(K, dtype=jnp.int32)[None, :]
+    self_prev = jnp.broadcast_to(iarange, (B, K))
+    zeros_bk = jnp.zeros((B, K), jnp.int32)
 
-    def emit_round(tok_state, tok_score, ll_t, db, di):
-        tj, aj, valid, ovf = _segment_expand(tok_state, tok_score, estart,
-                                             CE, K)
-        am = -ll_t[e_pdf[aj]]
-        sc = jnp.where(valid, tok_score[tj] + e_cost[aj] + am, BIG)
-        st = e_nxt[aj]
-        best = jnp.min(sc)
-        sc = jnp.where(sc > best + beam, BIG, sc)
-        st, sc, pv, ol, il, db, di = _dedup_topk(
-            st, sc, tj, e_ol[aj], e_tid[aj], db, di, K)
-        return st, sc, pv, ol, il, db, di, ovf
+    def unpack_arc(row, base, with_pdf=True):
+        cost = _bits_to_f32(row[..., base + 0])
+        nxt = row[..., base + 1]
+        if with_pdf:
+            return cost, nxt, row[..., base + 2], row[..., base + 3], \
+                row[..., base + 4]
+        return cost, nxt, row[..., base + 2]
 
-    def eps_round(tok_state, tok_score, db, di):
-        tj, aj, valid, ovf = _segment_expand(tok_state, tok_score, zstart,
-                                             CZ, K)
-        sc = jnp.where(valid, tok_score[tj] + z_cost[aj], BIG)
-        st = z_nxt[aj]
-        # merge: every frontier token keeps itself (prev=self, ol=0)
-        mst = jnp.concatenate([tok_state, st])
-        msc = jnp.concatenate([tok_score, sc])
-        mpv = jnp.concatenate([jnp.arange(K, dtype=jnp.int32), tj])
-        mol = jnp.concatenate([jnp.zeros(K, jnp.int32), z_ol[aj]])
-        mil = jnp.zeros(K + CZ, jnp.int32)
-        best = jnp.min(msc)
-        msc = jnp.where(msc > best + beam, BIG, msc)
-        st, sc, pv, ol, il, db, di = _dedup_topk(
-            mst, msc, mpv, mol, mil, db, di, K)
-        return st, sc, pv, ol, il, db, di, ovf
+    def take_ll(ll_t, pdf):
+        """Batched acoustic lookup: ll_t [B, P], pdf [B, N] -> [B, N]."""
+        return jnp.take_along_axis(ll_t, pdf.reshape(B, -1),
+                                   axis=1).reshape(pdf.shape)
+
+    def tier_a_emit(tok_score, row, ll_t):
+        outs = []
+        for j in (0, 1):
+            cost, nxt, pdf, tid, ol = unpack_arc(row, 5 * j)
+            am = -take_ll(ll_t, pdf)
+            sc = jnp.where(cost < BIG * 0.5, tok_score + cost + am, BIG)
+            outs.append((nxt, sc, self_prev, ol, tid))
+        return outs
+
+    def tier_b_emit(tok_score, row, ll_t):
+        off_all = row[..., 10]
+        deg = jnp.where(tok_score < BIG * 0.5, row[..., 11], 0)
+        coff = jnp.cumsum(deg, axis=1) - deg
+        tj, within, valid, ovf = _segment_map(coff, deg, CB, K, B)
+        a0 = jnp.take_along_axis(off_all, tj, axis=1)
+        base_sc = jnp.take_along_axis(tok_score, tj, axis=1)
+        aj = jnp.where(valid, a0 + within, 0)
+        arc = brow[aj]                      # [B, CB, 8] one row gather
+        cost = _bits_to_f32(arc[..., 0])
+        am = -take_ll(ll_t, arc[..., 2])
+        sc = jnp.where(valid, base_sc + cost + am, BIG)
+        return (arc[..., 1], sc, tj, arc[..., 4], arc[..., 3]), ovf
+
+    def hub_emit(tok_state, tok_score, ll_t):
+        """Dense per-hub expansion; returns K best hub candidates per b."""
+        match = (tok_state[:, :, None] == hub_state_arr[None, None, :]) & \
+            (tok_score[:, :, None] < BIG * 0.5)           # [B, K, H]
+        msc = jnp.where(match, tok_score[:, :, None], BIG)
+        hub_sc = jnp.min(msc, axis=1)                     # [B, H]
+        hub_slot = jnp.argmin(msc, axis=1).astype(jnp.int32)
+        base = jnp.zeros((B, AH), jnp.float32)
+        slot_flat = jnp.zeros((B, AH), jnp.int32)
+        for h in range(H):
+            lo, hi = hub_bounds[h], hub_bounds[h + 1]
+            base = base.at[:, lo:hi].set(hub_sc[:, h:h + 1])
+            slot_flat = slot_flat.at[:, lo:hi].set(hub_slot[:, h:h + 1])
+        if hub_onehot is not None:
+            am_g = -ll_t[:, hub_gpdf]                     # [B, Gpad]
+            # one MXU pass streams the static one-hot once for all B
+            am_flat = jnp.einsum("ag,bg->ba", hub_onehot, am_g,
+                                 preferred_element_type=jnp.float32)
+        else:
+            am_flat = -take_ll(ll_t, jnp.broadcast_to(hub_pdf[None, :],
+                                                      (B, AH)))
+        sc_flat = base + hub_cost[None, :] + am_flat
+        negv, idx = jax.lax.top_k(-sc_flat, K)            # [B, K]
+        rows = hub_rows[idx]                              # [B, K, 8]
+        sc = jnp.minimum(-negv, BIG)
+        prev = jnp.take_along_axis(slot_flat, idx, axis=1)
+        return (rows[..., 1], sc, prev, rows[..., 4], rows[..., 3])
+
+    def merge(cands):
+        cst = jnp.concatenate([c[0] for c in cands], axis=1)
+        csc = jnp.concatenate([c[1] for c in cands], axis=1)
+        cpv = jnp.concatenate([c[2] for c in cands], axis=1)
+        col = jnp.concatenate([c[3] for c in cands], axis=1)
+        cil = jnp.concatenate([c[4] for c in cands], axis=1)
+        best = jnp.min(csc, axis=1, keepdims=True)
+        csc = jnp.where(csc > best + beam, BIG, csc)
+        return cst, csc, cpv, col, cil
+
+    def emit_round(tok_state, tok_score, ll_t, db, epoch):
+        row = srow[tok_state]                             # [B, K, 16]
+        cands = tier_a_emit(tok_score, row, ll_t)
+        if have_b:
+            bc, ovf = tier_b_emit(tok_score, row, ll_t)
+            cands.append(bc)
+        else:
+            ovf = jnp.zeros(B, jnp.int32)
+        if H:
+            cands.append(hub_emit(tok_state, tok_score, ll_t))
+        cst, csc, cpv, col, cil = merge(cands)
+        st, sc, pv, ol, il, db = _dedup_topk(
+            cst, csc, cpv, col, cil, db, epoch, K, S, beam, exact_dedup,
+            qbits)
+        return st, sc, pv, ol, il, db, ovf
+
+    def eps_round(tok_state, tok_score, db, epoch):
+        row = zrow[tok_state]                             # [B, K, 8]
+        cands = [(tok_state, tok_score, self_prev, zeros_bk, zeros_bk)]
+        for j in (0, 1):
+            cost, nxt, ol = unpack_arc(row, 3 * j, with_pdf=False)
+            sc = jnp.where(cost < BIG * 0.5, tok_score + cost, BIG)
+            cands.append((nxt, sc, self_prev, ol, zeros_bk))
+        if have_zb:   # tier-B eps (rare: eps fan-out > 2)
+            off_all = row[..., 6]
+            deg = jnp.where(tok_score < BIG * 0.5, row[..., 7], 0)
+            coff = jnp.cumsum(deg, axis=1) - deg
+            tj, within, valid, ovf = _segment_map(coff, deg, CZ, K, B)
+            a0 = jnp.take_along_axis(off_all, tj, axis=1)
+            base_sc = jnp.take_along_axis(tok_score, tj, axis=1)
+            aj = jnp.where(valid, a0 + within, 0)
+            arc = zbrow[aj]
+            cost = _bits_to_f32(arc[..., 0])
+            sc = jnp.where(valid, base_sc + cost, BIG)
+            cands.append((arc[..., 1], sc, tj, arc[..., 2],
+                          jnp.zeros_like(tj)))
+        else:
+            ovf = jnp.zeros(B, jnp.int32)
+        cst, csc, cpv, col, cil = merge(cands)
+        st, sc, pv, ol, il, db = _dedup_topk(
+            cst, csc, cpv, col, cil, db, epoch, K, S, beam, exact_dedup,
+            qbits)
+        return st, sc, pv, ol, il, db, ovf
 
     def pack(pv, ol):
         return pv | (ol << kbits)
 
-    self_rec = jnp.arange(K, dtype=jnp.int32)   # prev=self, ol=0
-
     def frame_step(carry, inputs):
-        tok_state, tok_score, db, di = carry
-        ll_t, mask_t = inputs
-        st, sc, pv, ol, il, db, di, ovf = emit_round(
-            tok_state, tok_score, ll_t, db, di)
+        tok_state, tok_score, db, epoch = carry
+        ll_t, mask_t = inputs                  # [B, P], [B]
+        m = mask_t[:, None]
+        st, sc, pv, ol, il, db, ovf = emit_round(
+            tok_state, tok_score, ll_t, db, epoch)
+        epoch = epoch - 1
         recs = [pack(pv, ol)]
         il_emit = il
         full = [(st, sc)]
         for _ in range(n_eps):
-            st, sc, pv, ol, _il, db, di, ovf_z = eps_round(st, sc, db, di)
+            st, sc, pv, ol, _il, db, ovf_z = eps_round(st, sc, db, epoch)
+            epoch = epoch - 1
             recs.append(pack(pv, ol))
             full.append((st, sc))
             ovf = ovf + ovf_z
-        out_state = jnp.where(mask_t, st, tok_state)
-        out_score = jnp.where(mask_t, sc, tok_score)
-        recs = jnp.stack([jnp.where(mask_t, r, self_rec) for r in recs])
-        il_emit = jnp.where(mask_t, il_emit, 0)
+        out_state = jnp.where(m, st, tok_state)
+        out_score = jnp.where(m, sc, tok_score)
+        recs = jnp.stack([jnp.where(m, r, self_prev) for r in recs])
+        il_emit = jnp.where(m, il_emit, 0)
         ys = (recs, il_emit, jnp.where(mask_t, ovf, 0))
         if record_full:
-            fst = jnp.stack([jnp.where(mask_t, s, tok_state)
+            fst = jnp.stack([jnp.where(m, s, tok_state)
                              for (s, _c) in full])
-            fsc = jnp.stack([jnp.where(mask_t, c, tok_score)
+            fsc = jnp.stack([jnp.where(m, c, tok_score)
                              for (_s, c) in full])
             ys = ys + (fst, fsc)
-        return (out_state, out_score, db, di), ys
+        return (out_state, out_score, db, epoch), ys
 
-    S = final.shape[0]
-
-    def decode_one(ll_b, mask_b):
-        tok_state = jnp.zeros(K, jnp.int32).at[0].set(start)
-        tok_score = jnp.full(K, BIG).at[0].set(0.0)
-        db = jnp.full(S, BIG)
-        di = jnp.full(S, INT_BIG, jnp.int32)
-        init_recs = []
-        init_full = []
-        st, sc = tok_state, tok_score
-        for _ in range(n_eps if have_eps else 0):
-            st, sc, pv, ol, _il, db, di, _ovf = eps_round(st, sc, db, di)
-            init_recs.append(pack(pv, ol))
-            init_full.append((st, sc))
-        init_recs = (jnp.stack(init_recs) if init_recs
-                     else jnp.zeros((0, K), jnp.int32))
-        (fs, fsc, db, di), ys = jax.lax.scan(
-            frame_step, (st, sc, db, di), (ll_b, mask_b))
-        recs, il_emit, ovf = ys[:3]
-        total = fsc + final[fs]
-        best_final_slot = jnp.argmin(total)
-        best_final_cost = total[best_final_slot]
-        best_any_slot = jnp.argmin(fsc)
-        reached_final = best_final_cost < BIG * 0.5
-        best_slot = jnp.where(reached_final, best_final_slot, best_any_slot)
-        best_cost = jnp.where(reached_final, best_final_cost,
-                              fsc[best_any_slot])
-        out = (init_recs, recs, il_emit, fs, fsc, best_slot, best_cost,
-               jnp.sum(ovf))
-        if record_full:
-            ist = (jnp.stack([s for (s, _c) in init_full]) if init_full
-                   else jnp.zeros((0, K), jnp.int32))
-            isc = (jnp.stack([c for (_s, c) in init_full]) if init_full
-                   else jnp.zeros((0, K), jnp.float32))
-            out = out + (ist, isc, ys[3], ys[4])
-        return out
-
-    return jax.vmap(decode_one)(ll, frame_mask)
+    tok_state = jnp.zeros((B, K), jnp.int32).at[:, 0].set(start)
+    tok_score = jnp.full((B, K), BIG).at[:, 0].set(0.0)
+    if exact_dedup:
+        db = jnp.full(B * S, BIG)
+    else:
+        db = jnp.full(B * S, INT32_MAX, jnp.int32)
+    epoch = jnp.int32(rounds_total)
+    init_recs = []
+    init_full = []
+    st, sc = tok_state, tok_score
+    for _ in range(n_eps):
+        st, sc, pv, ol, _il, db, _ovf = eps_round(st, sc, db, epoch)
+        epoch = epoch - 1
+        init_recs.append(pack(pv, ol))
+        init_full.append((st, sc))
+    init_recs = (jnp.stack(init_recs, axis=1) if init_recs
+                 else jnp.zeros((B, 0, K), jnp.int32))
+    (fs, fsc, db, epoch), ys = jax.lax.scan(
+        frame_step, (st, sc, db, epoch),
+        (jnp.moveaxis(ll, 1, 0), jnp.moveaxis(frame_mask, 1, 0)))
+    recs, il_emit, ovf = ys[:3]                 # [T,R,B,K],[T,B,K],[T,B]
+    recs = jnp.moveaxis(recs, 2, 0)             # [B, T, R, K]
+    il_emit = jnp.moveaxis(il_emit, 1, 0)       # [B, T, K]
+    total = fsc + final[fs]
+    best_final_slot = jnp.argmin(total, axis=1)
+    best_final_cost = jnp.take_along_axis(
+        total, best_final_slot[:, None], axis=1)[:, 0]
+    best_any_slot = jnp.argmin(fsc, axis=1)
+    best_any_cost = jnp.take_along_axis(
+        fsc, best_any_slot[:, None], axis=1)[:, 0]
+    reached_final = best_final_cost < BIG * 0.5
+    best_slot = jnp.where(reached_final, best_final_slot,
+                          best_any_slot).astype(jnp.int32)
+    best_cost = jnp.where(reached_final, best_final_cost, best_any_cost)
+    out = (init_recs, recs, il_emit, fs, fsc, best_slot, best_cost,
+           jnp.sum(ovf, axis=0))
+    if record_full:
+        ist = (jnp.stack([s for (s, _c) in init_full], axis=1)
+               if init_full else jnp.zeros((B, 0, K), jnp.int32))
+        isc = (jnp.stack([c for (_s, c) in init_full], axis=1)
+               if init_full else jnp.zeros((B, 0, K), jnp.float32))
+        fst = jnp.moveaxis(ys[3], 2, 0)         # [B, T, R, K]
+        fsc_r = jnp.moveaxis(ys[4], 2, 0)
+        out = out + (ist, isc, fst, fsc_r)
+    return out
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("start", "K", "CE", "CZ", "n_eps", "beam"))
+    static_argnames=("start", "K", "CB", "CZ", "n_eps", "beam",
+                     "hub_bounds", "exact_dedup"))
 def _csr_decode_traced(
-    ll, frame_mask,
-    estart, e_pdf, e_tid, e_ol, e_cost, e_nxt,
-    zstart, z_ol, z_cost, z_nxt, final,
-    start: int, K: int, CE: int, CZ: int, n_eps: int, beam: float,
+    ll, frame_mask, srow, zrow, brow, zbrow, final,
+    hub_state_arr, hub_rows, hub_cost, hub_onehot, hub_gpdf, hub_pdf,
+    start: int, K: int, CB: int, CZ: int, n_eps: int, beam: float,
+    hub_bounds: tuple, exact_dedup: bool,
 ):
     """Decode + on-device traceback -> ([B,T,R] olabels, [B,T] tids,
     [B,R0] init olabels, [B] cost, [B] overflow)."""
     (init_recs, recs, il_emit, fs, fsc, best_slot, best_cost,
      ovf) = _csr_decode(
-        ll, frame_mask, estart, e_pdf, e_tid, e_ol, e_cost, e_nxt,
-        zstart, z_ol, z_cost, z_nxt, final,
-        start, K, CE, CZ, n_eps, beam, False)
+        ll, frame_mask, srow, zrow, brow, zbrow, final,
+        hub_state_arr, hub_rows, hub_cost, hub_onehot, hub_gpdf, hub_pdf,
+        start, K, CB, CZ, n_eps, beam, hub_bounds, exact_dedup, False)
     kbits = max((K - 1).bit_length(), 1)
     kmask = np.int32((1 << kbits) - 1)
     R = 1 + n_eps
@@ -266,10 +585,10 @@ def _csr_decode_traced(
 
 
 class CsrBeamDecoder:
-    """Host wrapper: CSR-split the graph once, decode utterance batches.
+    """Host wrapper: tier-pack the graph once, decode utterance batches.
 
     Handles graphs the padded-dense BeamSearchDecoder cannot: memory is
-    O(arcs) regardless of the max out-degree, so multimillion-state HCLG
+    O(arcs) regardless of max out-degree, so multimillion-state HCLG
     with vocab-size fan-out at LM states decodes in one jit program."""
 
     def __init__(self, graph: PackedGraph, opts: CsrBeamOpts = CsrBeamOpts()):
@@ -282,38 +601,32 @@ class CsrBeamDecoder:
             opts,
             eps_expansions=resolve_eps_rounds(graph, opts.eps_expansions),
             expand_budget=max(opts.expand_budget, opts.max_active),
-            eps_budget=max(opts.eps_budget, opts.max_active))
+            eps_budget=max(opts.eps_budget, 256))
         self.opts = opts
         csr = split_csr(graph)
-        self.csr = csr
+        self.csr = csr          # host-side CSR kept for lattice extraction
         kbits = max((opts.max_active - 1).bit_length(), 1)
         if csr.max_olabel >= (1 << (31 - kbits)):
             raise ValueError(
                 f"olabel range {csr.max_olabel} too large to pack with "
-                f"max_active={opts.max_active} (needs "
-                f"{csr.max_olabel.bit_length()}+{kbits} bits)")
-        dev = {}
-        for name in ("estart", "e_pdf", "e_tid", "e_ol", "e_cost", "e_nxt",
-                     "zstart", "z_ol", "z_cost", "z_nxt", "final"):
-            dev[name] = jnp.asarray(getattr(csr, name))
-        if csr.z_nxt.size == 0:
-            # keep gathers well-defined if eps rounds are forced on an
-            # eps-free graph: one dead arc no state references
-            dev["z_ol"] = jnp.zeros(1, jnp.int32)
-            dev["z_cost"] = jnp.full(1, BIG, jnp.float32)
-            dev["z_nxt"] = jnp.zeros(1, jnp.int32)
-        self._dev = dev
+                f"max_active={opts.max_active}")
+        self.tabs = build_tier_tables(csr, opts.hub_threshold)
+        t = self.tabs
+        self._hub_state_arr = jnp.asarray(
+            t.hub_states.astype(np.int32) if t.hub_states.size
+            else np.full(1, -1, np.int32))
         self.last_overflow: np.ndarray | None = None  # [B] dropped arcs
 
     def _args(self, ll, mask):
-        d = self._dev
+        t = self.tabs
         o = self.opts
-        return (ll, mask, d["estart"], d["e_pdf"], d["e_tid"], d["e_ol"],
-                d["e_cost"], d["e_nxt"], d["zstart"], d["z_ol"],
-                d["z_cost"], d["z_nxt"], d["final"],
+        return (ll, mask, t.srow, t.zrow, t.brow, t.zbrow, t.final,
+                self._hub_state_arr, t.hub_rows, t.hub_cost,
+                t.hub_onehot, t.hub_gpdf, t.hub_pdf,
                 int(self.csr.start), int(o.max_active),
                 int(o.expand_budget), int(o.eps_budget),
-                int(o.eps_expansions), float(o.beam))
+                int(o.eps_expansions), float(o.beam),
+                t.hub_bounds, bool(o.exact_dedup))
 
     def decode_async(self, loglikes, num_frames: np.ndarray):
         """Dispatch the decode+traceback program; returns a finisher
@@ -350,8 +663,7 @@ class CsrBeamDecoder:
         nf = np.asarray(num_frames)
         mask = _device_mask(nf, T)
         ll_scaled = np.asarray(loglikes) * o.acoustic_scale
-        out = _csr_decode(*self._args(jnp.asarray(ll_scaled), mask),
-                          True)
+        out = _csr_decode(*self._args(jnp.asarray(ll_scaled), mask), True)
         (init_recs, recs, il_emit, fs, fsc, best_slot, best_cost, ovf,
          ist, isc, fst, fsc_r) = jax.tree.map(np.asarray, out)
         self.last_overflow = ovf

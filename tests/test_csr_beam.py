@@ -34,7 +34,7 @@ def test_split_csr_partitions_arcs(small_big_graph):
 
 def test_biggraph_shape_and_eps_depth(small_big_graph):
     g = small_big_graph
-    assert eps_depth(g) == 2       # exit->history->unigram
+    assert eps_depth(g) == 1       # only the history->unigram backoff
     # unigram state fans out to the whole vocab
     assert g.max_out_degree == 300
     # every state reachable-ish: starts at the unigram state
