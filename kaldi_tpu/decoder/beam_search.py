@@ -304,11 +304,12 @@ class BeamSearchDecoder:
                       if k not in ("max_deg",)}
         self._final = jnp.asarray(np.where(np.isfinite(graph.final),
                                            graph.final, BIG))
+        from kaldi_tpu.decoder.graph_pack import split_csr
+        self.csr = split_csr(graph)   # host CSR for lattice extraction
 
     def decode_raw(self, loglikes: np.ndarray, num_frames: np.ndarray):
-        """Run the jit decode and return all host-side arrays
-        (init_recs, recs, fstate, fscore, best_slot, best_cost) plus the
-        scaled loglikes — inputs for lattice generation."""
+        """Run the jit decode and return per-round frontier snapshots as
+        the dict consumed by lat.generate.raw_lattice_from_decode."""
         o = self.opts
         B, T, P = loglikes.shape
         from kaldi_tpu.decoder.dense import _device_mask
@@ -321,7 +322,24 @@ class BeamSearchDecoder:
             int(self.graph.start), int(o.max_active), int(self.E),
             int(o.eps_expansions), float(o.beam),
         )
-        return jax.tree.map(np.asarray, out) + (ll_scaled,)
+        init_recs, recs, fs, fsc, best_slot, best_cost = \
+            jax.tree.map(np.asarray, out)
+        # stack per-round (st, sc) tuples -> [B, R0/T*R, K] snapshots
+        if init_recs:
+            ist = np.stack([r[0] for r in init_recs], axis=1)
+            isc = np.stack([r[1] for r in init_recs], axis=1)
+        else:
+            K = fs.shape[-1]
+            ist = np.zeros((B, 0, K), np.int32)
+            isc = np.zeros((B, 0, K), np.float32)
+        fst = np.stack([r[0] for r in recs], axis=2)    # [B, T, R, K]
+        fsc_r = np.stack([r[1] for r in recs], axis=2)
+        return dict(
+            init_states=ist, init_scores=isc,
+            states=fst, scores=fsc_r,
+            final_states=fs, final_scores=fsc,
+            best_slot=best_slot, best_cost=best_cost,
+            ll_scaled=np.asarray(ll_scaled))
 
     def decode_async(self, loglikes, num_frames: np.ndarray):
         """Dispatch the decode program; -> finisher callable producing the

@@ -154,68 +154,181 @@ def prune_lattice(lat: Lattice, beam: float) -> Lattice:
     return out.connect()
 
 
-def determinize_lattice(lat: Lattice, beam: float | None = None) -> Lattice:
-    """Word-level determinization: one path per word sequence, keeping the
-    best (Viterbi) alignment and cost.
+def _word_eps_closure(lat: Lattice, topo_pos, elems):
+    """Close a weighted subset over olabel=0 arcs (which may carry tids).
 
-    (ref: lat/determinize-lattice-pruned.h:255 — we implement the
-    capability via N-best-per-wordseq reduction, which matches the
-    reference's output semantics of 'only the best path for each word
-    sequence'; the subset-construction optimization can come later.)
+    elems: dict state -> (g, a, tids). The input lattice is acyclic, so
+    relaxation in topological order is exact even with negative acoustic
+    costs. Combination is the CompactLattice semiring plus: min by
+    (total cost, then tid string) — one element per state.
     """
-    if beam is not None:
-        lat = prune_lattice(lat, beam)
-    # enumerate paths grouped by word sequence, keep best per group.
-    # For large lattices this is exponential — use Viterbi-style dynamic
-    # programming over (state, recent-words-hash)? Round-1: path-merge via
-    # best-first search bounded by a path budget.
+    better = lambda x, y: (x[0] + x[1], x[2]) < (y[0] + y[1], y[2])
+    out = dict(elems)
+    # states are processed in topo order; arcs only go forward, so each
+    # state is settled before it expands (re-pushed only on improvement)
     import heapq
-    budget = 200000
-    best_per_words: dict[tuple, tuple] = {}
-    h = [(0.0, 0, lat.start, (), (), 0.0, 0.0)]
-    seq = 0
-    seen_partial: dict = {}
-    while h and budget > 0:
-        cost, _seq, s, words, tids, gc, ac = heapq.heappop(h)
-        budget -= 1
-        key = (s, words)
-        prev = seen_partial.get(key)
-        if prev is not None and prev <= cost - 1e-12:
+    h = [(topo_pos[s], s) for s in elems]
+    heapq.heapify(h)
+    seen_pos = set()
+    while h:
+        _p, s = heapq.heappop(h)
+        if (s, out[s]) in seen_pos:
             continue
-        seen_partial[key] = cost
-        if s in lat.finals:
-            g, a = lat.finals[s]
-            tot = cost + g + a
-            cur = best_per_words.get(words)
-            if cur is None or tot < cur[0]:
-                best_per_words[words] = (tot, tids, gc + g, ac + a)
+        seen_pos.add((s, out[s]))
+        g, a, tids = out[s]
         for arc in lat.arcs[s]:
-            seq += 1
-            heapq.heappush(h, (
-                cost + arc.cost, seq, arc.nextstate,
-                words + ((arc.olabel,) if arc.olabel else ()),
-                tids + ((arc.ilabel,) if arc.ilabel else ()),
-                gc + arc.graph_cost, ac + arc.acoustic_cost))
-    # build a word-prefix-tree lattice
-    out = Lattice()
-    out.start = out.add_state()
-    prefix_state = {(): out.start}
-    for words, (tot, tids, gc, ac) in sorted(best_per_words.items()):
-        cur = ()
-        for k, w in enumerate(words):
-            nxt = cur + (w,)
-            if nxt not in prefix_state:
-                ns = out.add_state()
-                prefix_state[nxt] = ns
-                out.add_arc(prefix_state[cur], 0, w, 0.0, 0.0, ns)
-            cur = nxt
-        # terminal state carrying the path cost & alignment
-        term = out.add_state()
-        out.add_arc(prefix_state[cur], 0, 0, gc, ac, term)
-        # stash tids on the final arc via per-arc attribute
-        out.arcs[prefix_state[cur]][-1].tids = tuple(tids)  # type: ignore
-        out.set_final(term, 0.0, 0.0)
+            if arc.olabel != 0:
+                continue
+            cand = (g + arc.graph_cost, a + arc.acoustic_cost,
+                    tids + ((arc.ilabel,) if arc.ilabel else ()))
+            cur = out.get(arc.nextstate)
+            if cur is None or better(cand, cur):
+                out[arc.nextstate] = cand
+                heapq.heappush(h, (topo_pos[arc.nextstate], arc.nextstate))
     return out
+
+
+def determinize_lattice(lat: Lattice, beam: float | None = None) -> Lattice:
+    """Word-level determinization with optional beam pruning: the output
+    accepts one path per word sequence, with the best (min-cost) weight
+    and that path's transition-id alignment distributed along its arcs.
+
+    Bottom-up weighted subset construction over elements
+    (input-state, cost-residual pair, tid-string residual), normalized by
+    subtracting the best element's weight and emitting the longest common
+    string prefix on each output arc — the reference algorithm
+    (ref: lat/determinize-lattice-pruned.h:112-267,
+     fstext/determinize-lattice.h:120 — the CompactLattice semiring:
+     min by (cost, string)). No path budget: the input is acyclic, so
+    the construction terminates even when no subsets merge.
+
+    beam: drop subset elements whose best completion exceeds the overall
+    best path by more than beam (DeterminizeLatticePrunedOptions beam,
+    determinize-lattice-pruned.h:60) — the decode-side lattice-beam.
+    """
+    if lat.num_states == 0 or lat.start < 0:
+        return Lattice()
+    order = lat.topological_order()
+    topo_pos = {s: i for i, s in enumerate(order)}
+    n = lat.num_states
+    # backward best total cost (for pruning)
+    beta = np.full(n, INF)
+    for s, (g, a) in lat.finals.items():
+        beta[s] = g + a
+    for s in reversed(order):
+        for arc in lat.arcs[s]:
+            beta[s] = min(beta[s], arc.cost + beta[arc.nextstate])
+    best_total = beta[lat.start]
+    if not np.isfinite(best_total):
+        return Lattice()
+    cutoff = best_total + (beam if beam is not None else INF)
+
+    def normalize(elems, base):
+        """-> (emit_pair, emit_tids, subset_key, kept dict).
+        Subtract the best element's weight, strip the common tid prefix;
+        prune elements whose best completion exceeds the cutoff."""
+        kept = {s: v for s, v in elems.items()
+                if base + v[0] + v[1] + beta[s] <= cutoff + 1e-6}
+        if not kept:
+            return None
+        bs = min(kept, key=lambda s: (kept[s][0] + kept[s][1], kept[s][2]))
+        bg, ba, _bt = kept[bs]
+        strings = [v[2] for v in kept.values()]
+        lcp = strings[0]
+        for t in strings[1:]:
+            m = 0
+            while m < len(lcp) and m < len(t) and lcp[m] == t[m]:
+                m += 1
+            lcp = lcp[:m]
+        k = len(lcp)
+        norm = {s: (g - bg, a - ba, tids[k:])
+                for s, (g, a, tids) in kept.items()}
+        key = tuple(sorted(
+            (s, round(g, 6), round(a, 6), t)
+            for s, (g, a, t) in norm.items()))
+        return (bg, ba), lcp, key, norm
+
+    out = Lattice()
+    init = _word_eps_closure(lat, topo_pos,
+                             {lat.start: (0.0, 0.0, ())})
+    nrm = normalize(init, 0.0)
+    if nrm is None:
+        return Lattice()
+    (ig, ia), itids, ikey, ielems = nrm
+    out.start = out.add_state()
+    state_of = {ikey: out.start}
+    base_of = {ikey: ig + ia}
+    # initial residual weight/string: attach to the start via an eps arc
+    # only if nonzero (keeps simple lattices simple)
+    pre = None
+    if ig or ia or itids:
+        real_start = out.start
+        s0 = out.add_state()
+        out.start = s0
+        out.add_arc(s0, 0, 0, ig, ia, real_start)
+        if itids:
+            out.arcs[s0][-1].tids = tuple(itids)  # type: ignore
+        pre = s0
+
+    from collections import deque
+    queue = deque([(ikey, ielems)])
+    done = set()
+    while queue:
+        key, elems = queue.popleft()
+        if key in done:
+            continue
+        done.add(key)
+        src = state_of[key]
+        base = base_of[key]
+        # final weight of this det state
+        fin = None
+        for s, (g, a, tids) in elems.items():
+            f = lat.finals.get(s)
+            if f is None:
+                continue
+            cand = (g + f[0], a + f[1], tids)
+            if base + cand[0] + cand[1] <= cutoff + 1e-6 and \
+                    (fin is None or (cand[0] + cand[1], cand[2])
+                     < (fin[0] + fin[1], fin[2])):
+                fin = cand
+        if fin is not None:
+            fg, fa, ftids = fin
+            if ftids:
+                term = out.add_state()
+                out.add_arc(src, 0, 0, fg, fa, term)
+                out.arcs[src][-1].tids = tuple(ftids)  # type: ignore
+                out.set_final(term, 0.0, 0.0)
+            else:
+                out.set_final(src, fg, fa)
+        # group outgoing word transitions
+        trans: dict[int, dict] = {}
+        for s, (g, a, tids) in elems.items():
+            for arc in lat.arcs[s]:
+                if arc.olabel == 0:
+                    continue
+                cand = (g + arc.graph_cost, a + arc.acoustic_cost,
+                        tids + ((arc.ilabel,) if arc.ilabel else ()))
+                d = trans.setdefault(arc.olabel, {})
+                cur = d.get(arc.nextstate)
+                if cur is None or (cand[0] + cand[1], cand[2]) < \
+                        (cur[0] + cur[1], cur[2]):
+                    d[arc.nextstate] = cand
+        for w, nelems in trans.items():
+            nelems = _word_eps_closure(lat, topo_pos, nelems)
+            nrm = normalize(nelems, base)
+            if nrm is None:
+                continue
+            (eg, ea), etids, nkey, norm = nrm
+            dst = state_of.get(nkey)
+            if dst is None:
+                dst = out.add_state()
+                state_of[nkey] = dst
+                base_of[nkey] = base + eg + ea
+                queue.append((nkey, norm))
+            out.add_arc(src, 0, w, eg, ea, dst)
+            if etids:
+                out.arcs[src][-1].tids = tuple(etids)  # type: ignore
+    return out.connect()
 
 
 def nbest(lat: Lattice, n: int):

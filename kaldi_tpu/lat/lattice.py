@@ -37,6 +37,31 @@ class Lattice:
         self.arcs.append([])
         return len(self.arcs) - 1
 
+    @classmethod
+    def from_arrays(cls, n_states: int, src, il, ol, gc, ac, dst,
+                    start: int, finals: dict) -> "Lattice":
+        """Bulk construction from flat arc arrays (the fast path for
+        decoder lattice extraction — one pass, no per-arc add_arc calls
+        with Python-level bounds churn)."""
+        lat = cls()
+        lat.arcs = [[] for _ in range(n_states)]
+        lat.start = start
+        order = np.argsort(np.asarray(src), kind="stable")
+        src = np.asarray(src)[order]
+        il = np.asarray(il)[order]
+        ol = np.asarray(ol)[order]
+        gc = np.asarray(gc, np.float64)[order]
+        ac = np.asarray(ac, np.float64)[order]
+        dst = np.asarray(dst)[order]
+        arcs = lat.arcs
+        for i in range(len(src)):
+            arcs[src[i]].append(LatticeArc(
+                int(il[i]), int(ol[i]), float(gc[i]), float(ac[i]),
+                int(dst[i])))
+        lat.finals = {int(s): (float(g), float(a))
+                      for s, (g, a) in finals.items()}
+        return lat
+
     def add_arc(self, s, ilabel, olabel, graph_cost, acoustic_cost, dst):
         self.arcs[s].append(
             LatticeArc(ilabel, olabel, float(graph_cost),

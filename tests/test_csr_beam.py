@@ -166,3 +166,30 @@ def test_csr_matches_on_yesno_like_graph():
         assert r1[b][0] == r2[b][0]
         assert r1[b][1] == r2[b][1]
         assert abs(r1[b][2] - r2[b][2]) < 1e-3
+
+
+def test_csr_lattice_extraction(small_big_graph):
+    """decode_to_lattices via CsrBeamDecoder: the lattice's best path
+    must equal the decoder's best path, and the lattice must contain
+    alternatives (it is a lattice, not a 1-best string)."""
+    from kaldi_tpu.lat.generate import decode_to_lattices
+    from kaldi_tpu.lat.functions import lattice_best_path
+    g = small_big_graph
+    rng = np.random.RandomState(5)
+    B, T, P = 2, 40, 64
+    ll = (rng.randn(B, T, P) * 3).astype(np.float32)
+    nf = np.array([40, 30], np.int32)
+    dec = CsrBeamDecoder(g, CsrBeamOpts(beam=1e9, max_active=256,
+                                        acoustic_scale=0.1,
+                                        expand_budget=16384,
+                                        eps_budget=4096))
+    best = dec.decode(ll, nf)
+    lats = decode_to_lattices(dec, ll, nf, lattice_beam=8.0)
+    for b in range(B):
+        assert lats[b] is not None
+        words, tids, cost = lattice_best_path(lats[b])
+        bw, bt, bc = best[b]
+        assert words == bw, (b, words, bw)
+        assert tids == bt
+        assert abs(cost - bc) < 1e-2, (cost, bc)
+        assert lats[b].num_arcs > lats[b].num_states - 1  # real lattice
