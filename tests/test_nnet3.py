@@ -220,3 +220,39 @@ def test_make_tdnn_config_pnorm():
     assert np.isfinite(np.asarray(y)).all()
     # the second affine consumes the REDUCED pnorm dim
     assert params["tdnn1.affine"]["w"].shape[-1] == 4
+
+
+def test_nnet3_quadratic_objective_and_ng_optimizer():
+    """Output-node objective=quadratic trains a regression net through
+    the nnet3 trainer with the NG preconditioner active
+    (ref: nnet3/nnet-training.cc:262 ComputeObjectiveFunction kQuadratic)."""
+    from kaldi_tpu.nnet3.training import (Nnet3TrainOpts, train_nnet3,
+                                          nnet3_objective)
+
+    cfg = """
+input-node name=input dim=4
+component name=a1 type=NaturalGradientAffineComponent input-dim=4 output-dim=16
+component-node name=a1n component=a1 input=input
+component name=r1 type=RectifiedLinearComponent dim=16
+component-node name=r1n component=r1 input=a1n
+component name=a2 type=AffineComponent input-dim=16 output-dim=3
+component-node name=a2n component=a2 input=r1n
+output-node name=output input=a2n objective=quadratic
+"""
+    net = Nnet3(cfg)
+    assert net.by_name["output"].objective == "quadratic"
+    params = net.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    W = rng.randn(4, 3).astype(np.float32)
+    N, T = 256, 2
+    feats = rng.randn(N, T, 4).astype(np.float32)
+    targets = feats @ W
+    weights = np.ones((N, T), np.float32)
+    egs = {"feats": feats, "targets": targets, "weights": weights}
+    l0, _ = nnet3_objective(net, params, feats, targets, weights)
+    params, hist = train_nnet3(
+        net, params, egs,
+        Nnet3TrainOpts(initial_lr=0.05, final_lr=0.01, num_epochs=60,
+                       minibatch_size=64), log_every=1)
+    l1, _ = nnet3_objective(net, params, feats, targets, weights)
+    assert float(l1) < 0.3 * float(l0), (float(l0), float(l1))

@@ -187,3 +187,45 @@ def test_tdnn_hybrid_decode(yesno_system):
     stats = compute_wer(refs, hyps)
     print(stats)
     assert stats.wer == 0.0, str(stats) + repr(hyps)
+
+
+def test_nnet3_tdnn_hybrid_decode_parity(yesno_system):
+    """GMM alignments -> config-defined nnet3 TDNN (NG-SGD trainer) ->
+    hybrid decode: WER 0, i.e. parity with the hand-written nnet2 TDNN
+    (ref: nnet3/nnet-training.cc:37 — the nnet3-train role)."""
+    from kaldi_tpu.steps.nnet3_train import train_tdnn3
+    from kaldi_tpu.nnet3.training import Nnet3TrainOpts
+
+    lang, model, train_utts, test_utts = yesno_system
+    res = train_tdnn3(
+        model, train_utts,
+        train_opts=Nnet3TrainOpts(initial_lr=0.1, final_lr=0.01,
+                                  num_epochs=30, minibatch_size=64,
+                                  momentum=0.9),
+    )
+    assert res.history[-1][3] > 0.5, res.history[-2:]
+
+    lm = ArpaLm.parse(YESNO_ARPA)
+    g = arpa_to_g(lm, lang.words)
+    graph = make_hclg(lang, g, model.trans_model, model.ctx_dep,
+                      self_loop_scale=0.1)
+    packed = pack_graph(graph.fst, model.trans_model.id2pdf_array)
+    dec = BeamSearchDecoder(packed, BeamSearchOpts(beam=16.0, max_active=256,
+                                                   acoustic_scale=0.1))
+    B = len(test_utts)
+    T = max(f.shape[0] for (_u, f, _w) in test_utts)
+    D = test_utts[0][1].shape[1]
+    feats = np.zeros((B, T, D), np.float32)
+    nf = np.zeros(B, np.int32)
+    for b, (_u, f, _w) in enumerate(test_utts):
+        feats[b, : f.shape[0]] = f
+        nf[b] = f.shape[0]
+    ll = res.am.loglikes_np(feats)
+    results = dec.decode(ll, nf)
+    refs, hyps = {}, {}
+    for (utt, _f, words), r in zip(test_utts, results):
+        refs[utt] = words
+        hyps[utt] = [lang.words.sym(w) for w in r[0]] if r else []
+    stats = compute_wer(refs, hyps)
+    print(stats)
+    assert stats.wer == 0.0, str(stats) + repr(hyps)
