@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -217,6 +218,9 @@ def cmd_compute_wer(args):
     refs, hyps = read_text(args.ref), read_text(args.hyp)
     stats = compute_wer(refs, hyps)
     print(stats)
+    if getattr(args, "max_wer", None) is not None \
+            and stats.wer > args.max_wer:
+        sys.exit(1)
 
 
 def cmd_wav_reverberate(args):
@@ -706,6 +710,260 @@ def cmd_info(args):
     }, indent=2))
 
 
+# ---------------- file-driven training / online decoding ----------------
+
+def _read_text_file(path):
+    """Kaldi text file -> dict utt -> word list."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if parts:
+                out[parts[0]] = parts[1:]
+    return out
+
+
+def _load_train_utts(text_path, rspecifier):
+    """-> [(utt, feats, words)] joining a text file with a feature ark."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    text = _read_text_file(text_path)
+    utts = []
+    for utt, feats in open_rspecifier(rspecifier):
+        if utt in text:
+            utts.append((utt, feats.astype(np.float32), text[utt]))
+    if not utts:
+        raise SystemExit("no utterances joined between text and features")
+    return utts
+
+
+def cmd_train_mono(args):
+    """Flat-start monophone training from a data dir's text + features
+    (ref: steps/train_mono.sh driving gmm-init-mono / gmm-align-compiled /
+    gmm-acc-stats-ali / gmm-est — fused into one file-driven command)."""
+    from kaldi_tpu.fst.lang import Lexicon, prepare_lang
+    from kaldi_tpu.steps.mono import train_mono, MonoTrainOpts
+    from kaldi_tpu.io.model_io import save_gmm_system
+    with open(args.lexicon) as f:
+        lex = Lexicon.parse(f.read())
+    lang = prepare_lang(lex, [args.sil_phone], args.sil_phone,
+                        num_sil_states=args.num_sil_states)
+    utts = _load_train_utts(args.text, args.rspecifier)
+    model = train_mono(lang, utts, MonoTrainOpts(
+        num_iters=args.num_iters, totgauss=args.totgauss,
+        max_iter_inc=args.max_iter_inc,
+        realign_iters=tuple(range(1, args.num_iters))))
+    save_gmm_system(args.model_out, model)
+    print(f"train-mono: {len(utts)} utts -> {model.am.num_pdfs} pdfs",
+          file=sys.stderr)
+
+
+def cmd_gmm_align(args):
+    """Forced alignment: transition-id ark from a model + text + feats
+    (ref: gmmbin/gmm-align-compiled.cc)."""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.io.kaldi_io import open_wspecifier
+    from kaldi_tpu.fst.graph import TrainingGraphCompiler
+    from kaldi_tpu.decoder.graph_pack import pack_graphs
+    from kaldi_tpu.decoder.viterbi import viterbi_align
+    model = load_gmm_system(args.model)
+    utts = _load_train_utts(args.text, args.rspecifier)
+    compiler = TrainingGraphCompiler(model.lang, model.trans_model,
+                                     model.ctx_dep)
+    cache: dict = {}
+    graphs = []
+    for (_u, _f, words) in utts:
+        key = tuple(words)
+        if key not in cache:
+            cache[key] = compiler.compile_transcript(list(words))
+        graphs.append(cache[key])
+    B = len(utts)
+    T = max(f.shape[0] for (_u, f, _w) in utts)
+    D = utts[0][1].shape[1]
+    feats = np.zeros((B, T, D), np.float32)
+    nf = np.zeros(B, np.int32)
+    for b, (_u, f, _w) in enumerate(utts):
+        feats[b, : f.shape[0]] = f
+        nf[b] = f.shape[0]
+    batch = pack_graphs(graphs, model.trans_model.id2pdf_array)
+    results = viterbi_align(batch, model.am.loglikes_np(feats), nf,
+                            args.acoustic_scale)
+    n_ok = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for b, res in enumerate(results):
+            if res is None:
+                print(f"gmm-align: failed for {utts[b][0]}",
+                      file=sys.stderr)
+                continue
+            out.write(utts[b][0], np.asarray(res[0], np.int32))
+            n_ok += 1
+    print(f"gmm-align: aligned {n_ok}/{B}", file=sys.stderr)
+
+
+def cmd_train_tdnn(args):
+    """nnet2-style multisplice TDNN training from GMM alignments
+    (ref: steps/nnet2/train_multisplice_accel2.sh + nnet2bin/nnet-train*)."""
+    from kaldi_tpu.io.model_io import load_gmm_system, save_am_nnet
+    from kaldi_tpu.steps.tdnn import train_tdnn
+    from kaldi_tpu.nnet.train import NnetTrainOpts
+    model = load_gmm_system(args.model)
+    utts = _load_train_utts(args.text, args.rspecifier)
+    res = train_tdnn(model, utts, train_opts=NnetTrainOpts(
+        initial_lr=args.initial_lr, final_lr=args.final_lr,
+        num_epochs=args.num_epochs, minibatch_size=args.minibatch_size,
+        momentum=args.momentum))
+    save_am_nnet(args.nnet_out, res.am)
+    hist = res.history[-1] if res.history else (0, 0, 0.0, 0.0)
+    print(f"train-tdnn: final loss {hist[2]:.3f} acc {hist[3]:.3f}",
+          file=sys.stderr)
+
+
+def cmd_online2_wav_nnet2_latgen_faster(args):
+    """Streaming hybrid decoding of a wav.scp through the online nnet2
+    pipeline, one utterance at a time in chunked audio
+    (ref: online2bin/online2-wav-nnet2-latgen-faster.cc)."""
+    from kaldi_tpu.io.model_io import (load_gmm_system, load_am_nnet,
+                                       load_hclg)
+    from kaldi_tpu.io.wave import read_wave
+    from kaldi_tpu.online.features import (OnlineFeaturePipeline,
+                                           OnlineProcessedFeature)
+    from kaldi_tpu.online.nnet2_decoding import (
+        OnlineNnet2FeaturePipeline, SingleUtteranceNnet2Decoder)
+    from kaldi_tpu.decoder.beam_search import (BeamSearchDecoder,
+                                               BeamSearchOpts)
+    from kaldi_tpu.ops import MfccOpts, FrameOpts
+
+    gmm = load_gmm_system(args.model)
+    am = load_am_nnet(args.nnet)
+    packed = load_hclg(args.graph)
+    base_dec = BeamSearchDecoder(packed, BeamSearchOpts(
+        beam=args.beam, max_active=args.max_active,
+        acoustic_scale=args.acoustic_scale))
+    fo = MfccOpts(frame_opts=FrameOpts(samp_freq=args.sample_frequency,
+                                       dither=0.0),
+                  num_ceps=args.num_ceps)
+    try:
+        sil = {gmm.lang.phones[args.sil_phone]}
+    except Exception:
+        sil = set()
+    out = open(args.transcription_out, "w") if args.transcription_out \
+        else sys.stdout
+    chunk = int(args.chunk_secs * args.sample_frequency)
+    n = 0
+    for utt, path in _read_wav_scp(args.wav_scp):
+        wave, sr = read_wave(path)
+        w = wave[0]
+        base = OnlineProcessedFeature(OnlineFeaturePipeline(
+            fo, delta_order=args.delta_order))
+        pipe = OnlineNnet2FeaturePipeline(base)
+        sud = SingleUtteranceNnet2Decoder(
+            am, gmm.trans_model, base_dec, pipe,
+            chunk_frames=args.chunk_frames, silence_phones=sil)
+        for lo in range(0, len(w), chunk):
+            pipe.accept_waveform(w[lo: lo + chunk])
+            sud.advance_decoding()
+        sud.finalize_decoding()
+        res = sud.best_path()
+        words = "" if res is None else " ".join(
+            gmm.lang.words.sym(x) for x in res[0])
+        out.write(f"{utt} {words}\n")
+        n += 1
+    if args.transcription_out:
+        out.close()
+    print(f"online2-wav-nnet2-latgen-faster: decoded {n} utts",
+          file=sys.stderr)
+
+
+def cmd_recipe_yesno_files(args):
+    """The yesno recipe driven ENTIRELY through CLI subcommands on a data
+    directory of wav files — the egs/yesno/s5/run.sh shape: synthesize
+    corpus -> compute-mfcc-feats -> add-deltas -> train-mono -> mkgraph
+    -> decode-faster (offline GMM) -> gmm-align -> train-tdnn ->
+    online2-wav-nnet2-latgen-faster (streaming TDNN) -> compute-wer."""
+    from kaldi_tpu.io.wave import write_wave
+
+    work = args.workdir
+    os.makedirs(work, exist_ok=True)
+    rng = np.random.RandomState(42)
+    sr = 8000.0
+    tones = {"YES": 440.0, "NO": 1320.0}
+
+    def synth(words):
+        chunks = [np.zeros(int(sr * rng.uniform(0.08, 0.15)))]
+        for w in words:
+            t = np.arange(int(sr * rng.uniform(0.25, 0.4))) / sr
+            env = np.minimum(1.0, np.minimum(
+                np.arange(len(t)), len(t) - np.arange(len(t))) / (0.02 * sr))
+            freq = tones[w] * rng.uniform(0.98, 1.02)
+            chunks.append(np.sin(2 * np.pi * freq * t) * 3000
+                          * rng.uniform(0.7, 1.0) * env)
+            chunks.append(np.zeros(int(sr * rng.uniform(0.1, 0.2))))
+        w = np.concatenate(chunks) + rng.randn(
+            sum(len(c) for c in chunks)) * 20
+        return w.astype(np.float32)
+
+    # --- data prep: wavs on disk + wav.scp/text + lexicon + LM
+    sets = {"train": 24, "test": 8}
+    for name, n in sets.items():
+        ddir = os.path.join(work, name)
+        os.makedirs(ddir, exist_ok=True)
+        with open(os.path.join(ddir, "wav.scp"), "w") as scp, \
+                open(os.path.join(ddir, "text"), "w") as txt:
+            for i in range(n):
+                ws = [rng.choice(["YES", "NO"])
+                      for _ in range(rng.randint(2, 6))]
+                utt = f"{name}_{i}"
+                path = os.path.join(ddir, f"{utt}.wav")
+                write_wave(path, synth(ws)[None, :], sr)
+                scp.write(f"{utt} {path}\n")
+                txt.write(f"{utt} {' '.join(ws)}\n")
+    with open(os.path.join(work, "lexicon.txt"), "w") as f:
+        f.write("YES Y1 Y2\nNO N1 N2\n")
+    with open(os.path.join(work, "lm.arpa"), "w") as f:
+        f.write("\\data\\\nngram 1=4\n\n\\1-grams:\n-1\tNO\n-1\tYES\n"
+                "-99\t<s>\n-1\t</s>\n\n\\end\\\n")
+
+    def P(*parts):
+        return os.path.join(work, *parts)
+
+    # --- features via the CLI
+    for name in sets:
+        main(["compute-mfcc-feats", P(name, "wav.scp"),
+              f"ark:{P(name, 'mfcc.ark')}",
+              "--sample-frequency", str(sr), "--dither", "0"])
+        main(["add-deltas", f"ark:{P(name, 'mfcc.ark')}",
+              f"ark:{P(name, 'feats.ark')}"])
+
+    # --- GMM train + graph + offline decode
+    main(["train-mono", P("lexicon.txt"), P("train", "text"),
+          f"ark:{P('train', 'feats.ark')}", P("mono.npz"),
+          "--num-iters", "12", "--totgauss", "60", "--max-iter-inc", "8"])
+    main(["mkgraph", P("mono.npz"), P("lm.arpa"), P("hclg.npz")])
+    main(["decode-faster", P("mono.npz"), P("hclg.npz"),
+          f"ark:{P('test', 'feats.ark')}",
+          "--transcription-out", P("hyp_gmm.txt")])
+    # --- alignments + TDNN + streaming decode
+    main(["gmm-align", P("mono.npz"), P("train", "text"),
+          f"ark:{P('train', 'feats.ark')}", f"ark:{P('ali.ark')}"])
+    main(["train-tdnn", P("mono.npz"), P("train", "text"),
+          f"ark:{P('train', 'feats.ark')}", P("tdnn.npz"),
+          "--num-epochs", "30", "--initial-lr", "0.1",
+          "--final-lr", "0.01", "--momentum", "0.9"])
+    main(["online2-wav-nnet2-latgen-faster", P("mono.npz"), P("tdnn.npz"),
+          P("hclg.npz"), P("test", "wav.scp"),
+          "--sample-frequency", str(sr),
+          "--transcription-out", P("hyp_tdnn.txt")])
+    # --- score both
+    failed = False
+    for hyp in ("hyp_gmm.txt", "hyp_tdnn.txt"):
+        try:
+            main(["compute-wer", P("test", "text"), P(hyp),
+                  "--max-wer", "0"])
+        except SystemExit as e:
+            failed = failed or (e.code not in (0, None))
+    if failed:
+        sys.exit(1)
+
+
 def cmd_recipe_yesno(args):
     """The e2e sanity recipe (ref: egs/yesno/s5/run.sh — with no network
     egress the corpus is synthesized; same pipeline shape: features →
@@ -1049,6 +1307,8 @@ def main(argv=None):
     q = sub.add_parser("compute-wer")
     q.add_argument("ref")
     q.add_argument("hyp")
+    q.add_argument("--max-wer", type=float, default=None,
+                   help="exit 1 if WER exceeds this")
     q.set_defaults(func=cmd_compute_wer)
 
     q = sub.add_parser("align-text")
@@ -1067,6 +1327,59 @@ def main(argv=None):
     q = sub.add_parser("recipe-yesno")
     q.add_argument("--workdir", default="/tmp/kaldi_tpu_yesno")
     q.set_defaults(func=cmd_recipe_yesno)
+
+    q = sub.add_parser("train-mono")
+    q.add_argument("lexicon")
+    q.add_argument("text")
+    q.add_argument("rspecifier")
+    q.add_argument("model_out")
+    q.add_argument("--sil-phone", default="SIL")
+    q.add_argument("--num-sil-states", type=int, default=3)
+    q.add_argument("--num-iters", type=int, default=12)
+    q.add_argument("--totgauss", type=int, default=60)
+    q.add_argument("--max-iter-inc", type=int, default=8)
+    q.set_defaults(func=cmd_train_mono)
+
+    q = sub.add_parser("gmm-align")
+    q.add_argument("model")
+    q.add_argument("text")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.add_argument("--acoustic-scale", type=float, default=0.1)
+    q.set_defaults(func=cmd_gmm_align)
+
+    q = sub.add_parser("train-tdnn")
+    q.add_argument("model")
+    q.add_argument("text")
+    q.add_argument("rspecifier")
+    q.add_argument("nnet_out")
+    q.add_argument("--initial-lr", type=float, default=0.1)
+    q.add_argument("--final-lr", type=float, default=0.01)
+    q.add_argument("--num-epochs", type=int, default=30)
+    q.add_argument("--minibatch-size", type=int, default=64)
+    q.add_argument("--momentum", type=float, default=0.9)
+    q.set_defaults(func=cmd_train_tdnn)
+
+    q = sub.add_parser("online2-wav-nnet2-latgen-faster")
+    q.add_argument("model")           # GMM system npz (trans_model+lang)
+    q.add_argument("nnet")            # AmNnet npz
+    q.add_argument("graph")           # HCLG npz
+    q.add_argument("wav_scp")
+    q.add_argument("--transcription-out", default="")
+    q.add_argument("--sample-frequency", type=float, default=16000.0)
+    q.add_argument("--num-ceps", type=int, default=13)
+    q.add_argument("--delta-order", type=int, default=2)
+    q.add_argument("--beam", type=float, default=16.0)
+    q.add_argument("--max-active", type=int, default=256)
+    q.add_argument("--acoustic-scale", type=float, default=0.1)
+    q.add_argument("--sil-phone", default="SIL")
+    q.add_argument("--chunk-secs", type=float, default=0.4)
+    q.add_argument("--chunk-frames", type=int, default=16)
+    q.set_defaults(func=cmd_online2_wav_nnet2_latgen_faster)
+
+    q = sub.add_parser("recipe-yesno-files")
+    q.add_argument("workdir")
+    q.set_defaults(func=cmd_recipe_yesno_files)
 
     args = p.parse_args(argv)
     args.func(args)

@@ -97,3 +97,46 @@ def load_hclg(path: str):
                        ilabel=z["ilabel"], olabel=z["olabel"],
                        cost=z["cost"], nextstate=z["nextstate"],
                        pdf=pdf, final=z["final"])
+
+
+def save_am_nnet(path: str, am) -> None:
+    """Save an AmNnet (Tdnn + params + priors) as one npz
+    (ref: nnet2/am-nnet.h Write — model + priors in one object)."""
+    import dataclasses as _dc
+    cfg = _dc.asdict(am.model.config)
+    blobs = {
+        "__version__": np.int64(FORMAT_VERSION),
+        "__kind__": np.frombuffer(b"am_nnet2", dtype=np.uint8),
+        "config_json": np.frombuffer(
+            json.dumps(cfg).encode(), dtype=np.uint8),
+        "priors": np.asarray(am.priors, np.float64),
+        "final_w": np.asarray(am.params["final"]["w"]),
+        "final_b": np.asarray(am.params["final"]["b"]),
+        "n_layers": np.int64(len(am.params["layers"])),
+    }
+    for i, layer in enumerate(am.params["layers"]):
+        for k, v in layer.items():
+            blobs[f"layer{i}.{k}"] = np.asarray(v)
+    with open(path, "wb") as f:
+        np.savez(f, **blobs)
+
+
+def load_am_nnet(path: str):
+    """-> AmNnet."""
+    from kaldi_tpu.nnet.tdnn import Tdnn, TdnnConfig
+    from kaldi_tpu.nnet.am_nnet import AmNnet
+    z = np.load(path)
+    assert int(z["__version__"]) == FORMAT_VERSION
+    cfg = json.loads(z["config_json"].tobytes().decode())
+    cfg["splice_indexes"] = tuple(tuple(x) for x in cfg["splice_indexes"])
+    model = Tdnn(TdnnConfig(**cfg))
+    n = int(z["n_layers"])
+    params = {
+        "final": {"w": z["final_w"], "b": z["final_b"]},
+        "layers": [
+            {k.split(".", 1)[1]: z[k] for k in z.files
+             if k.startswith(f"layer{i}.")}
+            for i in range(n)
+        ],
+    }
+    return AmNnet(model, params, z["priors"])

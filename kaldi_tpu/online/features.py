@@ -223,3 +223,33 @@ class OnlineFeaturePipeline:
             feats = np.asarray(add_deltas(jnp.asarray(feats),
                                           order=self.delta_order))
         return feats[:n]
+
+
+class OnlineProcessedFeature:
+    """Adapter exposing an OnlineFeaturePipeline (CMVN/deltas/splice)
+    through the base-feature interface (dim / num_frames_ready /
+    get_frames) so post-processed features can feed
+    OnlineNnet2FeaturePipeline — the online2 feature-pipeline stacking
+    (ref: online2/online-feature-pipeline.h:157)."""
+
+    def __init__(self, pipeline: OnlineFeaturePipeline):
+        self.p = pipeline
+
+    @property
+    def dim(self) -> int:
+        return self.p.dim
+
+    def accept_waveform(self, wave: np.ndarray):
+        self.p.accept_waveform(wave)
+
+    def input_finished(self):
+        self.p.input_finished()
+
+    def num_frames_ready(self) -> int:
+        n = self.p.base.num_frames_ready()
+        if not getattr(self.p.base, "_finished", False):
+            n = max(0, n - self.p.right_delay)
+        return n
+
+    def get_frames(self, start: int, end: int) -> np.ndarray:
+        return self.p.get_features()[start:end]
