@@ -1,0 +1,251 @@
+"""Frontier-sharded beam search over a device mesh.
+
+SURVEY.md §2.11's big-graph prescription: when one utterance's decode must
+scale past a chip (giant HCLG, low-latency single stream), the token
+frontier itself shards over devices — each device expands its K/D slice
+of the frontier through its (replicated) tier tables, candidate sets are
+exchanged with `all_gather` over ICI, and dedup+selection runs
+replicated so every device holds the identical next frontier. The
+reference's analogue is nothing: its decoder is single-threaded per
+utterance (decoder/lattice-faster-decoder.cc); utterance-level sharding
+(parallel/mesh.decode_sharded) covers its job-array parallelism, and
+this module covers the scaling axis the reference does not have.
+
+Built on shard_map so the collective is explicit (all_gather on the
+named axis); numerics match CsrBeamDecoder exactly — asserted by
+tests/test_decode_sharded.py on the 8-virtual-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from kaldi_tpu.decoder.csr_beam import (BIG, INT32_MAX, _bits_to_f32,
+                                        _segment_map, CsrBeamDecoder)
+
+
+def _make_fs_decode(dec: CsrBeamDecoder, mesh: Mesh, axis: str,
+                    T: int):
+    """Build the shard_map'd single-utterance decode for a fixed T."""
+    o = dec.opts
+    t = dec.tabs
+    K = o.max_active
+    D = mesh.shape[axis]
+    assert K % D == 0, (K, D)
+    Kl = K // D
+    CB = max(o.expand_budget // D, Kl)
+    n_eps = o.eps_expansions
+    beam = float(o.beam)
+    start = int(dec.csr.start)
+    S = t.final.shape[0]
+    kbits = max((K - 1).bit_length(), 1)
+    rounds_total = T * (1 + n_eps) + n_eps + 1
+    ebits = max(rounds_total.bit_length(), 2)
+    qbits = 31 - ebits
+    H = len(t.hub_bounds) - 1
+    AH = t.hub_rows.shape[0]
+    hub_state_arr = dec._hub_state_arr
+    hub_bounds = t.hub_bounds
+
+    def dedup_topk(cst, csc, cpv, col, cil, db, epoch):
+        C = cst.shape[0]
+        alive = csc < BIG * 0.5
+        best = jnp.min(csc)
+        span = min(beam, 50.0)
+        qmax = (1 << qbits) - 1
+        q = jnp.clip((csc - best) * (qmax / span), 0, qmax).astype(jnp.int32)
+        key = jnp.where(alive, (epoch << qbits) | q, INT32_MAX)
+        db = db.at[cst].min(key)
+        won = (db[cst] == key) & alive
+        sel = jnp.where(won, csc, BIG)
+        negv, idx = jax.lax.top_k(-sel, K)
+        return (cst[idx], jnp.minimum(-negv, BIG), cpv[idx], col[idx],
+                cil[idx], db)
+
+    def local_slice(x):
+        lo = jax.lax.axis_index(axis) * Kl
+        return jax.lax.dynamic_slice_in_dim(x, lo, Kl)
+
+    def emit_round(tok_state, tok_score, ll_t, db, epoch):
+        # --- sharded expansion: this device's K/D token slice only
+        ts, sc = local_slice(tok_state), local_slice(tok_score)
+        lo = jax.lax.axis_index(axis) * Kl
+        row = t.srow[ts]                                  # [Kl, 16]
+        cands = []
+        for j in (0, 1):
+            base = 5 * j
+            cost = _bits_to_f32(row[:, base + 0])
+            am = -ll_t[row[:, base + 2]]
+            csc = jnp.where(cost < BIG * 0.5, sc + cost + am, BIG)
+            cands.append((row[:, base + 1], csc,
+                          lo + jnp.arange(Kl, dtype=jnp.int32),
+                          row[:, base + 4], row[:, base + 3]))
+        # tier B (budgeted) on the local slice
+        deg = jnp.where(sc < BIG * 0.5, row[:, 11], 0)
+        coff = jnp.cumsum(deg) - deg
+        tj, within, valid, _ovf = _segment_map(
+            coff[None, :], deg[None, :], CB, Kl, 1)
+        tj, within, valid = tj[0], within[0], valid[0]
+        aj = jnp.where(valid, row[:, 10][tj] + within, 0)
+        arc = t.brow[aj]
+        cost = _bits_to_f32(arc[:, 0])
+        am = -ll_t[arc[:, 2]]
+        csc = jnp.where(valid, sc[tj] + cost + am, BIG)
+        cands.append((arc[:, 1], csc, lo + tj, arc[:, 4], arc[:, 3]))
+        # hubs: scoring is replicated over the FULL frontier (cheap dense
+        # work); each device emits its rank slice [d*Kl, (d+1)*Kl) of the
+        # global hub top-K, so the all_gathered union equals the
+        # unsharded decoder's hub candidates exactly
+        if H:
+            match = (tok_state[:, None] == hub_state_arr[None, :]) & \
+                (tok_score[:, None] < BIG * 0.5)          # [K, H]
+            msc = jnp.where(match, tok_score[:, None], BIG)
+            hub_sc = jnp.min(msc, axis=0)
+            hub_slot = jnp.argmin(msc, axis=0).astype(jnp.int32)
+            base_sc = jnp.zeros(AH, jnp.float32)
+            slot_flat = jnp.zeros(AH, jnp.int32)
+            for h in range(H):
+                a, b = hub_bounds[h], hub_bounds[h + 1]
+                base_sc = base_sc.at[a:b].set(hub_sc[h])
+                slot_flat = slot_flat.at[a:b].set(hub_slot[h])
+            if t.hub_onehot is not None:
+                am_flat = t.hub_onehot @ (-ll_t[t.hub_gpdf])
+            else:
+                am_flat = -ll_t[t.hub_pdf]
+            sc_flat = base_sc + t.hub_cost + am_flat
+            negv, idx = jax.lax.top_k(-sc_flat, K)
+            negv = jax.lax.dynamic_slice_in_dim(negv, lo, Kl)
+            idx = jax.lax.dynamic_slice_in_dim(idx, lo, Kl)
+            rows = t.hub_rows[idx]
+            cands.append((rows[:, 1], jnp.minimum(-negv, BIG),
+                          slot_flat[idx], rows[:, 4], rows[:, 3]))
+        cl = [jnp.concatenate([c[i] for c in cands]) for i in range(5)]
+        # --- frontier exchange: ALL devices' candidates over ICI
+        cl = [jax.lax.all_gather(x, axis, tiled=True) for x in cl]
+        cst, csc, cpv, col, cil = cl
+        best = jnp.min(csc)
+        csc = jnp.where(csc > best + beam, BIG, csc)
+        return dedup_topk(cst, csc, cpv, col, cil, db, epoch)
+
+    def eps_round(tok_state, tok_score, db, epoch):
+        ts, sc = local_slice(tok_state), local_slice(tok_score)
+        lo = jax.lax.axis_index(axis) * Kl
+        row = t.zrow[ts]
+        cands = [(ts, sc, lo + jnp.arange(Kl, dtype=jnp.int32),
+                  jnp.zeros(Kl, jnp.int32), jnp.zeros(Kl, jnp.int32))]
+        for j in (0, 1):
+            base = 3 * j
+            cost = _bits_to_f32(row[:, base + 0])
+            csc = jnp.where(cost < BIG * 0.5, sc + cost, BIG)
+            cands.append((row[:, base + 1], csc,
+                          lo + jnp.arange(Kl, dtype=jnp.int32),
+                          row[:, base + 2], jnp.zeros(Kl, jnp.int32)))
+        cl = [jnp.concatenate([c[i] for c in cands]) for i in range(5)]
+        cl = [jax.lax.all_gather(x, axis, tiled=True) for x in cl]
+        cst, csc, cpv, col, cil = cl
+        best = jnp.min(csc)
+        csc = jnp.where(csc > best + beam, BIG, csc)
+        return dedup_topk(cst, csc, cpv, col, cil, db, epoch)
+
+    def pack(pv, ol):
+        return pv | (ol << kbits)
+
+    def decode(ll, mask):
+        """ll [T, P], mask [T] — runs identically on every device except
+        for the sharded expansion; outputs are replicated."""
+        tok_state = jnp.zeros(K, jnp.int32).at[0].set(start)
+        tok_score = jnp.full(K, BIG).at[0].set(0.0)
+        db = jnp.full(S, INT32_MAX, jnp.int32)
+        epoch = jnp.int32(rounds_total)
+        init_recs = []
+        st, sc = tok_state, tok_score
+        for _ in range(n_eps):
+            st, sc, pv, ol, _il, db = eps_round(st, sc, db, epoch)
+            epoch = epoch - 1
+            init_recs.append(pack(pv, ol))
+        init_recs = (jnp.stack(init_recs) if init_recs
+                     else jnp.zeros((0, K), jnp.int32))
+        self_rec = jnp.arange(K, dtype=jnp.int32)
+
+        def frame_step(carry, inputs):
+            st, sc, db, epoch = carry
+            ll_t, m = inputs
+            nst, nsc, pv, ol, il, db = emit_round(st, sc, ll_t, db, epoch)
+            epoch = epoch - 1
+            recs = [pack(pv, ol)]
+            il_emit = il
+            for _ in range(n_eps):
+                nst, nsc, pv, ol, _il, db = eps_round(nst, nsc, db, epoch)
+                epoch = epoch - 1
+                recs.append(pack(pv, ol))
+            out_st = jnp.where(m, nst, st)
+            out_sc = jnp.where(m, nsc, sc)
+            recs = jnp.stack([jnp.where(m, r, self_rec) for r in recs])
+            return (out_st, out_sc, db, epoch), \
+                (recs, jnp.where(m, il_emit, 0))
+
+        (fs, fsc, db, epoch), (recs, il_emit) = jax.lax.scan(
+            frame_step, (st, sc, db, epoch), (ll, mask))
+        total = fsc + t.final[fs]
+        bslot = jnp.argmin(total)
+        bcost = total[bslot]
+        aslot = jnp.argmin(fsc)
+        ok = bcost < BIG * 0.5
+        bslot = jnp.where(ok, bslot, aslot)
+        bcost = jnp.where(ok, bcost, fsc[aslot])
+        return init_recs, recs, il_emit, bslot, bcost
+
+    fs_decode = jax.shard_map(
+        decode, mesh=mesh,
+        in_specs=(P(), P()), out_specs=(P(), P(), P(), P(), P()),
+        check_vma=False)
+    return jax.jit(fs_decode), kbits
+
+
+def decode_frontier_sharded(dec: CsrBeamDecoder, loglikes, num_frames,
+                            mesh: Mesh, axis: str = "model"):
+    """Single-stream decode with the frontier sharded over `axis`.
+
+    -> list of per-utterance (words, tids, total_cost) like
+    CsrBeamDecoder.decode (utterances run sequentially: this mode targets
+    one giant-graph stream; batch throughput uses decode_sharded)."""
+    B, T, P_ = loglikes.shape
+    fs_decode, kbits = _make_fs_decode(dec, mesh, axis, T)
+    kmask = (1 << kbits) - 1
+    nf = np.asarray(num_frames)
+    out = []
+    for b in range(B):
+        ll = jnp.asarray(loglikes[b]) * dec.opts.acoustic_scale
+        mask = jnp.asarray(np.arange(T) < nf[b])
+        init_recs, recs, il_emit, bslot, bcost = jax.tree.map(
+            np.asarray, fs_decode(ll, mask))
+        if bcost >= BIG * 0.5:
+            out.append(None)
+            continue
+        # host traceback (records are replicated and small at test scale)
+        words_rev, tids_rev = [], []
+        s = int(bslot)
+        R = recs.shape[1]
+        for ti in range(T - 1, -1, -1):
+            for r in range(R - 1, -1, -1):
+                if r == 0:
+                    il = int(il_emit[ti, s])
+                    if il:
+                        tids_rev.append(il)
+                pr = int(recs[ti, r, s])
+                olab = pr >> kbits
+                if olab:
+                    words_rev.append(olab)
+                s = pr & kmask
+        for r in range(init_recs.shape[0] - 1, -1, -1):
+            pr = int(init_recs[r, s])
+            if pr >> kbits:
+                words_rev.append(pr >> kbits)
+            s = pr & kmask
+        out.append((words_rev[::-1], tids_rev[::-1], float(bcost)))
+    return out
