@@ -224,3 +224,129 @@ def test_sgmm2_fmllr_recovers_feature_transform(sgmm_setup):
     W2, impr2 = estimate_sgmm2_fmllr(fa2, m)
     np.testing.assert_allclose(W2[:, :D], np.eye(D))
     assert impr2 == 0.0
+
+
+def _mmi_objective(model, feats, num_post, n_states, num_gselect=4):
+    """True MMI criterion (uniform state prior):
+    mean_t [ log p(x_t | j_num) − log Σ_j p(x_t | j) ], plus the EBW
+    statistics (num from the alignment, den weighted by the model's own
+    state posterior — exactly the sgmm2-acc-stats2 den stats)."""
+    ll = model.loglikes_matrix(feats, num_gselect)          # [T, J]
+    m = ll.max(axis=1, keepdims=True)
+    den_log = (m[:, 0] + np.log(np.exp(ll - m).sum(axis=1)))
+    num_log = np.array([ll[t, num_post[t][0][0]]
+                        for t in range(len(feats))])
+    obj = float((num_log - den_log).mean())
+    p = np.exp(ll - m)
+    p /= p.sum(axis=1, keepdims=True)
+    den_post = [[(j, float(p[t, j])) for j in range(n_states)
+                 if p[t, j] > 1e-6] for t in range(len(feats))]
+    num = Sgmm2Accs(model)
+    num.accumulate(model, feats, num_post, num_gselect=num_gselect)
+    den = Sgmm2Accs(model)
+    den.accumulate(model, feats, den_post, num_gselect=num_gselect)
+    return obj, num, den
+
+
+def test_sgmm2_ebw_improves_mmi_objective(sgmm_setup):
+    """EBW update on (num=alignment, den=model posterior) stats must
+    increase the MMI objective (ref: sgmm2/estimate-am-sgmm2-ebw.h —
+    the defining property of the EBW step)."""
+    import copy
+    from kaldi_tpu.sgmm.ebw import update_sgmm2_ebw, EbwSgmm2Options
+    model, feats, post, _rng = sgmm_setup
+    m = copy.deepcopy(model)
+    # a few ML iterations first so the model is sane
+    for flags in ("vc", "Mc"):
+        accs = Sgmm2Accs(m)
+        accs.accumulate(m, feats, post, num_gselect=4)
+        m = update_sgmm2(m, accs, update_flags=flags)
+    obj0, num, den = _mmi_objective(m, feats, post, 3)
+    objs = [obj0]
+    for _ in range(3):
+        update_sgmm2_ebw(m, num, den, EbwSgmm2Options(),
+                         update_flags="vMwSc")
+        obj, num, den = _mmi_objective(m, feats, post, 3)
+        objs.append(obj)
+    assert objs[-1] > objs[0] + 1e-3, objs
+    # and every step is (weakly) monotone, the EBW guarantee territory
+    assert all(objs[k + 1] >= objs[k] - 1e-3 for k in range(len(objs) - 1)), objs
+
+
+def test_sgmm2_bmmi_e2e():
+    """ML SGMM -> boosted-MMI EBW iterations: the MMI objective improves
+    and decode WER does not regress vs the ML SGMM
+    (ref: steps/train_mmi_sgmm2.sh + sgmm2/estimate-am-sgmm2-ebw.h)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    import jax.numpy as jnp
+    from test_yesno_e2e import synth_utterance, YESNO_ARPA, SR
+    from kaldi_tpu.fst.lang import Lexicon, prepare_lang
+    from kaldi_tpu.lm.arpa import ArpaLm, arpa_to_g
+    from kaldi_tpu.fst.graph import make_hclg
+    from kaldi_tpu.ops import MfccOpts, FrameOpts, mfcc, add_deltas
+    from kaldi_tpu.steps.mono import train_mono, MonoTrainOpts
+    from kaldi_tpu.steps.sgmm_steps import (train_sgmm2_system,
+                                            SgmmTrainOpts,
+                                            train_sgmm2_bmmi, SgmmMmiOpts)
+    from kaldi_tpu.decoder.graph_pack import pack_graph
+    from kaldi_tpu.decoder.beam_search import (BeamSearchDecoder,
+                                               BeamSearchOpts)
+    from kaldi_tpu.utils.wer import compute_wer
+
+    rng = np.random.RandomState(21)
+    lex = Lexicon.parse("YES Y1 Y2\nNO N1 N2")
+    lang = prepare_lang(lex, ["SIL"], "SIL", num_sil_states=3)
+    fo = MfccOpts(frame_opts=FrameOpts(samp_freq=SR, dither=0.0))
+
+    def featize(w):
+        return np.asarray(add_deltas(mfcc(jnp.asarray(w), fo), order=2,
+                                     window=2))
+
+    train, test = [], []
+    for i in range(12):
+        ws = [rng.choice(["YES", "NO"]) for _ in range(rng.randint(2, 4))]
+        train.append((f"u{i}", featize(synth_utterance(ws, rng)), ws))
+    for i in range(6):
+        ws = [rng.choice(["YES", "NO"]) for _ in range(rng.randint(2, 4))]
+        test.append((f"t{i}", featize(synth_utterance(ws, rng)), ws))
+    gmm = train_mono(lang, train, MonoTrainOpts(
+        num_iters=8, totgauss=30, max_iter_inc=6,
+        realign_iters=tuple(range(1, 8))))
+    sgmm_am, _likes = train_sgmm2_system(
+        gmm, train, SgmmTrainOpts(ubm_gauss=8, phn_dim=8, num_iters=4))
+
+    g = arpa_to_g(ArpaLm.parse(YESNO_ARPA), lang.words)
+    graph = make_hclg(lang, g, gmm.trans_model, gmm.ctx_dep,
+                      self_loop_scale=0.1)
+    dec = BeamSearchDecoder(
+        pack_graph(graph.fst, gmm.trans_model.id2pdf_array),
+        BeamSearchOpts(beam=16.0, max_active=256, acoustic_scale=0.1))
+
+    def wer_of(am):
+        B = len(test)
+        T = max(f.shape[0] for (_u, f, _w) in test)
+        D = test[0][1].shape[1]
+        feats = np.zeros((B, T, D), np.float32)
+        nf = np.zeros(B, np.int32)
+        for b, (_u, f, _w) in enumerate(test):
+            feats[b, : f.shape[0]] = f
+            nf[b] = f.shape[0]
+        results = dec.decode(am.loglikes_np(feats), nf)
+        refs, hyps = {}, {}
+        for b, (u, _f, ws) in enumerate(test):
+            refs[u] = ws
+            hyps[u] = ([lang.words.sym(w) for w in results[b][0]]
+                       if results[b] else [])
+        return compute_wer(refs, hyps).wer
+
+    wer_ml = wer_of(sgmm_am)
+    import copy
+    sgmm_am2 = copy.deepcopy(sgmm_am)
+    sgmm_am2, objs = train_sgmm2_bmmi(
+        gmm, sgmm_am2, graph, train,
+        SgmmMmiOpts(num_iters=2, boost=0.1))
+    assert objs[-1] >= objs[0] - 1e-3, objs   # MMI objective not worse
+    wer_bmmi = wer_of(sgmm_am2)
+    print(f"SGMM WER: ML {wer_ml:.2f} -> bMMI {wer_bmmi:.2f}, objs {objs}")
+    assert wer_bmmi <= wer_ml + 1e-9, (wer_bmmi, wer_ml)
