@@ -248,14 +248,23 @@ def _mmi_objective(model, feats, num_post, n_states, num_gselect=4):
     return obj, num, den
 
 
-def test_sgmm2_ebw_improves_mmi_objective(sgmm_setup):
+def test_sgmm2_ebw_improves_mmi_objective():
     """EBW update on (num=alignment, den=model posterior) stats must
     increase the MMI objective (ref: sgmm2/estimate-am-sgmm2-ebw.h —
-    the defining property of the EBW step)."""
-    import copy
+    the defining property of the EBW step).
+
+    Builds its own model: the module fixture is mutated in place by the
+    EM tests, which would leave an already-converged starting point."""
     from kaldi_tpu.sgmm.ebw import update_sgmm2_ebw, EbwSgmm2Options
-    model, feats, post, _rng = sgmm_setup
-    m = copy.deepcopy(model)
+    rng = np.random.RandomState(0)
+    feats, post, _mu = _make_data(rng)
+    ubm = DiagGmm.from_stats(feats.mean(0), feats.var(0)).split(4)
+    for _ in range(5):
+        acc = AccumDiagGmm(ubm.num_gauss, ubm.dim)
+        acc.accumulate(ubm, feats.astype(np.float32))
+        ubm = mle_diag_gmm_update(ubm, acc)
+    fubm = FullGmm.from_diag(ubm.weights, ubm.means, ubm.vars)
+    m = AmSgmm2(fubm, num_states=3, phn_dim=5, spk_dim=2, seed=1)
     # a few ML iterations first so the model is sane
     for flags in ("vc", "Mc"):
         accs = Sgmm2Accs(m)
