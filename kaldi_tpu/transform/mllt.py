@@ -35,10 +35,34 @@ class MlltStats:
             self.G += outer[None, :, :] / variances[m][:, None, None]
         self.beta += posteriors.sum()
 
-    def accumulate_from_gmm_post(self, feats, gmm, pdf_post):
-        """Accumulate using per-frame per-pdf posteriors against a packed
-        AmDiagGmm (host path used by train_lda_mllt)."""
-        raise NotImplementedError
+    def accumulate_from_gmm_post(self, feats, am_gmm, pdf_post):
+        """Accumulate from per-frame pdf posteriors against an AmDiagGmm:
+        within each posted pdf the Gaussian-level posteriors are computed
+        and scattered into the G statistics
+        (ref: transform/mllt.h:78 MlltAccs::AccumulateFromPosteriors).
+
+        feats [T, D]; pdf_post: per frame, list of (pdf_id, weight).
+        """
+        feats = np.asarray(feats, np.float64)
+        # group frames by pdf so each pdf's GMM is scored vectorized
+        by_pdf: dict[int, list] = {}
+        for t, frame in enumerate(pdf_post):
+            for pdf, w in frame:
+                by_pdf.setdefault(int(pdf), []).append((t, float(w)))
+        for pdf, items in by_pdf.items():
+            g = am_gmm.pdfs[pdf]
+            idx = np.array([t for (t, _w) in items])
+            w = np.array([wt for (_t, wt) in items])
+            x = feats[idx]                                   # [N, D]
+            # component log-likelihoods -> posteriors
+            ll = (np.log(np.maximum(g.weights, 1e-30))[None, :]
+                  - 0.5 * np.sum(np.log(2 * np.pi * g.vars), axis=1)[None]
+                  - 0.5 * np.sum((x[:, None, :] - g.means[None]) ** 2
+                                 / g.vars[None], axis=2))    # [N, M]
+            m = ll.max(axis=1, keepdims=True)
+            post = np.exp(ll - m)
+            post /= post.sum(axis=1, keepdims=True)
+            self.accumulate(x, g.means, g.vars, post * w[:, None])
 
 
 def update_mllt(stats: MlltStats, num_iters: int = 200):

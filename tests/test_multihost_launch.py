@@ -1,0 +1,70 @@
+"""Multi-controller launch: N local processes form one global mesh,
+host-sharded data reduces to identical global results on every process.
+
+(ref: utils/queue.pl:15-58 — the reference's multi-host story is qsub +
+ NFS; here the contract is env-driven jax.distributed, exercised with
+ real separate processes and gloo CPU collectives.)
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from kaldi_tpu.parallel.launch import launch_local, host_shard
+
+WORKER = r'''
+import os, sys
+sys.path.insert(0, %(repo)r)
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")   # the ambient axon plugin
+                                            # ignores the env var
+from kaldi_tpu.parallel.launch import init_distributed, global_mesh, host_shard
+pid, n = init_distributed()
+import numpy as np, jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+assert jax.process_count() == n == 2, (jax.process_count(), n)
+assert jax.device_count() == 4, jax.device_count()
+mesh = global_mesh(data=4, model=1)
+# host-sharded "data": each process contributes its own utterances
+utts = [f"utt{i:02d}" for i in range(8)]
+mine = host_shard(utts)
+assert len(mine) == 4
+local = np.array([float(u[3:]) for u in mine], np.float32)
+arr = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P("data")), local)
+total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(arr)
+# every process must see the SAME global reduction over ALL hosts' data
+expect = sum(range(8))
+assert float(total) == expect, (float(total), expect)
+print(f"proc {pid}: global={float(total)} shard={mine}")
+'''
+
+
+@pytest.mark.slow
+def test_two_process_global_reduction(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker_py = tmp_path / "worker.py"
+    worker_py.write_text(WORKER % {"repo": repo})
+    codes = launch_local(
+        [sys.executable, str(worker_py)], num_processes=2,
+        log_dir=str(tmp_path / "logs"), coordinator_port=29431,
+        env={"JAX_PLATFORMS": "cpu"}, timeout=300)
+    logs = [(tmp_path / "logs" / f"worker.{i}.log").read_text()
+            for i in range(2)]
+    assert codes == [0, 0], logs
+    for i, log in enumerate(logs):
+        assert f"proc {i}: global=28.0" in log, log
+        assert "# Accounting: time=" in log   # run.pl-style epilogue
+
+
+def test_host_shard_partition():
+    """Shards are disjoint, cover everything, and near-equal."""
+    utts = [f"u{i}" for i in range(11)]
+    shards = [host_shard(utts, pid, 3) for pid in range(3)]
+    flat = sorted(x for s in shards for x in s)
+    assert flat == sorted(utts)
+    sizes = [len(s) for s in shards]
+    assert max(sizes) - min(sizes) <= 1

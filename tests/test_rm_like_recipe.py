@@ -131,6 +131,11 @@ def test_recipe_pyramid(rm_system):
 
     print(f"WER pyramid: mono {wer_mono:.2f} -> tri {wer_tri:.2f} "
           f"-> tri+bMMI {wer_mmi:.2f}")
+    # Pinned numbers (PARITY.md): observed mono 9.09 / tri 9.09 /
+    # tri+bMMI 6.82 on this corpus — RESULTS-file style bars with a
+    # small tolerance, like the reference's egs/rm/s5/RESULTS ordering
     assert wer_tri <= wer_mono + 1e-9
-    assert wer_mmi <= wer_tri + 2.0      # bMMI must not regress materially
-    assert wer_tri < 25.0
+    assert wer_mmi <= wer_tri + 1e-9     # bMMI must improve (or tie)
+    assert wer_mono <= 12.0, wer_mono
+    assert wer_tri <= 10.0, wer_tri
+    assert wer_mmi <= 8.0, wer_mmi

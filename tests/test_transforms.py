@@ -114,3 +114,41 @@ def test_fmllr_below_mincount_is_identity():
     W, impr, _ = estimate_fmllr(st, min_count=500)
     np.testing.assert_allclose(W[:, :D], np.eye(D))
     assert impr == 0.0
+
+
+def test_mllt_accumulate_from_gmm_post_matches_direct():
+    """The pdf-posterior accumulation path must equal direct accumulation
+    with explicitly computed component posteriors
+    (ref: transform/mllt.h:78 AccumulateFromPosteriors)."""
+    from kaldi_tpu.transform.mllt import MlltStats
+    from kaldi_tpu.gmm.diag_gmm import DiagGmm
+    from kaldi_tpu.gmm.am_gmm import AmDiagGmm
+
+    rng = np.random.RandomState(0)
+    D, T = 3, 40
+    g0 = DiagGmm(np.array([0.6, 0.4]),
+                 rng.randn(2, D), np.abs(rng.rand(2, D)) + 0.5)
+    g1 = DiagGmm(np.array([1.0]),
+                 rng.randn(1, D), np.abs(rng.rand(1, D)) + 0.5)
+    am = AmDiagGmm([g0, g1])
+    feats = rng.randn(T, D)
+    pdf_post = [[(t % 2, 1.0)] for t in range(T)]
+
+    s1 = MlltStats(D)
+    s1.accumulate_from_gmm_post(feats, am, pdf_post)
+
+    s2 = MlltStats(D)
+    for pdf, g in ((0, g0), (1, g1)):
+        idx = np.array([t for t in range(T) if t % 2 == pdf])
+        x = feats[idx]
+        ll = (np.log(g.weights)[None]
+              - 0.5 * np.sum(np.log(2 * np.pi * g.vars), axis=1)[None]
+              - 0.5 * np.sum((x[:, None] - g.means[None]) ** 2
+                             / g.vars[None], axis=2))
+        m = ll.max(axis=1, keepdims=True)
+        post = np.exp(ll - m)
+        post /= post.sum(axis=1, keepdims=True)
+        s2.accumulate(x, g.means, g.vars, post)
+
+    assert s1.beta == pytest.approx(s2.beta)
+    np.testing.assert_allclose(s1.G, s2.G, rtol=1e-10)
