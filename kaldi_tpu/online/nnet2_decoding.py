@@ -27,6 +27,7 @@ class OnlineNnet2FeaturePipeline:
         self.base = base_feature
         self.ivector = ivector_feature
         self._silence_weights: np.ndarray | None = None
+        self.finished = False
 
     @property
     def dim(self) -> int:
@@ -44,6 +45,7 @@ class OnlineNnet2FeaturePipeline:
         n_before = self.base.num_frames_ready()
         self.base.input_finished()
         self._feed_ivector(n_before)
+        self.finished = True
 
     def _feed_ivector(self, n_before: int):
         if self.ivector is None:
@@ -95,15 +97,34 @@ class SingleUtteranceNnet2Decoder:
             trans_model, self.silence_phones)
 
     def advance_decoding(self):
-        """Score and decode all feature frames not yet consumed
-        (ref: online-nnet2-decoding.h AdvanceDecoding)."""
+        """Score and decode feature frames not yet consumed, carrying the
+        acoustic model's temporal context across chunk boundaries: each
+        window is scored with `left_context` frames of true history, and
+        frames within `right_context` of the stream head are DELAYED
+        until their future context exists (consumed at input_finished).
+        Decoded scores are therefore identical regardless of how the
+        audio was chunked — the offline-parity contract
+        (ref: online-nnet2-decoding.h AdvanceDecoding; round-2 fix: the
+        old per-chunk edge-clamping degraded with small chunks)."""
         ready = self.pipeline.num_frames_ready()
-        if ready <= self._frames_consumed:
+        model = self.am_nnet.model
+        lc = getattr(model, "left_context", None)
+        if lc is None:
+            lc = model.config.left_context
+            rc = model.config.right_context
+        else:
+            rc = model.right_context
+        finished = getattr(self.pipeline, "finished", False)
+        consumable = ready if finished else max(self._frames_consumed,
+                                                ready - rc)
+        if consumable <= self._frames_consumed:
             return
-        feats = self.pipeline.get_frames(self._frames_consumed, ready)
-        ll = self.am_nnet.loglikes_np(feats[None])[0]
+        start = max(0, self._frames_consumed - lc)
+        feats = self.pipeline.get_frames(start, ready)
+        ll_full = self.am_nnet.loglikes_np(feats[None])[0]
+        ll = ll_full[self._frames_consumed - start: consumable - start]
         self.decoder.advance_decoding(ll)
-        self._frames_consumed = ready
+        self._frames_consumed = consumable
         # decoder feedback: downweight silence frames in the i-vector stats
         if self.pipeline.ivector is not None:
             res = self.decoder.best_path(use_final_probs=False)

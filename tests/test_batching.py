@@ -15,6 +15,7 @@ def test_bucket_boundaries():
     assert all(b[i] < b[i + 1] for i in range(len(b) - 1))
 
 
+@pytest.mark.slow
 def test_decode_batched_matches_single(yesno_graph):
     packed, model, utts = yesno_graph
     dec = DenseViterbiDecoder(packed)

@@ -41,6 +41,7 @@ def test_biggraph_shape_and_eps_depth(small_big_graph):
     assert np.isfinite(g.final).sum() == 301   # V histories + unigram
 
 
+@pytest.mark.slow
 def test_csr_matches_padded_beam(small_big_graph):
     """Same graph, huge beam: the CSR budget decoder and the padded
     [S, E_max] decoder must produce identical best paths."""

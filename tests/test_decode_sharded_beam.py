@@ -41,6 +41,7 @@ def _same(a, b):
     assert abs(a[2] - b[2]) < 1e-2
 
 
+@pytest.mark.slow
 def test_utterance_sharded_beam_search(graph, ll_nf):
     """decode_sharded (GSPMD over 'data') == single for BeamSearchDecoder
     and CsrBeamDecoder."""

@@ -167,6 +167,7 @@ def mmi_system():
     return lang, model, den_graph, train_utts, test_utts
 
 
+@pytest.mark.slow
 def test_mmi_objf_improves_and_wer_not_worse(mmi_system):
     lang, model, den_graph, train_utts, test_utts = mmi_system
     sil = {lang.phones["SIL"]}
@@ -200,6 +201,7 @@ def test_mmi_objf_improves_and_wer_not_worse(mmi_system):
     assert wer_of(new_am) <= wer_of(model.am)
 
 
+@pytest.mark.slow
 def test_nnet_sequence_discriminative_smbr(mmi_system):
     """sMBR fine-tuning of a hybrid TDNN raises expected frame accuracy
     (ref: steps/nnet2/train_discriminative2.sh)."""
@@ -268,6 +270,7 @@ def test_nnet_sequence_discriminative_smbr(mmi_system):
     assert hist[-1] >= hist[0] - 1e-3
 
 
+@pytest.mark.slow
 def test_smbr_training_runs(mmi_system):
     lang, model, den_graph, train_utts, _ = mmi_system
     sil = {lang.phones["SIL"]}

@@ -16,6 +16,7 @@ from kaldi_tpu.utils.wer import compute_wer
 from test_discriminative import mmi_system  # noqa: F401
 
 
+@pytest.mark.slow
 def test_fmmi_objf_improves_and_wer_not_worse(mmi_system):
     lang, model, den_graph, train_utts, test_utts = mmi_system
     sil = {lang.phones["SIL"]}

@@ -126,6 +126,7 @@ ngram 1=4
     assert paths[(wb,)] == pytest.approx(4.5 + (0.7 + 0.2) * ln10, abs=1e-4)
 
 
+@pytest.mark.slow
 def test_lattice_from_decoder_yesno():
     """Generate lattices on a tiny trained system; 1-best through the
     lattice must equal the decoder's 1-best, and the lattice must contain

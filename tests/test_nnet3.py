@@ -144,6 +144,7 @@ output-node name=output input=out
     assert accs[-1] > 0.8, accs[-1]
 
 
+@pytest.mark.slow
 def test_natural_gradient_preserves_norm_and_direction_quality():
     """NG preconditioning keeps the Frobenius norm (the reference's
     scale-preserving contract) and beats SGD on an ill-conditioned

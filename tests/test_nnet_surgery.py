@@ -91,6 +91,7 @@ def test_fix_rescales_dead_units():
                                np.asarray(params["layers"][0]["w"][:, j]))
 
 
+@pytest.mark.slow
 def test_shrink_improves_or_holds_loss():
     cfg, model, params = _relu_net()
     rng = np.random.RandomState(0)

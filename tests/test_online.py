@@ -88,6 +88,7 @@ def test_timing_stats():
     assert stats.real_time_factor < 1.0  # compute was ~instant
 
 
+@pytest.mark.slow
 def test_online_decode_matches_offline():
     """Chunked AdvanceDecoding must produce the same words as one-shot."""
     import sys, os

@@ -179,6 +179,7 @@ def test_online_nnet2_pipeline_dims(small_extractor):
     assert iv.gamma.sum() > 0
 
 
+@pytest.mark.slow
 def test_online_gmm_decoder_with_fmllr():
     """Streaming GMM decode on yesno; fMLLR estimated mid-utterance must
     not break decoding (and should be estimated when enough frames)."""

@@ -52,6 +52,7 @@ def base():
     return lang, featize_raw, featize_delta, g
 
 
+@pytest.mark.slow
 def test_train_lda_mllt_pipeline(base):
     lang, featize_raw, featize_delta, make_g = base
     rng = np.random.RandomState(5)
@@ -102,6 +103,7 @@ def test_train_lda_mllt_pipeline(base):
     assert compute_wer(refs, hyps).wer == 0.0
 
 
+@pytest.mark.slow
 def test_train_sat_beats_si_on_warped_speakers(base):
     lang, _fr, featize_delta, make_g = base
     rng = np.random.RandomState(6)

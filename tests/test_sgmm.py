@@ -282,6 +282,7 @@ def test_sgmm2_ebw_improves_mmi_objective():
     assert all(objs[k + 1] >= objs[k] - 1e-3 for k in range(len(objs) - 1)), objs
 
 
+@pytest.mark.slow
 def test_sgmm2_bmmi_e2e():
     """ML SGMM -> boosted-MMI EBW iterations: the MMI objective improves
     and decode WER does not regress vs the ML SGMM

@@ -10,6 +10,7 @@ from kaldi_tpu.online.server import AudioServer, DecodeSession, stream_wave
 from test_yesno_e2e import synth_utterance, YESNO_ARPA, SR
 
 
+@pytest.mark.slow
 def test_tcp_server_decodes_stream():
     from kaldi_tpu.fst.lang import Lexicon, prepare_lang
     from kaldi_tpu.lm.arpa import ArpaLm, arpa_to_g

@@ -90,6 +90,7 @@ def tri_system():
     return lang, mono, tri, train_utts, test_utts
 
 
+@pytest.mark.slow
 def test_tree_has_context_dependence(tri_system):
     lang, mono, tri, train_utts, _ = tri_system
     assert tri.ctx_dep.context_width == 3
@@ -111,6 +112,7 @@ def test_triphone_training_graph(tri_system):
     assert [p for p in phones if p != "SIL"] == ["A", "B", "C", "A"]
 
 
+@pytest.mark.slow
 def test_triphone_decode_wer(tri_system):
     lang, _mono, tri, _tr, test_utts = tri_system
     g = arpa_to_g(ArpaLm.parse(ARPA), lang.words)

@@ -147,6 +147,7 @@ def test_yesno_decode_wer_zero(yesno_system):
     assert stats.wer == 0.0, str(stats) + repr(hyps)
 
 
+@pytest.mark.slow
 def test_tdnn_hybrid_decode(yesno_system):
     """GMM alignments -> TDNN -> hybrid decode, WER 0 (the nnet2 path)."""
     from kaldi_tpu.steps.tdnn import train_tdnn
@@ -189,6 +190,7 @@ def test_tdnn_hybrid_decode(yesno_system):
     assert stats.wer == 0.0, str(stats) + repr(hyps)
 
 
+@pytest.mark.slow
 def test_nnet3_tdnn_hybrid_decode_parity(yesno_system):
     """GMM alignments -> config-defined nnet3 TDNN (NG-SGD trainer) ->
     hybrid decode: WER 0, i.e. parity with the hand-written nnet2 TDNN
