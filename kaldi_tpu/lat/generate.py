@@ -78,12 +78,27 @@ def raw_lattice_from_decode(
     num_frames,
     b: int,
     lattice_beam: float = 10.0,
+    use_native: bool = True,
 ) -> Lattice | None:
     csr = dec.csr
     final = csr.final
     Tb = int(num_frames[b])
     if raw["best_cost"][b] >= BIG * 0.5:
         return None
+
+    if use_native:
+        from kaldi_tpu.lat import native_gen
+        res = native_gen.extract_native(csr, raw, b, Tb, lattice_beam)
+        if res is not None:
+            # the native extractor beam-prunes, connects and renumbers on
+            # flat arrays before any Python objects exist
+            n_nodes, src, il, ol, gc, ac, dst, fn, fc = res
+            if len(src) == 0 or len(fn) == 0:
+                return None
+            return Lattice.from_arrays(
+                n_nodes, src, il, ol, gc, ac, dst, start=0,
+                finals={int(n): (float(c), 0.0)
+                        for n, c in zip(fn, fc)})
     K = raw["states"].shape[-1]
     R0 = raw["init_states"].shape[1]
     R = raw["states"].shape[2]

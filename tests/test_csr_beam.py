@@ -194,3 +194,41 @@ def test_csr_lattice_extraction(small_big_graph):
         assert tids == bt
         assert abs(cost - bc) < 1e-2, (cost, bc)
         assert lats[b].num_arcs > lats[b].num_states - 1  # real lattice
+
+
+def test_native_lattice_extraction_matches_python(small_big_graph):
+    """The C++ extractor (native/lattice_gen.cc) must produce lattices
+    equivalent to the numpy reference implementation: identical path sets
+    (words, tids, costs) after pruning."""
+    from kaldi_tpu.lat import native_gen
+    from kaldi_tpu.lat.generate import raw_lattice_from_decode
+    from kaldi_tpu.lat.functions import lattice_best_path
+    if not native_gen.available():
+        pytest.skip("native toolchain unavailable")
+    g = small_big_graph
+    rng = np.random.RandomState(8)
+    B, T, P = 2, 30, 64
+    ll = (rng.randn(B, T, P) * 3).astype(np.float32)
+    nf = np.array([30, 22], np.int32)
+    dec = CsrBeamDecoder(g, CsrBeamOpts(beam=1e9, max_active=128,
+                                        acoustic_scale=0.1,
+                                        expand_budget=8192,
+                                        eps_budget=2048))
+    raw = dec.decode_raw(ll, nf)
+    for b in range(B):
+        lat_py = raw_lattice_from_decode(dec, raw, nf, b, 6.0,
+                                         use_native=False)
+        lat_cc = raw_lattice_from_decode(dec, raw, nf, b, 6.0,
+                                         use_native=True)
+        assert (lat_py is None) == (lat_cc is None)
+        if lat_py is None:
+            continue
+        paths_py = {(w, t): round(c, 3)
+                    for (w, t, c) in lat_py.paths(max_paths=200000)}
+        paths_cc = {(w, t): round(c, 3)
+                    for (w, t, c) in lat_cc.paths(max_paths=200000)}
+        assert paths_py == paths_cc
+        bp_py = lattice_best_path(lat_py)
+        bp_cc = lattice_best_path(lat_cc)
+        assert bp_py[0] == bp_cc[0] and bp_py[1] == bp_cc[1]
+        assert abs(bp_py[2] - bp_cc[2]) < 1e-3
