@@ -710,6 +710,65 @@ def cmd_info(args):
     }, indent=2))
 
 
+# ---------------- FST tools (OpenFst-text interchange) ----------------
+
+def _fst_unary(transform):
+    """Wrap an Fst->Fst transform as a text-in/text-out subcommand."""
+    def run(args):
+        from kaldi_tpu.fst.text_io import load_fst, save_fst
+        fst = load_fst(args.fst_in,
+                       getattr(args, "isymbols", "") or "",
+                       getattr(args, "osymbols", "") or "")
+        out = transform(fst, args)
+        save_fst(args.fst_out, out)
+        print(f"{out.num_states} states, {out.num_arcs} arcs",
+              file=sys.stderr)
+    return run
+
+
+def cmd_fst_compose(args):
+    """(ref: fstcompose / fsttablecompose)"""
+    from kaldi_tpu.fst.text_io import load_fst, save_fst
+    from kaldi_tpu.fst.compose import compose, table_compose
+    a = load_fst(args.a)
+    b = load_fst(args.b)
+    a.arcsort(by="olabel")
+    b.arcsort(by="ilabel")
+    out = table_compose(a, b) if args.table else compose(a, b)
+    save_fst(args.fst_out, out)
+    print(f"{out.num_states} states, {out.num_arcs} arcs", file=sys.stderr)
+
+
+def cmd_fst_shortest_path(args):
+    """(ref: fstshortestpath + fstprint of the best path)"""
+    from kaldi_tpu.fst.text_io import load_fst
+    fst = load_fst(args.fst_in)
+    res = fst.shortest_path()
+    if res is None:
+        print("no path", file=sys.stderr)
+        sys.exit(1)
+    il, ol, cost = res
+    print(" ".join(map(str, il)))
+    print(" ".join(map(str, ol)))
+    print(f"{cost:.6g}")
+
+
+def cmd_fst_info(args):
+    """(ref: fstinfo)"""
+    from kaldi_tpu.fst.text_io import load_fst
+    fst = load_fst(args.fst_in)
+    n_eps = sum(1 for arcs in fst.arcs for (i, _o, _w, _d) in arcs
+                if i == 0)
+    print(json.dumps({
+        "num_states": fst.num_states,
+        "num_arcs": fst.num_arcs,
+        "num_eps_input_arcs": n_eps,
+        "start": fst.start,
+        "num_final_states": len(fst.finals),
+        "input_deterministic": fst.is_deterministic(),
+    }, indent=2))
+
+
 # ---------------- file-driven training / online decoding ----------------
 
 def _read_text_file(path):
@@ -1380,6 +1439,72 @@ def main(argv=None):
     q = sub.add_parser("recipe-yesno-files")
     q.add_argument("workdir")
     q.set_defaults(func=cmd_recipe_yesno_files)
+
+    # --- FST tools (text interchange like the fstbin/OpenFst binaries)
+    def _fst_io_parser(name):
+        qq = sub.add_parser(name)
+        qq.add_argument("fst_in")
+        qq.add_argument("fst_out")
+        return qq
+
+    def _det(fst, a):
+        from kaldi_tpu.fst.determinize import determinize_star
+        return determinize_star(fst, use_log=a.use_log)
+    q = _fst_io_parser("fst-determinize-star")
+    q.add_argument("--use-log", action="store_true")
+    q.set_defaults(func=_fst_unary(_det))
+
+    def _rmeps(fst, a):
+        from kaldi_tpu.fst.epsilon import rm_epsilon
+        return rm_epsilon(fst, use_log=a.use_log)
+    q = _fst_io_parser("fst-rmepsilon")
+    q.add_argument("--use-log", action="store_true")
+    q.set_defaults(func=_fst_unary(_rmeps))
+
+    def _min(fst, a):
+        from kaldi_tpu.fst.minimize import minimize_encoded
+        return minimize_encoded(fst)
+    q = _fst_io_parser("fst-minimize-encoded")
+    q.set_defaults(func=_fst_unary(_min))
+
+    def _push(fst, a):
+        from kaldi_tpu.fst.special import push_special
+        return push_special(fst)
+    q = _fst_io_parser("fst-push-special")
+    q.set_defaults(func=_fst_unary(_push))
+
+    q = _fst_io_parser("fst-arcsort")
+    q.add_argument("--sort-type", default="ilabel",
+                   choices=["ilabel", "olabel"])
+    q.set_defaults(func=_fst_unary(
+        lambda fst, a: fst.arcsort(by=a.sort_type)))
+
+    q = _fst_io_parser("fst-project")
+    q.add_argument("--project-output", action="store_true")
+    q.set_defaults(func=_fst_unary(
+        lambda fst, a: fst.project(output=a.project_output)))
+
+    q = _fst_io_parser("fst-invert")
+    q.set_defaults(func=_fst_unary(lambda fst, a: fst.invert()))
+
+    q = _fst_io_parser("fst-connect")
+    q.set_defaults(func=_fst_unary(lambda fst, a: fst.connect()))
+
+    q = sub.add_parser("fst-compose")
+    q.add_argument("a")
+    q.add_argument("b")
+    q.add_argument("fst_out")
+    q.add_argument("--table", action="store_true",
+                   help="table-compose (fsttablecompose)")
+    q.set_defaults(func=cmd_fst_compose)
+
+    q = sub.add_parser("fst-shortest-path")
+    q.add_argument("fst_in")
+    q.set_defaults(func=cmd_fst_shortest_path)
+
+    q = sub.add_parser("fst-info")
+    q.add_argument("fst_in")
+    q.set_defaults(func=cmd_fst_info)
 
     args = p.parse_args(argv)
     args.func(args)
