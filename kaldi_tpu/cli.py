@@ -339,6 +339,13 @@ def cmd_latgen_faster_mapped(args):
         nf[b] = m.shape[0]
     lats = decode_to_lattices(dec, ll, nf,
                               lattice_beam=args.lattice_beam)
+    if args.determinize_lattice:
+        # the reference default: every raw lattice is determinized to
+        # word level before writing (gmm-latgen-faster
+        # --determinize-lattice=true, decoder-wrappers.cc:267)
+        from kaldi_tpu.lat.functions import determinize_lattice
+        lats = [determinize_lattice(l, beam=args.lattice_beam)
+                if l is not None else None for l in lats]
     from kaldi_tpu.lat.functions import lattice_best_path
     for b, (k, _m) in enumerate(items):
         if lats[b] is None:
@@ -1161,6 +1168,9 @@ def main(argv=None):
     q.add_argument("graph")
     q.add_argument("loglikes_rspecifier")
     q.add_argument("--lattice-out", default="")
+    q.add_argument("--determinize-lattice", action="store_true",
+                   help="word-level determinization of each lattice "
+                        "(the reference's default decode mode)")
     q.add_argument("--beam", type=float, default=16.0)
     q.add_argument("--lattice-beam", type=float, default=8.0)
     q.add_argument("--max-active", type=int, default=512)

@@ -130,3 +130,39 @@ def test_save_load_without_npz_suffix(tmp_path):
     g2 = load_hclg(p)
     assert g2.start == 0
     np.testing.assert_allclose(g2.cost, g.cost)
+
+
+def test_cli_latgen_determinize_lattice(yesno_graph, tmp_path, capsys):
+    """--determinize-lattice writes word-level deterministic lattices
+    whose best path matches the raw decode (ref: gmm-latgen-faster's
+    default determinize-lattice=true, decoder-wrappers.cc:267)."""
+    packed, model, utts = yesno_graph
+    gpath = str(tmp_path / "HCLG.npz")
+    save_hclg(gpath, packed)
+    ll_ark = str(tmp_path / "ll.ark")
+    lls = {}
+    for (u, f, _w) in utts[:2]:
+        lls[u] = model.am.loglikes_np(f[None])[0].astype(np.float32)
+    write_ark(ll_ark, lls)
+    raw_out = str(tmp_path / "raw.txt")
+    det_out = str(tmp_path / "det.txt")
+    main(["latgen-faster-mapped", gpath, f"ark:{ll_ark}",
+          f"--lattice-out={raw_out}", "--beam=100", "--max-active=64"])
+    t_raw = capsys.readouterr().out
+    main(["latgen-faster-mapped", gpath, f"ark:{ll_ark}",
+          f"--lattice-out={det_out}", "--determinize-lattice",
+          "--beam=100", "--max-active=64"])
+    t_det = capsys.readouterr().out
+    assert t_raw == t_det   # best paths unchanged by determinization
+    from kaldi_tpu.lat.io import read_lattice_ark
+    det = dict(read_lattice_ark(det_out))
+    for u, lat in det.items():
+        # word-level deterministic: no state has two out-arcs with the
+        # same word label, and word-eps arcs only carry costs/tids
+        for s in range(lat.num_states):
+            seen = set()
+            for a in lat.arcs[s]:
+                assert a.ilabel == 0       # tids live in the weight
+                if a.olabel:
+                    assert a.olabel not in seen
+                    seen.add(a.olabel)
