@@ -136,6 +136,10 @@ def main():
     dt_big = (time.perf_counter() - t0) / n_iter
     big_audio_per_sec = B * secs / dt_big
     overflow = int(dec.last_overflow.sum())
+    assert overflow == 0, (
+        f"expansion budget overflowed ({overflow} arcs dropped) — the "
+        f"headline number would be from a degraded search; raise "
+        f"expand_budget")
     # arc-candidate visits per frame per utt: tier A (2K) + tier B
     # budget (CB) + hub fan-out actually scored (AH) + eps merge (~3K)
     AH = dec.tabs.hub_rows.shape[0]

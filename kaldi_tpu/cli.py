@@ -341,11 +341,23 @@ def cmd_latgen_faster_mapped(args):
                               lattice_beam=args.lattice_beam)
     if args.determinize_lattice:
         # the reference default: every raw lattice is determinized to
-        # word level before writing (gmm-latgen-faster
-        # --determinize-lattice=true, decoder-wrappers.cc:267)
-        from kaldi_tpu.lat.functions import determinize_lattice
-        lats = [determinize_lattice(l, beam=args.lattice_beam)
-                if l is not None else None for l in lats]
+        # word level before writing; on blowup keep the raw lattice
+        # (gmm-latgen-faster --determinize-lattice=true,
+        #  decoder-wrappers.cc:267,283)
+        from kaldi_tpu.lat.functions import (determinize_lattice,
+                                             DeterminizeLatticeOverflow)
+        det = []
+        for l in lats:
+            if l is None:
+                det.append(None)
+                continue
+            try:
+                det.append(determinize_lattice(l, beam=args.lattice_beam))
+            except DeterminizeLatticeOverflow as e:
+                print(f"warning: {e}; keeping raw lattice",
+                      file=sys.stderr)
+                det.append(l)
+        lats = det
     from kaldi_tpu.lat.functions import lattice_best_path
     for b, (k, _m) in enumerate(items):
         if lats[b] is None:

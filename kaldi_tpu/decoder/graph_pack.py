@@ -155,10 +155,8 @@ def eps_depth(graph: PackedGraph, cap: int = 8) -> int | None:
     if len(zsrc) == 0:
         return 0
     nodes = np.unique(np.concatenate([zsrc, znxt]))
-    remap = {}
     zsrc = np.searchsorted(nodes, zsrc)
     znxt = np.searchsorted(nodes, znxt)
-    del remap
     depth = np.zeros(len(nodes), np.int64)
     for _ in range(cap + 1):
         new = depth.copy()

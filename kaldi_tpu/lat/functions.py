@@ -188,7 +188,15 @@ def _word_eps_closure(lat: Lattice, topo_pos, elems):
     return out
 
 
-def determinize_lattice(lat: Lattice, beam: float | None = None) -> Lattice:
+class DeterminizeLatticeOverflow(RuntimeError):
+    """Raised when subset construction exceeds max_states — the
+    reference's DeterminizeLatticePruned failure mode (it bounds work
+    with max_mem/max_states and returns false; callers keep the raw
+    lattice, decoder-wrappers.cc:283)."""
+
+
+def determinize_lattice(lat: Lattice, beam: float | None = None,
+                        max_states: int = 200_000) -> Lattice:
     """Word-level determinization with optional beam pruning: the output
     accepts one path per word sequence, with the best (min-cost) weight
     and that path's transition-id alignment distributed along its arcs.
@@ -205,6 +213,11 @@ def determinize_lattice(lat: Lattice, beam: float | None = None) -> Lattice:
     beam: drop subset elements whose best completion exceeds the overall
     best path by more than beam (DeterminizeLatticePrunedOptions beam,
     determinize-lattice-pruned.h:60) — the decode-side lattice-beam.
+
+    max_states bounds the determinized state count (the reference's
+    max_mem/max_states safety valve, determinize-lattice-pruned.h:70);
+    raises DeterminizeLatticeOverflow beyond it — callers should fall
+    back to the raw lattice, as the reference's wrappers do.
     """
     if lat.num_states == 0 or lat.start < 0:
         return Lattice()
@@ -260,7 +273,6 @@ def determinize_lattice(lat: Lattice, beam: float | None = None) -> Lattice:
     base_of = {ikey: ig + ia}
     # initial residual weight/string: attach to the start via an eps arc
     # only if nonzero (keeps simple lattices simple)
-    pre = None
     if ig or ia or itids:
         real_start = out.start
         s0 = out.add_state()
@@ -268,7 +280,6 @@ def determinize_lattice(lat: Lattice, beam: float | None = None) -> Lattice:
         out.add_arc(s0, 0, 0, ig, ia, real_start)
         if itids:
             out.arcs[s0][-1].tids = tuple(itids)  # type: ignore
-        pre = s0
 
     from collections import deque
     queue = deque([(ikey, ielems)])
@@ -321,6 +332,11 @@ def determinize_lattice(lat: Lattice, beam: float | None = None) -> Lattice:
             (eg, ea), etids, nkey, norm = nrm
             dst = state_of.get(nkey)
             if dst is None:
+                if out.num_states >= max_states:
+                    raise DeterminizeLatticeOverflow(
+                        f"lattice determinization exceeded {max_states} "
+                        f"states (input: {lat.num_states} states, "
+                        f"{lat.num_arcs} arcs)")
                 dst = out.add_state()
                 state_of[nkey] = dst
                 base_of[nkey] = base + eg + ea

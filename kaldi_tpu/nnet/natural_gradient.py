@@ -43,7 +43,8 @@ def _inv_sqrt_psd(M: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 def natural_gradient(alpha: float = 4.0, update_period: int = 10,
                      eps: float = 1e-3,
-                     min_dim: int = 2, max_dim: int = 4096
+                     min_dim: int = 2, max_dim: int = 4096,
+                     param_filter=None,
                      ) -> optax.GradientTransformation:
     """Optax transform: precondition every 2-D parameter's gradient by
     inverse-sqrt Kronecker factors of its own row/column covariance,
@@ -51,7 +52,12 @@ def natural_gradient(alpha: float = 4.0, update_period: int = 10,
 
     alpha: identity smoothing toward the scaled identity, as the
     reference's alpha (natural-gradient-online.h:420) — larger = closer
-    to plain SGD."""
+    to plain SGD.
+
+    param_filter: optional predicate on the keystr path; parameters it
+    rejects get plain gradients (the reference only preconditions
+    NaturalGradientAffineComponent weights — nnet3 passes the component
+    names here)."""
 
     def is_mat(p):
         return (p.ndim == 2 and min(p.shape) >= min_dim
@@ -61,6 +67,9 @@ def natural_gradient(alpha: float = 4.0, update_period: int = 10,
         factors = {}
         flat = jax.tree_util.tree_leaves_with_path(params)
         for path, p in flat:
+            if param_filter is not None and \
+                    not param_filter(jax.tree_util.keystr(path)):
+                continue
             if is_mat(p):
                 o, i = p.shape
                 factors[jax.tree_util.keystr(path)] = _FactorState(

@@ -73,8 +73,14 @@ def make_nnet3_optimizer(net: Nnet3, opts: Nnet3TrainOpts, num_steps: int):
         ng_names = {name for name, cfg in net.components.items()
                     if cfg["type"] == "NaturalGradientAffineComponent"}
         if ng_names:
+            # precondition ONLY NaturalGradientAffineComponent weights
+            # (params are {component_name: {"w": ..., "b": ...}}, so the
+            # keystr path starts with the component name)
+            def _is_ng(keystr, _names=frozenset(ng_names)):
+                return any(f"'{n}'" in keystr for n in _names)
             chain.append(natural_gradient(
-                alpha=opts.ng_alpha, update_period=opts.ng_update_period))
+                alpha=opts.ng_alpha, update_period=opts.ng_update_period,
+                param_filter=_is_ng))
     if opts.max_grad_norm > 0:
         chain.append(optax.clip_by_global_norm(opts.max_grad_norm))
     chain.append(optax.sgd(sched, momentum=opts.momentum)

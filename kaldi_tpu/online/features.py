@@ -230,10 +230,18 @@ class OnlineProcessedFeature:
     through the base-feature interface (dim / num_frames_ready /
     get_frames) so post-processed features can feed
     OnlineNnet2FeaturePipeline — the online2 feature-pipeline stacking
-    (ref: online2/online-feature-pipeline.h:157)."""
+    (ref: online2/online-feature-pipeline.h:157).
+
+    Completed frames are cached and only the newly-complete suffix is
+    computed per chunk (their context exists, so their values are final
+    — the offline-parity contract makes this exact); without the cache
+    streaming was O(T^2) in utterance length. Pipelines with online CMVN
+    (whose sliding stats are stateful) fall back to full recomputation,
+    cached per ready-count."""
 
     def __init__(self, pipeline: OnlineFeaturePipeline):
         self.p = pipeline
+        self._cache = np.zeros((0, self.p.dim), np.float32)
 
     @property
     def dim(self) -> int:
@@ -251,5 +259,40 @@ class OnlineProcessedFeature:
             n = max(0, n - self.p.right_delay)
         return n
 
+    def _extend_cache(self):
+        n_done = self._cache.shape[0]
+        n_complete = self.num_frames_ready()
+        if n_complete <= n_done:
+            return
+        if self.p.cmvn is not None:
+            # sliding CMVN is stateful over history: recompute fully
+            # (still cached so repeat calls at the same count are free)
+            self._cache = np.asarray(self.p.get_features()[:n_complete],
+                                     np.float32)
+            return
+        # context radius of the post-processing
+        if self.p.splice is not None:
+            lo, hi = -min(self.p.splice), max(self.p.splice)
+        else:
+            lo = hi = self.p.right_delay
+        w0 = max(0, n_done - lo)
+        n_all = self.p.base.num_frames_ready()
+        w1 = min(n_all, n_complete + hi)
+        win = self.p.base.get_frames(w0, w1)
+        if self.p.splice is not None:
+            proc = np.asarray(splice_frames(jnp.asarray(win), lo, hi))
+        elif self.p.delta_order > 0:
+            proc = np.asarray(add_deltas(jnp.asarray(win),
+                                         order=self.p.delta_order))
+        else:
+            proc = np.asarray(win)
+        # frames [n_done, n_complete) sit at window offset n_done - w0;
+        # when w0 > 0 their context is fully real, matching offline
+        # (edge clamping only ever applies at the true stream edges)
+        new = proc[n_done - w0: n_complete - w0]
+        self._cache = np.concatenate([self._cache,
+                                      new.astype(np.float32)])
+
     def get_frames(self, start: int, end: int) -> np.ndarray:
-        return self.p.get_features()[start:end]
+        self._extend_cache()
+        return self._cache[start:end]

@@ -39,6 +39,7 @@ def _make_fs_decode(dec: CsrBeamDecoder, mesh: Mesh, axis: str,
     assert K % D == 0, (K, D)
     Kl = K // D
     CB = max(o.expand_budget // D, Kl)
+    CZ = max(o.eps_budget // D, Kl)
     n_eps = o.eps_expansions
     beam = float(o.beam)
     start = int(dec.csr.start)
@@ -88,7 +89,7 @@ def _make_fs_decode(dec: CsrBeamDecoder, mesh: Mesh, axis: str,
         # tier B (budgeted) on the local slice
         deg = jnp.where(sc < BIG * 0.5, row[:, 11], 0)
         coff = jnp.cumsum(deg) - deg
-        tj, within, valid, _ovf = _segment_map(
+        tj, within, valid, ovf_b = _segment_map(
             coff[None, :], deg[None, :], CB, Kl, 1)
         tj, within, valid = tj[0], within[0], valid[0]
         aj = jnp.where(valid, row[:, 10][tj] + within, 0)
@@ -130,7 +131,8 @@ def _make_fs_decode(dec: CsrBeamDecoder, mesh: Mesh, axis: str,
         cst, csc, cpv, col, cil = cl
         best = jnp.min(csc)
         csc = jnp.where(csc > best + beam, BIG, csc)
-        return dedup_topk(cst, csc, cpv, col, cil, db, epoch)
+        out = dedup_topk(cst, csc, cpv, col, cil, db, epoch)
+        return out + (ovf_b[0],)
 
     def eps_round(tok_state, tok_score, db, epoch):
         ts, sc = local_slice(tok_state), local_slice(tok_score)
@@ -145,12 +147,27 @@ def _make_fs_decode(dec: CsrBeamDecoder, mesh: Mesh, axis: str,
             cands.append((row[:, base + 1], csc,
                           lo + jnp.arange(Kl, dtype=jnp.int32),
                           row[:, base + 2], jnp.zeros(Kl, jnp.int32)))
+        ovf = jnp.int32(0)
+        if t.zbrow.shape[0] > 1:    # tier-B eps (eps fan-out > 2)
+            deg = jnp.where(sc < BIG * 0.5, row[:, 7], 0)
+            coff = jnp.cumsum(deg) - deg
+            tj, within, valid, ovf_z = _segment_map(
+                coff[None, :], deg[None, :], CZ, Kl, 1)
+            tj, within, valid = tj[0], within[0], valid[0]
+            aj = jnp.where(valid, row[:, 6][tj] + within, 0)
+            arc = t.zbrow[aj]
+            cost = _bits_to_f32(arc[:, 0])
+            csc = jnp.where(valid, sc[tj] + cost, BIG)
+            cands.append((arc[:, 1], csc, lo + tj, arc[:, 2],
+                          jnp.zeros_like(tj)))
+            ovf = ovf + ovf_z[0]
         cl = [jnp.concatenate([c[i] for c in cands]) for i in range(5)]
         cl = [jax.lax.all_gather(x, axis, tiled=True) for x in cl]
         cst, csc, cpv, col, cil = cl
         best = jnp.min(csc)
         csc = jnp.where(csc > best + beam, BIG, csc)
-        return dedup_topk(cst, csc, cpv, col, cil, db, epoch)
+        out = dedup_topk(cst, csc, cpv, col, cil, db, epoch)
+        return out + (ovf,)
 
     def pack(pv, ol):
         return pv | (ol << kbits)
@@ -164,33 +181,43 @@ def _make_fs_decode(dec: CsrBeamDecoder, mesh: Mesh, axis: str,
         epoch = jnp.int32(rounds_total)
         init_recs = []
         st, sc = tok_state, tok_score
+        ovf0 = jnp.int32(0)
         for _ in range(n_eps):
-            st, sc, pv, ol, _il, db = eps_round(st, sc, db, epoch)
+            st, sc, pv, ol, _il, db, ovf_z = eps_round(st, sc, db, epoch)
             epoch = epoch - 1
+            ovf0 = ovf0 + ovf_z
             init_recs.append(pack(pv, ol))
         init_recs = (jnp.stack(init_recs) if init_recs
                      else jnp.zeros((0, K), jnp.int32))
         self_rec = jnp.arange(K, dtype=jnp.int32)
 
         def frame_step(carry, inputs):
-            st, sc, db, epoch = carry
+            st, sc, db, epoch, ovf = carry
             ll_t, m = inputs
-            nst, nsc, pv, ol, il, db = emit_round(st, sc, ll_t, db, epoch)
+            nst, nsc, pv, ol, il, db, ovf_e = emit_round(st, sc, ll_t, db,
+                                                         epoch)
             epoch = epoch - 1
+            ovf_f = ovf_e
             recs = [pack(pv, ol)]
             il_emit = il
             for _ in range(n_eps):
-                nst, nsc, pv, ol, _il, db = eps_round(nst, nsc, db, epoch)
+                nst, nsc, pv, ol, _il, db, ovf_z = eps_round(nst, nsc, db,
+                                                             epoch)
                 epoch = epoch - 1
+                ovf_f = ovf_f + ovf_z
                 recs.append(pack(pv, ol))
             out_st = jnp.where(m, nst, st)
             out_sc = jnp.where(m, nsc, sc)
             recs = jnp.stack([jnp.where(m, r, self_rec) for r in recs])
-            return (out_st, out_sc, db, epoch), \
+            ovf = ovf + jnp.where(m, ovf_f, 0)
+            return (out_st, out_sc, db, epoch, ovf), \
                 (recs, jnp.where(m, il_emit, 0))
 
-        (fs, fsc, db, epoch), (recs, il_emit) = jax.lax.scan(
-            frame_step, (st, sc, db, epoch), (ll, mask))
+        (fs, fsc, db, epoch, ovf), (recs, il_emit) = jax.lax.scan(
+            frame_step, (st, sc, db, epoch, ovf0), (ll, mask))
+        # overflow counts are per-device (each expands its own slice):
+        # sum over the axis so every device reports the global count
+        ovf = jax.lax.psum(ovf, axis)
         total = fsc + t.final[fs]
         bslot = jnp.argmin(total)
         bcost = total[bslot]
@@ -198,11 +225,11 @@ def _make_fs_decode(dec: CsrBeamDecoder, mesh: Mesh, axis: str,
         ok = bcost < BIG * 0.5
         bslot = jnp.where(ok, bslot, aslot)
         bcost = jnp.where(ok, bcost, fsc[aslot])
-        return init_recs, recs, il_emit, bslot, bcost
+        return init_recs, recs, il_emit, bslot, bcost, ovf
 
     fs_decode = jax.shard_map(
         decode, mesh=mesh,
-        in_specs=(P(), P()), out_specs=(P(), P(), P(), P(), P()),
+        in_specs=(P(), P()), out_specs=(P(), P(), P(), P(), P(), P()),
         check_vma=False)
     return jax.jit(fs_decode), kbits
 
@@ -219,11 +246,13 @@ def decode_frontier_sharded(dec: CsrBeamDecoder, loglikes, num_frames,
     kmask = (1 << kbits) - 1
     nf = np.asarray(num_frames)
     out = []
+    overflow = np.zeros(B, np.int64)
     for b in range(B):
         ll = jnp.asarray(loglikes[b]) * dec.opts.acoustic_scale
         mask = jnp.asarray(np.arange(T) < nf[b])
-        init_recs, recs, il_emit, bslot, bcost = jax.tree.map(
+        init_recs, recs, il_emit, bslot, bcost, ovf = jax.tree.map(
             np.asarray, fs_decode(ll, mask))
+        overflow[b] = int(np.asarray(ovf).reshape(-1)[0])
         if bcost >= BIG * 0.5:
             out.append(None)
             continue
@@ -248,4 +277,5 @@ def decode_frontier_sharded(dec: CsrBeamDecoder, loglikes, num_frames,
                 words_rev.append(pr >> kbits)
             s = pr & kmask
         out.append((words_rev[::-1], tids_rev[::-1], float(bcost)))
+    dec.last_overflow = overflow
     return out

@@ -73,3 +73,34 @@ def test_frontier_sharded_beam_search(graph, ll_nf):
                                       axis="model")
     for b in range(2):
         _same(single[b], sharded[b])
+
+
+def test_frontier_sharded_tier_b_eps(graph):
+    """Regression (round-2 self-review): states with eps out-degree > 2
+    (tier-B eps) were silently dropped by the frontier-sharded decoder.
+    Build a graph whose start state has 3 eps arcs and assert parity."""
+    from kaldi_tpu.decoder.graph_pack import PackedGraph
+    # start 0 --eps x3--> {1,2,3}; each has an emitting self-loop and an
+    # emitting arc to final state 4
+    arc_start = np.array([0, 3, 5, 7, 9, 10], np.int32)
+    il = np.array([0, 0, 0,  1, 2,  1, 3,  1, 4,  1], np.int32)
+    ol = np.array([0, 0, 0,  0, 11, 0, 12, 0, 13, 0], np.int32)
+    cost = np.array([0.1, 0.2, 0.3, 0.5, 0.6, 0.5, 0.6, 0.5, 0.6, 0.5],
+                    np.float32)
+    nxt = np.array([1, 2, 3,  1, 4,  2, 4,  3, 4,  4], np.int32)
+    pdf = np.where(il > 0, il - 1, -1).astype(np.int32)
+    final = np.array([np.inf, np.inf, np.inf, np.inf, 0.0], np.float32)
+    g = PackedGraph(start=0, arc_start=arc_start, ilabel=il, olabel=ol,
+                    cost=cost, nextstate=nxt, pdf=pdf, final=final)
+    rng = np.random.RandomState(3)
+    ll = (rng.randn(1, 6, 4) * 2).astype(np.float32)
+    nf = np.array([6], np.int32)
+    dec = CsrBeamDecoder(g, CsrBeamOpts(beam=1e9, max_active=8,
+                                        acoustic_scale=1.0,
+                                        expand_budget=64, eps_budget=64))
+    single = dec.decode(ll, nf)
+    mesh = make_mesh(data=1, model=8)
+    sharded = decode_frontier_sharded(dec, ll, nf, mesh, axis="model")
+    _same(single[0], sharded[0])
+    assert sharded[0] is not None
+    assert dec.last_overflow is not None and dec.last_overflow[0] == 0
