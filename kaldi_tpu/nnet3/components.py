@@ -101,6 +101,15 @@ COMPONENT_TYPES = {
         lambda key, cfg: {"o": jnp.zeros(int(cfg["dim"]), jnp.float32)},
         lambda p, x, cfg: x + p["o"]),
     "ClipGradientComponent": (False, None, lambda p, x, cfg: x),
+    "ElementwiseProductComponent": (
+        # input-dim = k * output-dim; output = product over the k groups
+        # (ref: nnet3/nnet-simple-component.h ElementwiseProductComponent
+        #  — the LSTM gate-application primitive in config-built LSTMs)
+        False, None,
+        lambda p, x, cfg: jnp.prod(
+            x.reshape(*x.shape[:-1],
+                      x.shape[-1] // int(cfg["output-dim"]),
+                      int(cfg["output-dim"])), axis=-2)),
     "FixedScaleComponent": (
         False, None, lambda p, x, cfg: x * float(cfg.get("scale", 1.0))),
     "FixedBiasComponent": (

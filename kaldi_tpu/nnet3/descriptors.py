@@ -27,8 +27,14 @@ class Descriptor:
     # --- context arithmetic ---
 
     def context(self):
-        """-> (left, right): how far this descriptor reaches in time."""
+        """-> (left, right): how far this descriptor reaches in time.
+        IfDefined subtrees contribute NOTHING: optional dependencies are
+        zero when unavailable, so they impose no required context
+        (ref: nnet-descriptor.h IfDefined — 'the arg if defined, else
+        zero')."""
         if self.op == "ref":
+            return (0, 0)
+        if self.op == "ifdef":
             return (0, 0)
         if self.op == "offset":
             l, r = self.args[0].context()
@@ -40,17 +46,66 @@ class Descriptor:
             return self.args[0].context()
         raise ValueError(self.op)
 
-    def referenced(self) -> set:
+    def referenced(self, required_only: bool = False) -> set:
         if self.op == "ref":
             return {self.name}
+        if self.op == "ifdef" and required_only:
+            return set()
         out = set()
         for a in self.args:
-            out |= a.referenced()
+            out |= a.referenced(required_only)
         return out
+
+    def ref_offsets(self, _off: int = 0, _opt: bool = False) -> list:
+        """-> [(name, accumulated_offset, optional)] over every leaf ref
+        (the dependency list the reference's ComputationGraphBuilder
+        derives, nnet-computation-graph.h:97)."""
+        if self.op == "ref":
+            return [(self.name, _off, _opt)]
+        if self.op == "offset":
+            return self.args[0].ref_offsets(_off + self.t, _opt)
+        if self.op == "ifdef":
+            return self.args[0].ref_offsets(_off, True)
+        out = []
+        for a in self.args:
+            out.extend(a.ref_offsets(_off, _opt))
+        return out
+
+    def evaluate_step(self, get):
+        """Per-frame evaluation for the recurrent (scan) executor:
+        `get(name, offset, optional)` -> [B, D] value of `name` at the
+        current frame + offset."""
+        import jax.numpy as jnp
+        return self._step(get, 0, False)
+
+    def _step(self, get, off: int, opt: bool):
+        import jax.numpy as jnp
+        if self.op == "ref":
+            return get(self.name, off, opt)
+        if self.op == "offset":
+            return self.args[0]._step(get, off + self.t, opt)
+        if self.op == "ifdef":
+            return self.args[0]._step(get, off, True)
+        if self.op == "append":
+            return jnp.concatenate(
+                [a._step(get, off, opt) for a in self.args], axis=-1)
+        if self.op == "sum":
+            parts = [a._step(get, off, opt) for a in self.args]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out + p
+            return out
+        if self.op == "scale":
+            return self.scale * self.args[0]._step(get, off, opt)
+        if self.op == "round":
+            return self.args[0]._step(get, off, opt)
+        raise ValueError(self.op)
 
     def dim(self, dims: dict) -> int:
         if self.op == "ref":
             return dims[self.name]
+        if self.op == "ifdef":
+            return self.args[0].dim(dims)
         if self.op == "append":
             return sum(a.dim(dims) for a in self.args)
         if self.op == "sum":
@@ -71,6 +126,10 @@ class Descriptor:
             return jnp.asarray(x)[:, start: start + length]
         if self.op == "offset":
             return self.args[0].evaluate(values, offset + self.t, length)
+        if self.op == "ifdef":
+            # dense path only reaches ifdef on fully-defined windows
+            # (nets with possibly-undefined reads use the scan executor)
+            return self.args[0].evaluate(values, offset, length)
         if self.op == "append":
             parts = [a.evaluate(values, offset, length) for a in self.args]
             return jnp.concatenate(parts, axis=-1)
@@ -145,7 +204,7 @@ def parse_descriptor(text: str) -> Descriptor:
             take("(")
             inner = parse()
             take(")")
-            return inner   # dense evaluation: always defined
+            return Descriptor(op="ifdef", args=(inner,))
         if t in ("(", ")", ","):
             raise ValueError(f"unexpected {t} in {text}")
         return Descriptor(op="ref", name=t)

@@ -39,7 +39,13 @@ def test_descriptor_parse_and_context():
     assert d2.context() == (1, 0)
     assert d2.referenced() == {"a", "b"}
     d3 = parse_descriptor("IfDefined(Offset(x,3))")
-    assert d3.context() == (0, 3)
+    # optional (IfDefined) dependencies are zero when absent, so they
+    # impose NO required context (nnet-descriptor.h IfDefined semantics)
+    assert d3.op == "ifdef"
+    assert d3.context() == (0, 0)
+    assert d3.referenced() == {"x"}
+    assert d3.referenced(required_only=True) == set()
+    assert d3.ref_offsets() == [("x", 3, True)]
 
 
 def test_nnet3_shapes_and_context():
