@@ -729,6 +729,48 @@ def cmd_info(args):
     }, indent=2))
 
 
+def cmd_apply_cmvn_online(args):
+    """Causal (online) cepstral mean/variance normalization per utterance
+    (ref: online2bin/apply-cmvn-online.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    from kaldi_tpu.online.features import OnlineCmvn, OnlineCmvnOpts
+    opts = OnlineCmvnOpts(cmn_window=args.cmn_window,
+                          normalize_variance=args.norm_vars)
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for k, v in open_rspecifier(args.rspecifier):
+            cmvn = OnlineCmvn(opts)
+            out.write(k, np.asarray(cmvn.apply(v), np.float32))
+            n += 1
+    print(f"apply-cmvn-online: {n} utterances", file=sys.stderr)
+
+
+def cmd_lattice_align_words(args):
+    """Word alignment of lattices: every arc carries exactly one word
+    spanning its true frames (ref: latbin/lattice-align-words-lexicon.cc)."""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.fst.lang import Lexicon
+    from kaldi_tpu.lat.io import read_lattice_ark, write_lattice_ark
+    from kaldi_tpu.lat.align import word_align_lattice
+    model = load_gmm_system(args.model)
+    lang = model.lang
+    with open(args.lexicon) as f:
+        lex = Lexicon.parse(f.read())
+    lex_phones: dict = {}
+    for (word, _p, pron) in lex.entries:
+        if word in lang.words:
+            lex_phones.setdefault(lang.words[word], []).append(
+                tuple(lang.phones[ph] for ph in pron))
+    sil = {lang.phones[p] for p in lang.silence_phones
+           if p in lang.phones}
+    out = {}
+    for key, lat in read_lattice_ark(args.lattice_ark):
+        out[key] = word_align_lattice(lat, model.trans_model, lex_phones,
+                                      silence_phones=sil)
+    write_lattice_ark(args.lattice_out, out)
+    print(f"lattice-align-words: {len(out)} lattices", file=sys.stderr)
+
+
 # ---------------- FST tools (OpenFst-text interchange) ----------------
 
 def _fst_unary(transform):
@@ -1527,6 +1569,20 @@ def main(argv=None):
     q = sub.add_parser("fst-info")
     q.add_argument("fst_in")
     q.set_defaults(func=cmd_fst_info)
+
+    q = sub.add_parser("apply-cmvn-online")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.add_argument("--cmn-window", type=int, default=600)
+    q.add_argument("--norm-vars", action="store_true")
+    q.set_defaults(func=cmd_apply_cmvn_online)
+
+    q = sub.add_parser("lattice-align-words")
+    q.add_argument("lexicon")
+    q.add_argument("model")
+    q.add_argument("lattice_ark")
+    q.add_argument("lattice_out")
+    q.set_defaults(func=cmd_lattice_align_words)
 
     args = p.parse_args(argv)
     args.func(args)

@@ -177,3 +177,92 @@ def test_lattice_surgery_subcommands(tmp_path, capsys):
 
     out = _run(["nbest-to-linear", lark, "--n", "2"], capsys)
     assert out.splitlines()[0].startswith("u-1 ")
+
+
+def test_apply_cmvn_online_cli(tmp_path, capsys):
+    """(ref: online2bin/apply-cmvn-online.cc — causal per-utt CMVN)"""
+    from kaldi_tpu.io.kaldi_io import write_ark, read_ark
+    rng = np.random.RandomState(0)
+    feats = {"u1": (rng.randn(50, 4) * 3 + 5).astype(np.float32)}
+    ark = str(tmp_path / "f.ark")
+    write_ark(ark, feats)
+    out = str(tmp_path / "c.ark")
+    main(["apply-cmvn-online", f"ark:{ark}", f"ark:{out}",
+          "--cmn-window", "20"])
+    got = dict(read_ark(out))["u1"]
+    assert got.shape == feats["u1"].shape
+    # later frames are normalized toward zero mean over the window
+    assert abs(got[30:].mean()) < abs(feats["u1"][30:].mean())
+    # causal: early frames depend only on the past (first frame is
+    # normalized by priors/itself, not by future data)
+    f2 = feats["u1"].copy()
+    f2[40:] += 100.0
+    ark2 = str(tmp_path / "f2.ark")
+    write_ark(ark2, {"u1": f2})
+    out2 = str(tmp_path / "c2.ark")
+    main(["apply-cmvn-online", f"ark:{ark2}", f"ark:{out2}",
+          "--cmn-window", "20"])
+    got2 = dict(read_ark(out2))["u1"]
+    np.testing.assert_allclose(got2[:40], got[:40], atol=1e-5)
+
+
+def test_lattice_align_words_cli(tmp_path, capsys):
+    """(ref: latbin/lattice-align-words-lexicon.cc)"""
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.dirname(__file__))
+    from test_yesno_e2e import synth_utterance, YESNO_ARPA, SR
+    import jax.numpy as jnp
+    from kaldi_tpu.fst.lang import Lexicon, prepare_lang
+    from kaldi_tpu.lm.arpa import ArpaLm, arpa_to_g
+    from kaldi_tpu.fst.graph import make_hclg
+    from kaldi_tpu.ops import MfccOpts, FrameOpts, mfcc, add_deltas
+    from kaldi_tpu.steps.mono import train_mono, MonoTrainOpts
+    from kaldi_tpu.io.model_io import save_gmm_system
+    from kaldi_tpu.decoder.graph_pack import pack_graph
+    from kaldi_tpu.decoder.beam_search import (BeamSearchDecoder,
+                                               BeamSearchOpts)
+    from kaldi_tpu.lat.generate import decode_to_lattices
+    from kaldi_tpu.lat.io import write_lattice_ark, read_lattice_ark
+
+    rng = np.random.RandomState(42)
+    lex_text = "YES Y1 Y2\nNO N1 N2"
+    lex = Lexicon.parse(lex_text)
+    lang = prepare_lang(lex, ["SIL"], "SIL", num_sil_states=3)
+    fo = MfccOpts(frame_opts=FrameOpts(samp_freq=SR, dither=0.0))
+
+    def featize(w):
+        return np.asarray(add_deltas(mfcc(jnp.asarray(w), fo), order=2,
+                                     window=2))
+
+    utts = []
+    for i in range(12):
+        ws = [rng.choice(["YES", "NO"]) for _ in range(2)]
+        utts.append((f"u{i}", featize(synth_utterance(ws, rng)), ws))
+    model = train_mono(lang, utts, MonoTrainOpts(
+        num_iters=8, totgauss=30, max_iter_inc=6,
+        realign_iters=tuple(range(1, 8))))
+    g = arpa_to_g(ArpaLm.parse(YESNO_ARPA), lang.words)
+    graph = make_hclg(lang, g, model.trans_model, model.ctx_dep,
+                      self_loop_scale=0.1)
+    dec = BeamSearchDecoder(
+        pack_graph(graph.fst, model.trans_model.id2pdf_array),
+        BeamSearchOpts(beam=16.0, max_active=128, acoustic_scale=0.1))
+    f = utts[0][1]
+    ll = model.am.loglikes_np(f[None])
+    lats = decode_to_lattices(dec, ll, np.array([f.shape[0]], np.int32),
+                              lattice_beam=8.0)
+    assert lats[0] is not None
+    lat_ark = str(tmp_path / "lat.txt")
+    write_lattice_ark(lat_ark, {"u0": lats[0]})
+    mdl = str(tmp_path / "m.npz")
+    save_gmm_system(mdl, model)
+    lexf = tmp_path / "lexicon.txt"
+    lexf.write_text(lex_text + "\n")
+    out_ark = str(tmp_path / "aligned.txt")
+    main(["lattice-align-words", str(lexf), mdl, lat_ark, out_ark])
+    aligned = dict(read_lattice_ark(out_ark))["u0"]
+    # aligned lattice: words ride arcs; best-path words preserved
+    from kaldi_tpu.lat.functions import lattice_best_path
+    w0 = lattice_best_path(lats[0])[0]
+    w1 = lattice_best_path(aligned)[0]
+    assert w0 == w1
