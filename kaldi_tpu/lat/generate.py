@@ -206,13 +206,23 @@ def raw_lattice_from_decode(
     return prune_lattice(lat, lattice_beam)
 
 
-def decode_to_lattices(dec, loglikes, num_frames, lattice_beam: float = 10.0):
+def decode_to_lattices(dec, loglikes, num_frames, lattice_beam: float = 10.0,
+                       num_threads: int = 4):
     """Batch decode -> list of raw lattices (None where decoding failed).
 
     (the tensor analogue of gmm-latgen-faster's per-utterance
-    GetRawLattice + lattice-beam pruning)
+    GetRawLattice + lattice-beam pruning; per-utterance extraction runs
+    on a thread pool — the native extractor releases the GIL during the
+    C call, so utterances reconstruct in parallel like the reference's
+    TaskSequencer in gmm-latgen-faster-parallel)
     """
     raw = dec.decode_raw(loglikes, num_frames)
     B = loglikes.shape[0]
-    return [raw_lattice_from_decode(dec, raw, num_frames, b, lattice_beam)
-            for b in range(B)]
+    if B == 1 or num_threads <= 1:
+        return [raw_lattice_from_decode(dec, raw, num_frames, b,
+                                        lattice_beam) for b in range(B)]
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=num_threads) as ex:
+        return list(ex.map(
+            lambda b: raw_lattice_from_decode(dec, raw, num_frames, b,
+                                              lattice_beam), range(B)))

@@ -114,6 +114,11 @@ class SingleUtteranceNnet2Decoder:
             rc = model.config.right_context
         else:
             rc = model.right_context
+        if getattr(model, "is_recurrent", False):
+            # recurrent nets carry unbounded left state: re-score from
+            # the utterance start so chunked == whole-utterance exactly
+            # (the looped-computation state carry is a future fast path)
+            lc = ready
         finished = getattr(self.pipeline, "finished", False)
         consumable = ready if finished else max(self._frames_consumed,
                                                 ready - rc)
