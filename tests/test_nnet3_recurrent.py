@@ -147,3 +147,74 @@ def test_lstm_learns_delayed_echo():
                        minibatch_size=64, momentum=0.9), log_every=1)
     accs = [h[3] for h in hist]
     assert accs[-1] > 0.95, accs[-5:]   # observed: 1.0
+
+
+@pytest.mark.slow
+def test_lstm_hybrid_decode_e2e():
+    """GMM alignments -> config-built nnet3 LSTM -> hybrid decode,
+    WER 0 on the synthetic yesno corpus (the steps/nnet3/lstm parity
+    bar, like the TDNN e2e tests)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_yesno_e2e import synth_utterance, YESNO_ARPA, SR
+    from kaldi_tpu.fst.lang import Lexicon, prepare_lang
+    from kaldi_tpu.lm.arpa import ArpaLm, arpa_to_g
+    from kaldi_tpu.fst.graph import make_hclg
+    from kaldi_tpu.ops import MfccOpts, FrameOpts, mfcc, add_deltas
+    from kaldi_tpu.steps.mono import train_mono, MonoTrainOpts
+    from kaldi_tpu.steps.nnet3_train import train_lstm3
+    from kaldi_tpu.nnet3.training import Nnet3TrainOpts
+    from kaldi_tpu.decoder.graph_pack import pack_graph
+    from kaldi_tpu.decoder.beam_search import (BeamSearchDecoder,
+                                               BeamSearchOpts)
+    from kaldi_tpu.utils.wer import compute_wer
+
+    rng = np.random.RandomState(42)
+    lex = Lexicon.parse("YES Y1 Y2\nNO N1 N2")
+    lang = prepare_lang(lex, ["SIL"], "SIL", num_sil_states=3)
+    fo = MfccOpts(frame_opts=FrameOpts(samp_freq=SR, dither=0.0))
+
+    def featize(w):
+        return np.asarray(add_deltas(mfcc(jnp.asarray(w), fo), order=2,
+                                     window=2))
+
+    train, test = [], []
+    for i in range(24):
+        ws = [rng.choice(["YES", "NO"]) for _ in range(rng.randint(2, 6))]
+        train.append((f"u{i}", featize(synth_utterance(ws, rng)), ws))
+    for i in range(8):
+        ws = [rng.choice(["YES", "NO"]) for _ in range(rng.randint(2, 6))]
+        test.append((f"t{i}", featize(synth_utterance(ws, rng)), ws))
+    gmm = train_mono(lang, train, MonoTrainOpts(
+        num_iters=12, totgauss=60, max_iter_inc=8,
+        realign_iters=tuple(range(1, 12))))
+    res = train_lstm3(
+        gmm, train, cell_dim=64, proj_dim=32, splice=(-1, 0, 1),
+        train_opts=Nnet3TrainOpts(initial_lr=0.15, final_lr=0.02,
+                                  num_epochs=40, minibatch_size=64,
+                                  momentum=0.9))
+    assert res.history[-1][3] > 0.5, res.history[-2:]
+
+    g = arpa_to_g(ArpaLm.parse(YESNO_ARPA), lang.words)
+    graph = make_hclg(lang, g, gmm.trans_model, gmm.ctx_dep,
+                      self_loop_scale=0.1)
+    dec = BeamSearchDecoder(
+        pack_graph(graph.fst, gmm.trans_model.id2pdf_array),
+        BeamSearchOpts(beam=16.0, max_active=256, acoustic_scale=0.1))
+    B = len(test)
+    T = max(f.shape[0] for (_u, f, _w) in test)
+    D = test[0][1].shape[1]
+    feats = np.zeros((B, T, D), np.float32)
+    nf = np.zeros(B, np.int32)
+    for b, (_u, f, _w) in enumerate(test):
+        feats[b, : f.shape[0]] = f
+        nf[b] = f.shape[0]
+    ll = res.am.loglikes_np(feats)
+    results = dec.decode(ll, nf)
+    refs, hyps = {}, {}
+    for (utt, _f, words), r in zip(test, results):
+        refs[utt] = words
+        hyps[utt] = [lang.words.sym(w) for w in r[0]] if r else []
+    stats = compute_wer(refs, hyps)
+    print(stats)
+    assert stats.wer == 0.0, str(stats) + repr(hyps)
