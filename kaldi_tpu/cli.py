@@ -937,6 +937,31 @@ def cmd_train_tdnn(args):
           file=sys.stderr)
 
 
+def cmd_train_nnet3(args):
+    """nnet3 training from GMM alignments: config-built TDNN or LSTM
+    (ref: steps/nnet3/train_{tdnn,lstm}.sh + nnet3bin/nnet3-train)."""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.steps.nnet3_train import train_tdnn3, train_lstm3
+    from kaldi_tpu.nnet3.training import Nnet3TrainOpts
+    model = load_gmm_system(args.model)
+    utts = _load_train_utts(args.text, args.rspecifier)
+    opts = Nnet3TrainOpts(
+        initial_lr=args.initial_lr, final_lr=args.final_lr,
+        num_epochs=args.num_epochs, minibatch_size=args.minibatch_size,
+        momentum=args.momentum)
+    if args.net_type == "lstm":
+        res = train_lstm3(model, utts, cell_dim=args.cell_dim,
+                          proj_dim=args.proj_dim, train_opts=opts)
+    else:
+        res = train_tdnn3(model, utts, hidden_dim=args.hidden_dim,
+                          train_opts=opts)
+    from kaldi_tpu.io.model_io import save_am_nnet3
+    save_am_nnet3(args.nnet_out, res.am)
+    hist = res.history[-1] if res.history else (0, 0, 0.0, 0.0)
+    print(f"train-nnet3 ({args.net_type}): final loss {hist[2]:.3f} "
+          f"acc {hist[3]:.3f}", file=sys.stderr)
+
+
 def cmd_online2_wav_nnet2_latgen_faster(args):
     """Streaming hybrid decoding of a wav.scp through the online nnet2
     pipeline, one utterance at a time in chunked audio
@@ -1583,6 +1608,22 @@ def main(argv=None):
     q.add_argument("lattice_ark")
     q.add_argument("lattice_out")
     q.set_defaults(func=cmd_lattice_align_words)
+
+    q = sub.add_parser("train-nnet3")
+    q.add_argument("model")
+    q.add_argument("text")
+    q.add_argument("rspecifier")
+    q.add_argument("nnet_out")
+    q.add_argument("--net-type", default="tdnn", choices=["tdnn", "lstm"])
+    q.add_argument("--hidden-dim", type=int, default=256)
+    q.add_argument("--cell-dim", type=int, default=64)
+    q.add_argument("--proj-dim", type=int, default=32)
+    q.add_argument("--initial-lr", type=float, default=0.1)
+    q.add_argument("--final-lr", type=float, default=0.01)
+    q.add_argument("--num-epochs", type=int, default=30)
+    q.add_argument("--minibatch-size", type=int, default=64)
+    q.add_argument("--momentum", type=float, default=0.9)
+    q.set_defaults(func=cmd_train_nnet3)
 
     args = p.parse_args(argv)
     args.func(args)

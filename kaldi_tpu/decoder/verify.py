@@ -76,3 +76,73 @@ def check_packed_graph(graph, num_pdfs: int | None = None) -> None:
     if errs:
         raise ValueError("packed graph verification failed:\n  "
                          + "\n  ".join(errs))
+
+
+def check_tier_tables(graph, tabs, hub_threshold: int) -> None:
+    """Static verification of the CSR decoder's tier partition (the
+    ComputationChecker role for the degree-tiered layout): every emitting
+    arc of the graph must live in exactly one tier, tier-A rows must
+    mirror the CSR arcs of deg<=2 states, tier-B offsets/degrees must
+    index brow consistently, and hub bounds must partition hub_rows.
+
+    Raises ValueError with all violations; silent when consistent.
+    """
+    from kaldi_tpu.decoder.graph_pack import split_csr
+    import jax.numpy as _j  # noqa: F401 (tabs hold device arrays)
+
+    errs = []
+    csr = split_csr(graph)
+    S = csr.num_states
+    e_deg = np.diff(csr.estart)
+    srow = np.asarray(tabs.srow)
+    zrow = np.asarray(tabs.zrow)
+    brow = np.asarray(tabs.brow)
+    is_hub = e_deg > hub_threshold
+    tier_a = (~is_hub) & (e_deg <= 2)
+    tier_b = (~is_hub) & (e_deg > 2)
+    BIG_BITS = int(np.array(1e10, np.float32).view(np.int32))
+
+    # arc conservation: tierA slots + tierB degs + hub rows == all arcs
+    n_a = int((srow[:, 0] != BIG_BITS).sum()
+              + (srow[:, 5] != BIG_BITS).sum())
+    n_b = int(srow[:, 11].sum())
+    n_hub = int(np.asarray(tabs.hub_rows).shape[0]) \
+        if len(tabs.hub_bounds) > 1 else 0
+    total = len(csr.e_nxt)
+    if n_a + n_b + n_hub != total:
+        errs.append(f"emitting arcs not partitioned: tierA {n_a} + "
+                    f"tierB {n_b} + hub {n_hub} != {total}")
+    # tier-A rows mirror the CSR
+    for j in (0, 1):
+        has = tier_a & (e_deg > j)
+        a = csr.estart[:-1][has] + j
+        base = 5 * j
+        if not (srow[has, base + 1] == csr.e_nxt[a]).all():
+            errs.append(f"tier-A arc {j}: nextstate mismatch")
+        if not (srow[has, base + 3] == csr.e_tid[a]).all():
+            errs.append(f"tier-A arc {j}: tid mismatch")
+    if (srow[tier_b, 11] != e_deg[tier_b]).any():
+        errs.append("tier-B degree mismatch")
+    if tier_b.any():
+        ends = srow[tier_b, 10].astype(np.int64) + e_deg[tier_b]
+        if ends.max(initial=0) > brow.shape[0]:
+            errs.append("tier-B offsets overrun brow")
+    if is_hub.any():
+        hb = tabs.hub_bounds
+        if list(hb) != sorted(hb):
+            errs.append("hub bounds not monotone")
+        if hb[-1] != np.asarray(tabs.hub_rows).shape[0]:
+            errs.append("hub bounds do not span hub_rows")
+        if len(hb) - 1 != int(is_hub.sum()):
+            errs.append("hub count mismatch")
+    # eps tier-A rows mirror the eps CSR
+    z_deg = np.diff(csr.zstart)
+    z_a = z_deg <= 2
+    for j in (0, 1):
+        has = z_a & (z_deg > j)
+        a = csr.zstart[:-1][has] + j
+        if not (zrow[has, 3 * j + 1] == csr.z_nxt[a]).all():
+            errs.append(f"eps tier-A arc {j}: nextstate mismatch")
+    if errs:
+        raise ValueError("tier table verification failed:\n  "
+                         + "\n  ".join(errs))

@@ -140,3 +140,36 @@ def load_am_nnet(path: str):
         ],
     }
     return AmNnet(model, params, z["priors"])
+
+
+def save_am_nnet3(path: str, am) -> None:
+    """Save an AmNnet3 (config-defined net + params + priors): the nnet3
+    write contract is the config text plus raw parameters
+    (ref: nnet3/nnet-nnet.h Write — config lines + component params)."""
+    blobs = {
+        "__version__": np.int64(FORMAT_VERSION),
+        "__kind__": np.frombuffer(b"am_nnet3", dtype=np.uint8),
+        "config_text": np.frombuffer(
+            am.model.config_text.encode(), dtype=np.uint8),
+        "priors": np.asarray(am.priors, np.float64),
+    }
+    for comp, leaf in am.params.items():
+        for k, v in leaf.items():
+            blobs[f"param:{comp}:{k}"] = np.asarray(v)
+    with open(path, "wb") as f:
+        np.savez(f, **blobs)
+
+
+def load_am_nnet3(path: str):
+    """-> AmNnet3."""
+    from kaldi_tpu.nnet3.network import Nnet3
+    from kaldi_tpu.nnet3.training import AmNnet3
+    z = np.load(path)
+    assert int(z["__version__"]) == FORMAT_VERSION
+    net = Nnet3(z["config_text"].tobytes().decode())
+    params: dict = {}
+    for key in z.files:
+        if key.startswith("param:"):
+            _tag, comp, k = key.split(":", 2)
+            params.setdefault(comp, {})[k] = z[key]
+    return AmNnet3(net, params, z["priors"])

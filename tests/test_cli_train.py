@@ -33,3 +33,36 @@ def test_recipe_yesno_files_end_to_end(tmp_path):
     assert len(alis) == 24
     for _utt, tids in alis:
         assert len(tids) > 0 and (tids > 0).all()
+
+
+@pytest.mark.slow
+def test_train_nnet3_cli_roundtrip(tmp_path):
+    """train-nnet3 over files -> saved config+params npz -> reload
+    produces identical loglikes (ref: nnet3bin/nnet3-train +
+    nnet3-am-copy read/write)."""
+    import numpy as np
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from kaldi_tpu.io.model_io import load_am_nnet3
+    # reuse the file-driven corpus from the yesno recipe (cheap subset)
+    work = str(tmp_path / "w")
+    from kaldi_tpu.cli import cmd_recipe_yesno_files  # noqa: F401
+    # build a tiny corpus via the recipe's data-prep only: simpler to
+    # synthesize directly through the recipe and stop after train-mono
+    main(["recipe-yesno-files", work])   # produces mono.npz + feats
+    out = str(tmp_path / "nnet3.npz")
+    main(["train-nnet3", f"{work}/mono.npz", f"{work}/train/text",
+          f"ark:{work}/train/feats.ark", out,
+          "--net-type", "tdnn", "--num-epochs", "8"])
+    am = load_am_nnet3(out)
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 30, 39).astype(np.float32)
+    ll = am.loglikes_np(x)
+    assert ll.shape[0] == 1 and ll.shape[1] == 30
+    assert np.all(np.isfinite(ll))
+    # params round-trip exactly: resave and reload
+    from kaldi_tpu.io.model_io import save_am_nnet3
+    out2 = str(tmp_path / "nnet3b.npz")
+    save_am_nnet3(out2, am)
+    am2 = load_am_nnet3(out2)
+    np.testing.assert_allclose(am2.loglikes_np(x), ll, rtol=1e-6)

@@ -232,3 +232,23 @@ def test_native_lattice_extraction_matches_python(small_big_graph):
         bp_cc = lattice_best_path(lat_cc)
         assert bp_py[0] == bp_cc[0] and bp_py[1] == bp_cc[1]
         assert abs(bp_py[2] - bp_cc[2]) < 1e-3
+
+
+def test_tier_tables_verify(small_big_graph):
+    """check_tier_tables passes on a real pack and catches corruption
+    (the ComputationChecker analogue for the tiered layout)."""
+    from kaldi_tpu.decoder.verify import check_tier_tables
+    import jax.numpy as jnp
+    g = small_big_graph
+    dec = CsrBeamDecoder(g, CsrBeamOpts(max_active=64, expand_budget=256,
+                                        hub_threshold=64))
+    check_tier_tables(g, dec.tabs, 64)
+    # corrupt a LIVE tier-A arc's nextstate -> must be caught
+    srow = np.asarray(dec.tabs.srow).copy()
+    BIG_BITS = int(np.array(1e10, np.float32).view(np.int32))
+    rows = np.flatnonzero(srow[:, 0] != BIG_BITS)
+    srow[rows[0], 1] += 1
+    import dataclasses as dc
+    bad = dc.replace(dec.tabs, srow=jnp.asarray(srow))
+    with pytest.raises(ValueError, match="tier-A"):
+        check_tier_tables(g, bad, 64)
