@@ -628,9 +628,17 @@ def cmd_lattice_lmrescore_const_arpa(args):
 
 
 def cmd_lattice_determinize(args, key, lat):
-    from kaldi_tpu.lat.functions import determinize_lattice
-    return determinize_lattice(lat, beam=args.beam if args.beam > 0
-                               else None)
+    from kaldi_tpu.lat.functions import (determinize_lattice,
+                                         DeterminizeLatticeOverflow)
+    try:
+        return determinize_lattice(lat, beam=args.beam if args.beam > 0
+                                   else None)
+    except DeterminizeLatticeOverflow as e:
+        # reference wrappers keep the raw lattice on determinization
+        # blowup (decoder-wrappers.cc:283)
+        print(f"warning: {key}: {e}; keeping raw lattice",
+              file=sys.stderr)
+        return lat
 
 
 def cmd_lattice_push(args, key, lat):
@@ -758,17 +766,36 @@ def cmd_lattice_align_words(args):
         lex = Lexicon.parse(f.read())
     lex_phones: dict = {}
     for (word, _p, pron) in lex.entries:
-        if word in lang.words:
-            lex_phones.setdefault(lang.words[word], []).append(
-                tuple(lang.phones[ph] for ph in pron))
+        bad_ph = [ph for ph in pron if ph not in lang.phones]
+        if bad_ph:
+            raise SystemExit(
+                f"lattice-align-words: lexicon entry '{word}' uses "
+                f"phones absent from the model: {bad_ph}")
+        if word not in lang.words:
+            print(f"warning: lexicon word '{word}' not in the model's "
+                  f"word table; skipping", file=sys.stderr)
+            continue
+        lex_phones.setdefault(lang.words[word], []).append(
+            tuple(lang.phones[ph] for ph in pron))
     sil = {lang.phones[p] for p in lang.silence_phones
            if p in lang.phones}
     out = {}
+    n_fail = 0
     for key, lat in read_lattice_ark(args.lattice_ark):
-        out[key] = word_align_lattice(lat, model.trans_model, lex_phones,
-                                      silence_phones=sil)
+        aligned = word_align_lattice(lat, model.trans_model, lex_phones,
+                                     silence_phones=sil)
+        if aligned.num_states == 0 or aligned.start < 0 \
+                or not aligned.finals:
+            # the reference binary reports per-lattice alignment failure
+            print(f"warning: word alignment failed for {key} (a word in "
+                  f"the lattice has no matching pronunciation?)",
+                  file=sys.stderr)
+            n_fail += 1
+            continue
+        out[key] = aligned
     write_lattice_ark(args.lattice_out, out)
-    print(f"lattice-align-words: {len(out)} lattices", file=sys.stderr)
+    print(f"lattice-align-words: {len(out)} lattices aligned, "
+          f"{n_fail} failed", file=sys.stderr)
 
 
 # ---------------- FST tools (OpenFst-text interchange) ----------------

@@ -75,6 +75,10 @@ def decode_biglm_exact(
         old_arcs.append((d, backoff))
 
     def old_step(s, word):
+        """-> (next_state, cost) or None when the word is impossible
+        under old G — the path then cannot exist in the HCLG and the
+        token is dropped (NOT scored: subtracting a sentinel would make
+        impossible paths infinitely good)."""
         cost = 0.0
         while True:
             d, backoff = old_arcs[s]
@@ -82,7 +86,7 @@ def decode_biglm_exact(
                 w, dst = d[word]
                 return dst, cost + w
             if backoff is None:
-                return s, cost + 1e10      # word impossible under old G
+                return None
             cost += backoff[0]
             s = backoff[1]
 
@@ -94,7 +98,7 @@ def decode_biglm_exact(
                 return cost + f
             backoff = old_arcs[s][1]
             if backoff is None:
-                return 1e10
+                return None
             cost += backoff[0]
             s = backoff[1]
 
@@ -109,11 +113,15 @@ def decode_biglm_exact(
                   (0.0, ())}
 
         def advance(key, cost, words, il_a, ol_a, w_arc, dst, am):
+            """-> the improved token key, or None."""
             (s, go, gn) = key
             c = cost + w_arc + am
             ws = words
             if ol_a:
-                go2, oldc = old_step(go, ol_a)
+                stepped = old_step(go, ol_a)
+                if stepped is None:
+                    return None         # impossible under old G: drop
+                go2, oldc = stepped
                 gn2, newc = new_lm.step(gn, ol_a)
                 c += lm_scale * newc - oldc
                 ws = words + (ol_a,)
@@ -123,6 +131,8 @@ def decode_biglm_exact(
             cur = new_tokens.get(nk)
             if cur is None or c < cur[0] - 1e-12:
                 new_tokens[nk] = (c, ws)
+                return nk
+            return None
 
         def eps_closure():
             agenda = list(new_tokens)
@@ -133,14 +143,12 @@ def decode_biglm_exact(
                 for a in range(graph.arc_start[s], graph.arc_start[s + 1]):
                     if graph.ilabel[a] != 0:
                         continue
-                    before = dict(new_tokens)
-                    advance(key, cost, words, 0,
-                            int(graph.olabel[a]), float(graph.cost[a]),
-                            int(graph.nextstate[a]), 0.0)
-                    for nk in new_tokens:
-                        if nk not in before or \
-                                new_tokens[nk][0] < before[nk][0] - 1e-12:
-                            agenda.append(nk)
+                    nk = advance(key, cost, words, 0,
+                                 int(graph.olabel[a]),
+                                 float(graph.cost[a]),
+                                 int(graph.nextstate[a]), 0.0)
+                    if nk is not None:
+                        agenda.append(nk)
 
         new_tokens = tokens
         eps_closure()
@@ -166,8 +174,10 @@ def decode_biglm_exact(
             f = float(graph.final[s])
             if not math.isfinite(f):
                 continue
-            tot = cost + f + lm_scale * new_lm.final_cost(gn) \
-                - old_final(go)
+            of = old_final(go)
+            if of is None:
+                continue               # final impossible under old G
+            tot = cost + f + lm_scale * new_lm.final_cost(gn) - of
             if best is None or tot < best[1]:
                 best = (list(words), tot)
         out.append(best)

@@ -112,21 +112,43 @@ def check_tier_tables(graph, tabs, hub_threshold: int) -> None:
     if n_a + n_b + n_hub != total:
         errs.append(f"emitting arcs not partitioned: tierA {n_a} + "
                     f"tierB {n_b} + hub {n_hub} != {total}")
-    # tier-A rows mirror the CSR
+    # tier-A rows mirror the CSR in EVERY field
+    cost_bits = csr.e_cost.view(np.int32)
     for j in (0, 1):
         has = tier_a & (e_deg > j)
         a = csr.estart[:-1][has] + j
         base = 5 * j
-        if not (srow[has, base + 1] == csr.e_nxt[a]).all():
-            errs.append(f"tier-A arc {j}: nextstate mismatch")
-        if not (srow[has, base + 3] == csr.e_tid[a]).all():
-            errs.append(f"tier-A arc {j}: tid mismatch")
+        for (col, ref, what) in ((0, cost_bits, "cost"),
+                                 (1, csr.e_nxt, "nextstate"),
+                                 (2, csr.e_pdf, "pdf"),
+                                 (3, csr.e_tid, "tid"),
+                                 (4, csr.e_ol, "olabel")):
+            if not (srow[has, base + col] == ref[a]).all():
+                errs.append(f"tier-A arc {j}: {what} mismatch")
     if (srow[tier_b, 11] != e_deg[tier_b]).any():
         errs.append("tier-B degree mismatch")
     if tier_b.any():
         ends = srow[tier_b, 10].astype(np.int64) + e_deg[tier_b]
         if ends.max(initial=0) > brow.shape[0]:
             errs.append("tier-B offsets overrun brow")
+        else:
+            # full content mirror of the tier-B arc rows
+            bs = np.flatnonzero(tier_b)
+            reps = e_deg[bs]
+            AB = int(reps.sum())
+            offs = np.repeat(csr.estart[:-1][bs].astype(np.int64), reps)
+            starts = np.repeat(srow[bs, 10].astype(np.int64), reps)
+            within = np.arange(AB) - np.repeat(
+                np.cumsum(reps) - reps, reps)
+            src_idx = offs + within
+            rows_idx = starts + within
+            for (col, ref, what) in ((0, cost_bits, "cost"),
+                                     (1, csr.e_nxt, "nextstate"),
+                                     (2, csr.e_pdf, "pdf"),
+                                     (3, csr.e_tid, "tid"),
+                                     (4, csr.e_ol, "olabel")):
+                if not (brow[rows_idx, col] == ref[src_idx]).all():
+                    errs.append(f"tier-B rows: {what} mismatch")
     if is_hub.any():
         hb = tabs.hub_bounds
         if list(hb) != sorted(hb):

@@ -226,9 +226,22 @@ def lattice_confidence(lat: Lattice) -> float:
     Computed over the word-level determinization (one path per word
     sequence) — enumerating raw alignments would miss the competitor when
     the best sequence has many alignments within the beam."""
-    from kaldi_tpu.lat.functions import nbest, determinize_lattice
-    det = determinize_lattice(lat)
-    paths = nbest(det, 2)
+    from kaldi_tpu.lat.functions import (nbest, determinize_lattice,
+                                         DeterminizeLatticeOverflow)
+    try:
+        det = determinize_lattice(lat)
+        paths = nbest(det, 2)
+    except DeterminizeLatticeOverflow:
+        # blowup valve tripped: scan raw n-best for the first competitor
+        # with a DIFFERENT word sequence (bounded approximation)
+        raw = nbest(lat, 200)
+        if not raw:
+            return 0.0
+        first = tuple(raw[0][0])
+        for cand in raw[1:]:
+            if tuple(cand[0]) != first:
+                return float(cand[2] - raw[0][2])
+        return INF
     if not paths:
         return 0.0
     if len(paths) == 1:

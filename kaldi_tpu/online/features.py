@@ -189,7 +189,7 @@ class OnlineFeaturePipeline:
         frame before its context exists would bake in edge-clamped deltas
         that differ from the offline computation (the parity contract)."""
         if self.splice is not None:
-            return max(self.splice)
+            return max(0, max(self.splice))
         if self.delta_order > 0:
             return self.delta_order * 2   # order * window (default window 2)
         return 0
@@ -270,9 +270,11 @@ class OnlineProcessedFeature:
             self._cache = np.asarray(self.p.get_features()[:n_complete],
                                      np.float32)
             return
-        # context radius of the post-processing
+        # context radius of the post-processing (clamped at 0: splice
+        # tuples with only positive/negative offsets still index forward)
         if self.p.splice is not None:
-            lo, hi = -min(self.p.splice), max(self.p.splice)
+            lo = max(0, -min(self.p.splice))
+            hi = max(0, max(self.p.splice))
         else:
             lo = hi = self.p.right_delay
         w0 = max(0, n_done - lo)

@@ -252,3 +252,30 @@ def test_tier_tables_verify(small_big_graph):
     bad = dc.replace(dec.tabs, srow=jnp.asarray(srow))
     with pytest.raises(ValueError, match="tier-A"):
         check_tier_tables(g, bad, 64)
+
+
+def test_tier_tables_verify_covers_all_fields(small_big_graph):
+    """Corruption of ANY tier-A/B field (cost, pdf, olabel, tier-B rows)
+    must be caught (round-2 review: the checker only covered 2 fields)."""
+    from kaldi_tpu.decoder.verify import check_tier_tables
+    import jax.numpy as jnp
+    import dataclasses as dc
+    g = small_big_graph
+    dec = CsrBeamDecoder(g, CsrBeamOpts(max_active=64, expand_budget=256,
+                                        hub_threshold=64))
+    BIG_BITS = int(np.array(1e10, np.float32).view(np.int32))
+    srow0 = np.asarray(dec.tabs.srow)
+    live = np.flatnonzero(srow0[:, 0] != BIG_BITS)
+    for col, what in ((2, "pdf"), (4, "olabel"), (0, "cost")):
+        srow = srow0.copy()
+        srow[live[0], col] += 1
+        bad = dc.replace(dec.tabs, srow=jnp.asarray(srow))
+        with pytest.raises(ValueError, match=what):
+            check_tier_tables(g, bad, 64)
+    brow0 = np.asarray(dec.tabs.brow)
+    if brow0.shape[0] > 1:
+        brow = brow0.copy()
+        brow[0, 1] += 1
+        bad = dc.replace(dec.tabs, brow=jnp.asarray(brow))
+        with pytest.raises(ValueError, match="tier-B rows"):
+            check_tier_tables(g, bad, 64)
