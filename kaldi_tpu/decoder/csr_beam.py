@@ -476,7 +476,10 @@ def _csr_decode(
         out_score = jnp.where(m, sc, tok_score)
         recs = jnp.stack([jnp.where(m, r, self_prev) for r in recs])
         il_emit = jnp.where(m, il_emit, 0)
-        ys = (recs, il_emit, jnp.where(mask_t, ovf, 0))
+        # frontier saturation: the worst slot alive means max_active
+        # bound the search this frame (frontier is score-sorted)
+        sat = mask_t & (sc[:, -1] < BIG * 0.5)
+        ys = (recs, il_emit, jnp.where(mask_t, ovf, 0), sat)
         if record_full:
             fst = jnp.stack([jnp.where(m, s, tok_state)
                              for (s, _c) in full])
@@ -505,7 +508,7 @@ def _csr_decode(
     (fs, fsc, db, epoch), ys = jax.lax.scan(
         frame_step, (st, sc, db, epoch),
         (jnp.moveaxis(ll, 1, 0), jnp.moveaxis(frame_mask, 1, 0)))
-    recs, il_emit, ovf = ys[:3]                 # [T,R,B,K],[T,B,K],[T,B]
+    recs, il_emit, ovf, sat = ys[:4]            # [T,R,B,K],[T,B,K],[T,B]
     recs = jnp.moveaxis(recs, 2, 0)             # [B, T, R, K]
     il_emit = jnp.moveaxis(il_emit, 1, 0)       # [B, T, K]
     total = fsc + final[fs]
@@ -520,14 +523,14 @@ def _csr_decode(
                           best_any_slot).astype(jnp.int32)
     best_cost = jnp.where(reached_final, best_final_cost, best_any_cost)
     out = (init_recs, recs, il_emit, fs, fsc, best_slot, best_cost,
-           jnp.sum(ovf, axis=0))
+           jnp.sum(ovf, axis=0), jnp.any(sat, axis=0))
     if record_full:
         ist = (jnp.stack([s for (s, _c) in init_full], axis=1)
                if init_full else jnp.zeros((B, 0, K), jnp.int32))
         isc = (jnp.stack([c for (_s, c) in init_full], axis=1)
                if init_full else jnp.zeros((B, 0, K), jnp.float32))
-        fst = jnp.moveaxis(ys[3], 2, 0)         # [B, T, R, K]
-        fsc_r = jnp.moveaxis(ys[4], 2, 0)
+        fst = jnp.moveaxis(ys[4], 2, 0)         # [B, T, R, K]
+        fsc_r = jnp.moveaxis(ys[5], 2, 0)
         out = out + (ist, isc, fst, fsc_r)
     return out
 
@@ -543,9 +546,9 @@ def _csr_decode_traced(
     hub_bounds: tuple, exact_dedup: bool,
 ):
     """Decode + on-device traceback -> ([B,T,R] olabels, [B,T] tids,
-    [B,R0] init olabels, [B] cost, [B] overflow)."""
+    [B,R0] init olabels, [B] cost, [B] overflow, [B] saturated)."""
     (init_recs, recs, il_emit, fs, fsc, best_slot, best_cost,
-     ovf) = _csr_decode(
+     ovf, sat) = _csr_decode(
         ll, frame_mask, srow, zrow, brow, zbrow, final,
         hub_state_arr, hub_rows, hub_cost, hub_onehot, hub_gpdf, hub_pdf,
         start, K, CB, CZ, n_eps, beam, hub_bounds, exact_dedup, False)
@@ -581,7 +584,7 @@ def _csr_decode_traced(
 
     ols, ils, init_ols = jax.vmap(trace_one)(recs, il_emit, init_recs,
                                              best_slot)
-    return ols, ils, init_ols, best_cost, ovf
+    return ols, ils, init_ols, best_cost, ovf, sat
 
 
 class CsrBeamDecoder:
@@ -615,7 +618,8 @@ class CsrBeamDecoder:
         self._hub_state_arr = jnp.asarray(
             t.hub_states.astype(np.int32) if t.hub_states.size
             else np.full(1, -1, np.int32))
-        self.last_overflow: np.ndarray | None = None  # [B] dropped arcs
+        self.last_overflow: np.ndarray | None = None   # [B] dropped arcs
+        self.last_saturated: np.ndarray | None = None  # [B] cap ever hit
 
     def _args(self, ll, mask):
         t = self.tabs
@@ -639,13 +643,14 @@ class CsrBeamDecoder:
         nf = np.asarray(num_frames)
         mask = _device_mask(nf, T)
         ll = jnp.asarray(loglikes) * o.acoustic_scale
-        ols, ils, init_ols, cost, ovf = _csr_decode_traced(
+        ols, ils, init_ols, cost, ovf, sat = _csr_decode_traced(
             *self._args(ll, mask))
         packed, shapes = pack4(ols, ils[..., None], init_ols, cost)
 
         def finish():
             o_, i_, n_, c_ = unpack4(np.asarray(packed), shapes)
             self.last_overflow = np.asarray(ovf)
+            self.last_saturated = np.asarray(sat)
             return _parse_label_seqs(o_, i_, n_, c_, nf)
 
         return finish
@@ -665,11 +670,65 @@ class CsrBeamDecoder:
         ll_scaled = np.asarray(loglikes) * o.acoustic_scale
         out = _csr_decode(*self._args(jnp.asarray(ll_scaled), mask), True)
         (init_recs, recs, il_emit, fs, fsc, best_slot, best_cost, ovf,
-         ist, isc, fst, fsc_r) = jax.tree.map(np.asarray, out)
+         sat, ist, isc, fst, fsc_r) = jax.tree.map(np.asarray, out)
         self.last_overflow = ovf
+        self.last_saturated = sat
         return dict(
             init_states=ist, init_scores=isc,       # [B, R0, K]
             states=fst, scores=fsc_r,               # [B, T, R, K]
             final_states=fs, final_scores=fsc,      # [B, K]
             best_slot=best_slot, best_cost=best_cost,
             ll_scaled=ll_scaled)
+
+
+class AdaptiveCsrBeamDecoder:
+    """Two-tier serving wrapper: decode with a SMALL max_active program
+    and transparently re-decode any utterance whose frontier saturated
+    (or whose budget overflowed) with the full-capacity program.
+
+    Guarantees results identical to decoding everything at
+    `full_opts.max_active` — when the small frontier never fills, the
+    small program's search is exactly the big one's (the cap never
+    bound), and saturated utterances are re-run. Real acoustics are
+    peaky (few active tokens), so most batches pay the small price; the
+    static-shape cost of a jit program is O(max_active) whether or not
+    tokens are alive, which is what this recovers.
+    (ref: the GetCutoff adaptive-beam idea of faster-decoder.cc:591,
+    applied at program granularity under XLA's static shapes.)
+    """
+
+    def __init__(self, graph: PackedGraph,
+                 full_opts: CsrBeamOpts = CsrBeamOpts(),
+                 small_max_active: int = 1024,
+                 small_expand_budget: int | None = None):
+        self.full = CsrBeamDecoder(graph, full_opts)
+        small = dataclasses.replace(
+            full_opts, max_active=small_max_active,
+            expand_budget=(small_expand_budget
+                           or max(small_max_active * 4, 4096)))
+        self.small = CsrBeamDecoder(graph, small)
+        self.graph = graph
+        self.opts = full_opts
+        self.last_escalated: np.ndarray | None = None   # [B] bool
+
+    def decode_async(self, loglikes, num_frames: np.ndarray):
+        nf = np.asarray(num_frames)
+        fin_small = self.small.decode_async(loglikes, nf)
+
+        def finish():
+            res = fin_small()
+            redo = (self.small.last_saturated.astype(bool)
+                    | (self.small.last_overflow > 0))
+            self.last_escalated = redo
+            if redo.any():
+                idx = np.flatnonzero(redo)
+                ll = np.asarray(loglikes)[idx]
+                res_big = self.full.decode(ll, nf[idx])
+                for j, b in enumerate(idx):
+                    res[b] = res_big[j]
+            return res
+
+        return finish
+
+    def decode(self, loglikes, num_frames: np.ndarray):
+        return self.decode_async(loglikes, num_frames)()

@@ -279,3 +279,43 @@ def test_tier_tables_verify_covers_all_fields(small_big_graph):
         bad = dc.replace(dec.tabs, brow=jnp.asarray(brow))
         with pytest.raises(ValueError, match="tier-B rows"):
             check_tier_tables(g, bad, 64)
+
+
+def test_adaptive_decoder_matches_full(small_big_graph):
+    """AdaptiveCsrBeamDecoder must equal the full-capacity decoder in
+    both regimes: peaky acoustics (no escalation) and flat acoustics
+    (saturated -> escalated)."""
+    from kaldi_tpu.decoder.csr_beam import AdaptiveCsrBeamDecoder
+    g = small_big_graph
+    rng = np.random.RandomState(9)
+    B, T, P = 3, 40, 64
+    full_opts = CsrBeamOpts(beam=8.0, max_active=512, acoustic_scale=0.1,
+                            expand_budget=16384, eps_budget=2048)
+    adec = AdaptiveCsrBeamDecoder(g, full_opts, small_max_active=64,
+                                  small_expand_budget=2048)
+    fdec = adec.full
+    nf = np.full(B, T, np.int32)
+
+    # flat (random) acoustics: frontier saturates the small program
+    ll_flat = (rng.randn(B, T, P) * 3).astype(np.float32)
+    ra = adec.decode(ll_flat, nf)
+    rf = fdec.decode(ll_flat, nf)
+    assert adec.last_escalated.any()
+    for b in range(B):
+        assert ra[b][0] == rf[b][0] and ra[b][1] == rf[b][1]
+        assert abs(ra[b][2] - rf[b][2]) < 1e-3
+
+    # peaky acoustics + tight beam: tiny frontier, no escalation, still
+    # identical to the full program (the common serving regime)
+    tight = CsrBeamOpts(beam=1.0, max_active=512, acoustic_scale=0.1,
+                        expand_budget=16384, eps_budget=2048)
+    adec2 = AdaptiveCsrBeamDecoder(g, tight, small_max_active=128,
+                                   small_expand_budget=4096)
+    peak = (rng.randn(B, T, P) * 0.1).astype(np.float32)
+    peak[..., 0] += 40.0
+    ra = adec2.decode(peak, nf)
+    rf = adec2.full.decode(peak, nf)
+    assert not adec2.last_escalated.any(), adec2.last_escalated
+    for b in range(B):
+        assert ra[b][0] == rf[b][0] and ra[b][1] == rf[b][1]
+        assert abs(ra[b][2] - rf[b][2]) < 1e-3
