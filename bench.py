@@ -64,7 +64,7 @@ def _toy_serving_bench(jax, jnp, am_scores_factory):
         return dec.decode_async(ll[..., : tm.num_pdfs], nf)
 
     launch()()   # warmup/compile
-    n_iter = 8
+    n_iter = 5
     t0 = time.perf_counter()
     pending = launch()
     for _ in range(n_iter - 1):
@@ -125,7 +125,7 @@ def main():
         return dec.decode_async(ll, nf)
 
     launch_big()()   # warmup/compile
-    n_iter = 3
+    n_iter = 2
     t0 = time.perf_counter()
     pending = launch_big()
     for _ in range(n_iter - 1):
@@ -155,7 +155,7 @@ def main():
     lat_dec = CsrBeamDecoder(graph, CsrBeamOpts(
         beam=13.0, max_active=1024, acoustic_scale=0.1,
         expand_budget=8192, eps_budget=2048))
-    Bl, secs_l = 2, 3.0
+    Bl, secs_l = 2, 2.0
     am_l, waves_l, Tl = am_scores_factory(Bl, secs_l)
     nfl = np.full(Bl, Tl, np.int32)
     ll_l = np.asarray(am_l(waves_l))

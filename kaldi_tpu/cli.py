@@ -753,6 +753,48 @@ def cmd_apply_cmvn_online(args):
     print(f"apply-cmvn-online: {n} utterances", file=sys.stderr)
 
 
+def cmd_ivector_extract_online2(args):
+    """Streaming per-frame i-vectors from a feature ark
+    (ref: online2bin/ivector-extract-online2.cc — writes, every
+    ivector-period frames, the i-vector estimated from stats so far;
+    speaker adaptation state carries across an utt2spk-grouped stream)."""
+    from kaldi_tpu.io.model_io import load_ivector_extractor
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    from kaldi_tpu.online.ivector import (OnlineIvectorFeature,
+                                          OnlineIvectorConfig)
+    ext = load_ivector_extractor(args.extractor)
+    cfg = OnlineIvectorConfig(ivector_period=args.ivector_period,
+                              num_gselect=args.num_gselect,
+                              use_most_recent_ivector=False)
+    utt2spk = {}
+    if args.utt2spk:
+        with open(args.utt2spk) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 2:
+                    utt2spk[parts[0]] = parts[1]
+    spk_state: dict = {}
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for utt, feats in open_rspecifier(args.rspecifier):
+            spk = utt2spk.get(utt, utt)
+            iv = OnlineIvectorFeature(ext, cfg,
+                                      adaptation_state=spk_state.get(spk))
+            T = feats.shape[0]
+            f64 = np.asarray(feats, np.float64)
+            rows = []
+            # STREAM period-sized chunks: each period's i-vector uses
+            # only the statistics available at that point
+            for lo in range(0, T, args.ivector_period):
+                hi = min(T, lo + args.ivector_period)
+                iv.accept_features(f64[lo:hi])
+                rows.extend(iv.get_frame(t) for t in range(lo, hi))
+            out.write(utt, np.stack(rows).astype(np.float32))
+            spk_state[spk] = iv.get_adaptation_state()
+            n += 1
+    print(f"ivector-extract-online2: {n} utterances", file=sys.stderr)
+
+
 def cmd_lattice_align_words(args):
     """Word alignment of lattices: every arc carries exactly one word
     spanning its true frames (ref: latbin/lattice-align-words-lexicon.cc)."""
@@ -1635,6 +1677,15 @@ def main(argv=None):
     q.add_argument("lattice_ark")
     q.add_argument("lattice_out")
     q.set_defaults(func=cmd_lattice_align_words)
+
+    q = sub.add_parser("ivector-extract-online2")
+    q.add_argument("extractor")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.add_argument("--utt2spk", default="")
+    q.add_argument("--ivector-period", type=int, default=10)
+    q.add_argument("--num-gselect", type=int, default=5)
+    q.set_defaults(func=cmd_ivector_extract_online2)
 
     q = sub.add_parser("train-nnet3")
     q.add_argument("model")

@@ -173,3 +173,34 @@ def load_am_nnet3(path: str):
             _tag, comp, k = key.split(":", 2)
             params.setdefault(comp, {})[k] = z[key]
     return AmNnet3(net, params, z["priors"])
+
+
+def save_ivector_extractor(path: str, ext) -> None:
+    """Save an IvectorExtractor (UBM params + factor loading matrix)
+    (ref: ivector/ivector-extractor.h IvectorExtractor::Write)."""
+    with open(path, "wb") as f:
+        np.savez(f,
+                 __version__=np.int64(FORMAT_VERSION),
+                 __kind__=np.frombuffer(b"ivector_extractor", np.uint8),
+                 means=ext.means, inv_covars=ext.inv_covars,
+                 weights=ext.weights, M=ext.M,
+                 prior_offset=np.float64(ext.prior_offset))
+
+
+def load_ivector_extractor(path: str):
+    """-> IvectorExtractor."""
+    from kaldi_tpu.ivector.extractor import IvectorExtractor
+    from kaldi_tpu.gmm.diag_gmm import DiagGmm
+    z = np.load(path)
+    assert int(z["__version__"]) == FORMAT_VERSION
+    means = z["means"]
+    I, D = means.shape
+    # rebuild through a placeholder UBM, then overwrite the real params
+    dummy = DiagGmm(np.full(I, 1.0 / I), means, np.ones((I, D)))
+    ext = IvectorExtractor(dummy, ivector_dim=z["M"].shape[2],
+                           prior_offset=float(z["prior_offset"]))
+    ext.means = z["means"]
+    ext.inv_covars = z["inv_covars"]
+    ext.weights = z["weights"]
+    ext.M = z["M"]
+    return ext

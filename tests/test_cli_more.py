@@ -266,3 +266,43 @@ def test_lattice_align_words_cli(tmp_path, capsys):
     w0 = lattice_best_path(lats[0])[0]
     w1 = lattice_best_path(aligned)[0]
     assert w0 == w1
+
+
+def test_ivector_extract_online2_cli(tmp_path):
+    """(ref: online2bin/ivector-extract-online2.cc — per-frame online
+    i-vectors with utt2spk-carried adaptation state)"""
+    from kaldi_tpu.io.kaldi_io import write_ark, read_ark
+    from kaldi_tpu.io.model_io import (save_ivector_extractor,
+                                       load_ivector_extractor)
+    from kaldi_tpu.steps.ubm import train_diag_ubm, DiagUbmTrainOpts
+    from kaldi_tpu.ivector.extractor import IvectorExtractor
+
+    rng = np.random.RandomState(0)
+    data = np.concatenate([m + rng.randn(200, 4)
+                           for m in (rng.randn(3, 4) * 3)])
+    ubm = train_diag_ubm(data, DiagUbmTrainOpts(num_gauss=4, num_iters=2))
+    ext = IvectorExtractor(ubm, ivector_dim=3, seed=0)
+    mdl = str(tmp_path / "ext.npz")
+    save_ivector_extractor(mdl, ext)
+    # round-trip sanity
+    ext2 = load_ivector_extractor(mdl)
+    np.testing.assert_allclose(ext2.M, ext.M)
+    np.testing.assert_allclose(ext2.inv_covars, ext.inv_covars)
+
+    feats = {"spkA_u1": rng.randn(30, 4).astype(np.float32),
+             "spkA_u2": rng.randn(25, 4).astype(np.float32)}
+    ark = str(tmp_path / "f.ark")
+    write_ark(ark, feats)
+    (tmp_path / "utt2spk").write_text("spkA_u1 A\nspkA_u2 A\n")
+    out = str(tmp_path / "iv.ark")
+    main(["ivector-extract-online2", mdl, f"ark:{ark}", f"ark:{out}",
+          "--utt2spk", str(tmp_path / "utt2spk"),
+          "--ivector-period", "5", "--num-gselect", "3"])
+    got = dict(read_ark(out))
+    assert set(got) == set(feats)
+    for u, f in feats.items():
+        assert got[u].shape == (f.shape[0], 3)
+        assert np.isfinite(got[u]).all()
+    # the i-vector evolves as stats accumulate within an utterance
+    assert np.abs(got["spkA_u1"][0] - got["spkA_u1"][-1]).max() > 0 or \
+        np.abs(got["spkA_u2"][0] - got["spkA_u2"][-1]).max() > 0
