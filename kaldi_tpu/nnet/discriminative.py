@@ -125,7 +125,11 @@ def train_nnet_discriminative(
             # output frame at offset left_context under pad_context=True
             ll = cur.loglikes_np(feats[None])[0]
             T = len(num_ali)
-            lc = model.config.left_context
+            # Tdnn exposes context via config; config-defined Nnet3 nets
+            # expose it directly (duck-typed AmNnet3)
+            lc = getattr(model, "left_context", None)
+            if lc is None:
+                lc = model.config.left_context
             ll = ll[lc:lc + T]
             if opts.boost != 0.0 and i not in boosted:
                 lattice_boost(lat, num_ali, tm, opts.boost, silence_phones)

@@ -218,3 +218,81 @@ def test_lstm_hybrid_decode_e2e():
     stats = compute_wer(refs, hyps)
     print(stats)
     assert stats.wer == 0.0, str(stats) + repr(hyps)
+
+
+@pytest.mark.slow
+def test_nnet3_sequence_discriminative():
+    """nnet3 config nets plug into the sequence-discriminative trainer
+    (AmNnet3 duck-types AmNnet): sMBR objf does not decrease
+    (ref: the nnet3 analogue of steps/nnet2/train_discriminative2.sh)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_yesno_e2e import synth_utterance, YESNO_ARPA, SR
+    from kaldi_tpu.fst.lang import Lexicon, prepare_lang
+    from kaldi_tpu.lm.arpa import ArpaLm, arpa_to_g
+    from kaldi_tpu.fst.graph import make_hclg, TrainingGraphCompiler
+    from kaldi_tpu.ops import MfccOpts, FrameOpts, mfcc, add_deltas
+    from kaldi_tpu.steps.mono import train_mono, MonoTrainOpts
+    from kaldi_tpu.steps.nnet3_train import train_tdnn3
+    from kaldi_tpu.nnet3.training import Nnet3TrainOpts
+    from kaldi_tpu.nnet.discriminative import (
+        NnetDiscriminativeOpts, train_nnet_discriminative)
+    from kaldi_tpu.decoder.graph_pack import (pack_graph, pack_graphs)
+    from kaldi_tpu.decoder.beam_search import (BeamSearchDecoder,
+                                               BeamSearchOpts)
+    from kaldi_tpu.decoder.viterbi import viterbi_align
+    from kaldi_tpu.lat.generate import decode_to_lattices
+
+    rng = np.random.RandomState(42)
+    lex = Lexicon.parse("YES Y1 Y2\nNO N1 N2")
+    lang = prepare_lang(lex, ["SIL"], "SIL", num_sil_states=3)
+    fo = MfccOpts(frame_opts=FrameOpts(samp_freq=SR, dither=0.0))
+
+    def featize(w):
+        return np.asarray(add_deltas(mfcc(jnp.asarray(w), fo), order=2,
+                                     window=2))
+
+    utts = []
+    for i in range(10):
+        ws = [rng.choice(["YES", "NO"]) for _ in range(2)]
+        utts.append((f"u{i}", featize(synth_utterance(ws, rng)), ws))
+    gmm = train_mono(lang, utts, MonoTrainOpts(
+        num_iters=8, totgauss=30, max_iter_inc=6,
+        realign_iters=tuple(range(1, 8))))
+    res = train_tdnn3(gmm, utts, train_opts=Nnet3TrainOpts(
+        initial_lr=0.1, final_lr=0.01, num_epochs=20,
+        minibatch_size=64, momentum=0.9))
+    am = res.am
+    tm = gmm.trans_model
+    lc, rc = am.model.left_context, am.model.right_context
+
+    g = arpa_to_g(ArpaLm.parse(YESNO_ARPA), lang.words)
+    graph = make_hclg(lang, g, tm, gmm.ctx_dep, self_loop_scale=0.1)
+    dec = BeamSearchDecoder(pack_graph(graph.fst, tm.id2pdf_array),
+                            BeamSearchOpts(beam=16.0, max_active=256,
+                                           acoustic_scale=0.1))
+    compiler = TrainingGraphCompiler(lang, tm, gmm.ctx_dep)
+    egs = []
+    for (_u, feats, words) in utts:
+        T = feats.shape[0]
+        ll = am.loglikes_np(feats[None])[0]
+        lat = decode_to_lattices(dec, ll[None], np.array([T]),
+                                 lattice_beam=8.0)[0]
+        if lat is None:
+            continue
+        gtr = compiler.compile_transcript(list(words))
+        batch = pack_graphs([gtr], tm.id2pdf_array)
+        r = viterbi_align(batch, gmm.am.loglikes_np(feats[None]),
+                          np.array([T]), 0.1)[0]
+        if r is None:
+            continue
+        ctx_feats = np.pad(feats, ((lc, rc), (0, 0)), mode="edge")
+        egs.append((ctx_feats, r[0], lat))
+    assert len(egs) >= 5
+
+    opts = NnetDiscriminativeOpts(criterion="smbr", num_epochs=3,
+                                  learning_rate=3e-4)
+    _params, hist = train_nnet_discriminative(
+        am, tm, egs, opts, silence_phones={lang.phones["SIL"]})
+    assert len(hist) == 3 and np.isfinite(hist).all()
+    assert hist[-1] >= hist[0] - 1e-3, hist
