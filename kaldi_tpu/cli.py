@@ -753,6 +753,35 @@ def cmd_apply_cmvn_online(args):
     print(f"apply-cmvn-online: {n} utterances", file=sys.stderr)
 
 
+def cmd_split_scp(args):
+    """Deterministic round-robin split of an scp/text file into N parts
+    (ref: utils/split_scp.pl — the job-array sharding primitive; the
+    same split parallel.launch.host_shard computes in-process)."""
+    with open(args.scp) as f:
+        lines = [ln for ln in f if ln.strip()]
+    n = args.num_jobs
+    outs = [args.out_pattern.replace("JOB", str(j + 1))
+            for j in range(n)]
+    keys = sorted(range(len(lines)), key=lambda i: lines[i].split()[0])
+    for j, path in enumerate(outs):
+        with open(path, "w") as f:
+            for i in keys[j::n]:
+                f.write(lines[i])
+    print(f"split-scp: {len(lines)} lines -> {n} parts", file=sys.stderr)
+
+
+def cmd_utt2spk_to_spk2utt(args):
+    """(ref: utils/utt2spk_to_spk2utt.pl)"""
+    spk2utt: dict = {}
+    with open(args.utt2spk) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                spk2utt.setdefault(parts[1], []).append(parts[0])
+    for spk in sorted(spk2utt):
+        print(f"{spk} " + " ".join(sorted(spk2utt[spk])))
+
+
 def cmd_ivector_extract_online2(args):
     """Streaming per-frame i-vectors from a feature ark
     (ref: online2bin/ivector-extract-online2.cc — writes, every
@@ -1677,6 +1706,16 @@ def main(argv=None):
     q.add_argument("lattice_ark")
     q.add_argument("lattice_out")
     q.set_defaults(func=cmd_lattice_align_words)
+
+    q = sub.add_parser("split-scp")
+    q.add_argument("scp")
+    q.add_argument("num_jobs", type=int)
+    q.add_argument("out_pattern", help="path containing JOB, e.g. f.JOB.scp")
+    q.set_defaults(func=cmd_split_scp)
+
+    q = sub.add_parser("utt2spk-to-spk2utt")
+    q.add_argument("utt2spk")
+    q.set_defaults(func=cmd_utt2spk_to_spk2utt)
 
     q = sub.add_parser("ivector-extract-online2")
     q.add_argument("extractor")

@@ -306,3 +306,23 @@ def test_ivector_extract_online2_cli(tmp_path):
     # the i-vector evolves as stats accumulate within an utterance
     assert np.abs(got["spkA_u1"][0] - got["spkA_u1"][-1]).max() > 0 or \
         np.abs(got["spkA_u2"][0] - got["spkA_u2"][-1]).max() > 0
+
+
+def test_split_scp_and_spk2utt(tmp_path, capsys):
+    """(ref: utils/split_scp.pl, utils/utt2spk_to_spk2utt.pl)"""
+    scp = tmp_path / "f.scp"
+    scp.write_text("".join(f"utt{i:02d} /p/{i}\n" for i in range(11)))
+    main(["split-scp", str(scp), "3",
+          str(tmp_path / "f.JOB.scp")])
+    parts = [(tmp_path / f"f.{j}.scp").read_text().splitlines()
+             for j in (1, 2, 3)]
+    flat = sorted(ln for p in parts for ln in p)
+    assert flat == sorted(scp.read_text().splitlines())
+    sizes = sorted(len(p) for p in parts)
+    assert sizes[-1] - sizes[0] <= 1
+    u2s = tmp_path / "utt2spk"
+    u2s.write_text("u1 spkB\nu2 spkA\nu3 spkA\n")
+    capsys.readouterr()
+    main(["utt2spk-to-spk2utt", str(u2s)])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == ["spkA u2 u3", "spkB u1"]
