@@ -64,7 +64,7 @@ def _toy_serving_bench(jax, jnp, am_scores_factory):
         return dec.decode_async(ll[..., : tm.num_pdfs], nf)
 
     launch()()   # warmup/compile
-    n_iter = 5
+    n_iter = 8
     t0 = time.perf_counter()
     pending = launch()
     for _ in range(n_iter - 1):
