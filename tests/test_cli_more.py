@@ -206,6 +206,7 @@ def test_apply_cmvn_online_cli(tmp_path, capsys):
     np.testing.assert_allclose(got2[:40], got[:40], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_lattice_align_words_cli(tmp_path, capsys):
     """(ref: latbin/lattice-align-words-lexicon.cc)"""
     import sys as _sys, os as _os

@@ -122,6 +122,7 @@ def test_lstm_gradients_flow_through_recurrence():
         assert got == pytest.approx(float(num), abs=3e-3), (i, j)
 
 
+@pytest.mark.slow
 def test_lstm_learns_delayed_echo():
     """The config LSTM must solve a task REQUIRING memory: predict the
     input class from `delay` frames ago (cf. the nnet1 LSTM test)."""
