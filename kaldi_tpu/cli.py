@@ -618,13 +618,32 @@ def cmd_lattice_lmrescore_const_arpa(args):
                                          lattice_lmrescore_const_arpa)
     from kaldi_tpu.io.model_io import load_gmm_system
     model = load_gmm_system(args.model)
-    with open(args.arpa) as f:
-        clm = ConstArpaLm(ArpaLm.parse(f.read()), model.lang.words)
+    if args.arpa.endswith(".npz") or args.arpa.endswith(".clm"):
+        from kaldi_tpu.io.model_io import load_const_arpa
+        clm = load_const_arpa(args.arpa)
+    else:
+        with open(args.arpa) as f:
+            clm = ConstArpaLm(ArpaLm.parse(f.read()), model.lang.words)
     out = {}
     for key, lat in read_lattice_ark(args.lattice_ark):
         out[key] = lattice_lmrescore_const_arpa(lat, clm,
                                                 lm_scale=args.lm_scale)
     write_lattice_ark(args.out_ark, out)
+
+
+def cmd_arpa_to_const_arpa(args):
+    """Build and save the packed const-arpa LM artifact
+    (ref: lmbin/arpa-to-const-arpa.cc)."""
+    from kaldi_tpu.lm.arpa import ArpaLm
+    from kaldi_tpu.lm.const_arpa import ConstArpaLm
+    from kaldi_tpu.io.model_io import save_const_arpa
+    from kaldi_tpu.fst.fst import SymbolTable
+    words = SymbolTable.read(args.words)
+    with open(args.arpa) as f:
+        clm = ConstArpaLm(ArpaLm.parse(f.read()), words)
+    save_const_arpa(args.out, clm)
+    print(f"arpa-to-const-arpa: {len(clm.row_lo) - 1} states, "
+          f"{len(clm.col_word)} transitions", file=sys.stderr)
 
 
 def cmd_lattice_determinize(args, key, lat):
@@ -1436,6 +1455,12 @@ def main(argv=None):
     q.add_argument("lattice_ark")
     q.add_argument("ref_text")
     q.set_defaults(func=cmd_lattice_oracle)
+
+    q = sub.add_parser("arpa-to-const-arpa")
+    q.add_argument("words")
+    q.add_argument("arpa")
+    q.add_argument("out")
+    q.set_defaults(func=cmd_arpa_to_const_arpa)
 
     q = sub.add_parser("lattice-lmrescore-const-arpa")
     q.add_argument("model")

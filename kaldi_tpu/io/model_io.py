@@ -204,3 +204,40 @@ def load_ivector_extractor(path: str):
     ext.weights = z["weights"]
     ext.M = z["M"]
     return ext
+
+
+def save_const_arpa(path: str, clm) -> None:
+    """Save a built ConstArpaLm (the arpa-to-const-arpa artifact;
+    ref: lm/const-arpa-lm.h ConstArpaLm::Write — packed arrays + the
+    host-side history index rides pickled like the lang bundle)."""
+    host = pickle.dumps({
+        "_hist_index": clm._hist_index,
+        "_ext_index": clm._ext_index,
+        "_state_hist": clm._state_hist,
+        "order": clm.order, "bos": clm.bos, "eos": clm.eos,
+        "unk_cost": clm.unk_cost,
+    }, protocol=pickle.HIGHEST_PROTOCOL)
+    with open(path, "wb") as f:
+        np.savez(f,
+                 __version__=np.int64(FORMAT_VERSION),
+                 __kind__=np.frombuffer(b"const_arpa", np.uint8),
+                 backoff_cost=clm.backoff_cost,
+                 backoff_state=clm.backoff_state,
+                 row_lo=clm.row_lo, col_word=clm.col_word,
+                 col_cost=clm.col_cost, col_next=clm.col_next,
+                 __host__=np.frombuffer(host, dtype=np.uint8))
+
+
+def load_const_arpa(path: str):
+    """-> ConstArpaLm (without re-parsing/re-packing the ARPA)."""
+    from kaldi_tpu.lm.const_arpa import ConstArpaLm
+    z = np.load(path, allow_pickle=False)
+    assert int(z["__version__"]) == FORMAT_VERSION
+    host = pickle.loads(z["__host__"].tobytes())
+    clm = ConstArpaLm.__new__(ConstArpaLm)
+    for k, v in host.items():
+        setattr(clm, k, v)
+    for k in ("backoff_cost", "backoff_state", "row_lo", "col_word",
+              "col_cost", "col_next"):
+        setattr(clm, k, z[k])
+    return clm
