@@ -27,4 +27,4 @@ collapsed into an idiomatic JAX design):
   utils/      config, logging, WER scoring        (ref: src/util, src/bin)
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
