@@ -34,3 +34,16 @@ def ref_test_data():
     if not os.path.isdir(path):
         pytest.skip("reference test_data not available")
     return path
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_jax_memory():
+    """Full-suite runs accumulate hundreds of compiled XLA programs and
+    device buffers in one process; on this host that eventually
+    segfaults allocation inside native extensions. Dropping the jit
+    caches after each module keeps the peak bounded (modules recompile
+    their own programs anyway)."""
+    yield
+    import gc
+    jax.clear_caches()
+    gc.collect()
