@@ -669,8 +669,12 @@ class CsrBeamDecoder:
         mask = _device_mask(nf, T)
         ll_scaled = np.asarray(loglikes) * o.acoustic_scale
         out = _csr_decode(*self._args(jnp.asarray(ll_scaled), mask), True)
+        # ONE device->host transfer for the whole record set (each
+        # round trip costs ~40ms over the tunneled link; naive per-array
+        # fetching pays it 13x)
+        from kaldi_tpu.decoder.hostpack import fetch_tree
         (init_recs, recs, il_emit, fs, fsc, best_slot, best_cost, ovf,
-         sat, ist, isc, fst, fsc_r) = jax.tree.map(np.asarray, out)
+         sat, ist, isc, fst, fsc_r) = fetch_tree(out)
         self.last_overflow = ovf
         self.last_saturated = sat
         return dict(

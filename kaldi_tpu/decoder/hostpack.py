@@ -57,3 +57,44 @@ def fetch4(ols, ils, init_ols, cost):
     """
     packed, shapes = pack4(ols, ils, init_ols, cost)
     return unpack4(np.asarray(packed), shapes)
+
+
+@jax.jit
+def _pack_tree_flat(leaves):
+    """Flatten heterogeneous arrays into ONE int32 buffer (floats
+    bitcast) so a whole output pytree costs a single device->host
+    transfer."""
+    parts = []
+    for x in leaves:
+        flat = x.reshape(-1)
+        if flat.dtype == jnp.float32:
+            flat = jax.lax.bitcast_convert_type(flat, jnp.int32)
+        elif flat.dtype == jnp.bool_:
+            flat = flat.astype(jnp.int32)
+        else:
+            flat = flat.astype(jnp.int32)
+        parts.append(flat)
+    return jnp.concatenate(parts) if parts else jnp.zeros(0, jnp.int32)
+
+
+def fetch_tree(tree):
+    """Fetch an arbitrary pytree of device arrays with ONE transfer;
+    -> same structure as numpy arrays (dtypes preserved for
+    f32/bool/int32)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    metas = [(x.shape, str(x.dtype)) for x in leaves]
+    buf = np.asarray(_pack_tree_flat(leaves))
+    out = []
+    pos = 0
+    for (shape, dtype) in metas:
+        n = int(np.prod(shape)) if shape else 1
+        chunk = buf[pos: pos + n]
+        pos += n
+        if dtype == "float32":
+            arr = chunk.view(np.float32)
+        elif dtype == "bool":
+            arr = chunk.astype(bool)
+        else:
+            arr = chunk
+        out.append(arr.reshape(shape))
+    return jax.tree_util.tree_unflatten(treedef, out)
