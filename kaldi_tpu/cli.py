@@ -772,6 +772,127 @@ def cmd_apply_cmvn_online(args):
     print(f"apply-cmvn-online: {n} utterances", file=sys.stderr)
 
 
+def cmd_train_ubm(args):
+    """Diagonal (and optionally full-covariance) UBM from pooled feats
+    (ref: sid/train_diag_ubm.sh + train_full_ubm.sh driving
+    gmm-global-* / fgmm-global-*)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.io.model_io import save_ubm
+    from kaldi_tpu.steps.ubm import (train_diag_ubm, DiagUbmTrainOpts,
+                                     train_full_ubm, FullUbmTrainOpts)
+    pooled = np.concatenate([v for (_k, v) in
+                             open_rspecifier(args.rspecifier)])
+    ubm = train_diag_ubm(pooled.astype(np.float64),
+                         DiagUbmTrainOpts(num_gauss=args.num_gauss,
+                                          num_iters=args.num_iters))
+    if args.full:
+        ubm = train_full_ubm(ubm, pooled.astype(np.float64),
+                             FullUbmTrainOpts(num_iters=args.full_iters))
+    save_ubm(args.ubm_out, ubm)
+    print(f"train-ubm: {args.num_gauss} gauss "
+          f"({'full' if args.full else 'diag'}) over {len(pooled)} frames",
+          file=sys.stderr)
+
+
+def cmd_train_ivector_extractor(args):
+    """(ref: sid/train_ivector_extractor.sh / ivector-extractor-est)"""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.io.model_io import load_ubm, save_ivector_extractor
+    from kaldi_tpu.ivector.extractor import train_ivector_extractor
+    ubm = load_ubm(args.ubm)
+    feats = [v.astype(np.float64)
+             for (_k, v) in open_rspecifier(args.rspecifier)]
+    ext = train_ivector_extractor(
+        ubm, feats, ivector_dim=args.ivector_dim,
+        num_iters=args.num_iters, num_gselect=args.num_gselect)
+    save_ivector_extractor(args.extractor_out, ext)
+    print(f"train-ivector-extractor: dim {args.ivector_dim} over "
+          f"{len(feats)} utts", file=sys.stderr)
+
+
+def cmd_ivector_extract(args):
+    """Per-utterance (or per-speaker with --spk2utt) i-vectors
+    (ref: ivectorbin/ivector-extract.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    from kaldi_tpu.io.model_io import load_ivector_extractor
+    ext = load_ivector_extractor(args.extractor)
+    spk2utt = None
+    if args.spk2utt:
+        spk2utt = {}
+        with open(args.spk2utt) as f:
+            for line in f:
+                parts = line.split()
+                spk2utt[parts[0]] = parts[1:]
+    stats: dict = {}
+    for utt, v in open_rspecifier(args.rspecifier):
+        f = v.astype(np.float64)
+        post = ext.frame_posteriors(f, args.num_gselect)
+        stats[utt] = ext.utterance_stats(f, post)
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        if spk2utt is None:
+            for utt, (gamma, X) in stats.items():
+                w, _L = ext.extract(gamma, X)
+                out.write(utt, w.astype(np.float32))
+                n += 1
+        else:
+            for spk, utts in spk2utt.items():
+                gamma = sum(stats[u][0] for u in utts if u in stats)
+                X = sum(stats[u][1] for u in utts if u in stats)
+                w, _L = ext.extract(gamma, X)
+                out.write(spk, w.astype(np.float32))
+                n += 1
+    print(f"ivector-extract: {n} i-vectors", file=sys.stderr)
+
+
+def cmd_train_plda(args):
+    """(ref: ivectorbin/ivector-compute-plda.cc)"""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.io.model_io import save_plda
+    from kaldi_tpu.ivector.plda import PldaStats, Plda, length_normalize
+    spk2utt = {}
+    with open(args.spk2utt) as f:
+        for line in f:
+            parts = line.split()
+            spk2utt[parts[0]] = parts[1:]
+    ivecs = {k: v for (k, v) in open_rspecifier(args.rspecifier)}
+    dim = next(iter(ivecs.values())).shape[-1]
+    stats = PldaStats(dim)
+    for spk, utts in spk2utt.items():
+        rows = [length_normalize(ivecs[u]) for u in utts if u in ivecs]
+        if rows:
+            stats.add_speaker(np.stack(rows))
+    plda = Plda.train(stats, num_iters=args.num_iters)
+    save_plda(args.plda_out, plda)
+    print(f"train-plda: {len(spk2utt)} speakers, dim {dim}",
+          file=sys.stderr)
+
+
+def cmd_ivector_plda_scoring(args):
+    """Trial scoring: LLR per (enroll, test) pair
+    (ref: ivectorbin/ivector-plda-scoring.cc; trials file lines
+    '<enroll-key> <test-key>')."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.io.model_io import load_plda
+    plda = load_plda(args.plda)
+    enroll = {k: v for (k, v) in open_rspecifier(args.enroll_rspecifier)}
+    test = {k: v for (k, v) in open_rspecifier(args.test_rspecifier)}
+    out = open(args.scores_out, "w") if args.scores_out else sys.stdout
+    n = 0
+    with open(args.trials) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 2:
+                continue
+            e, t = parts[0], parts[1]
+            s = plda.score_trials({e: enroll[e]}, {t: test[t]})[(e, t)]
+            out.write(f"{e} {t} {s:.6f}\n")
+            n += 1
+    if args.scores_out:
+        out.close()
+    print(f"ivector-plda-scoring: {n} trials", file=sys.stderr)
+
+
 def cmd_split_scp(args):
     """Deterministic round-robin split of an scp/text file into N parts
     (ref: utils/split_scp.pl — the job-array sharding primitive; the
@@ -1731,6 +1852,47 @@ def main(argv=None):
     q.add_argument("lattice_ark")
     q.add_argument("lattice_out")
     q.set_defaults(func=cmd_lattice_align_words)
+
+    q = sub.add_parser("train-ubm")
+    q.add_argument("rspecifier")
+    q.add_argument("ubm_out")
+    q.add_argument("--num-gauss", type=int, default=64)
+    q.add_argument("--num-iters", type=int, default=4)
+    q.add_argument("--full", action="store_true")
+    q.add_argument("--full-iters", type=int, default=2)
+    q.set_defaults(func=cmd_train_ubm)
+
+    q = sub.add_parser("train-ivector-extractor")
+    q.add_argument("ubm")
+    q.add_argument("rspecifier")
+    q.add_argument("extractor_out")
+    q.add_argument("--ivector-dim", type=int, default=100)
+    q.add_argument("--num-iters", type=int, default=5)
+    q.add_argument("--num-gselect", type=int, default=20)
+    q.set_defaults(func=cmd_train_ivector_extractor)
+
+    q = sub.add_parser("ivector-extract")
+    q.add_argument("extractor")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.add_argument("--spk2utt", default="")
+    q.add_argument("--num-gselect", type=int, default=20)
+    q.set_defaults(func=cmd_ivector_extract)
+
+    q = sub.add_parser("train-plda")
+    q.add_argument("spk2utt")
+    q.add_argument("rspecifier")
+    q.add_argument("plda_out")
+    q.add_argument("--num-iters", type=int, default=10)
+    q.set_defaults(func=cmd_train_plda)
+
+    q = sub.add_parser("ivector-plda-scoring")
+    q.add_argument("plda")
+    q.add_argument("enroll_rspecifier")
+    q.add_argument("test_rspecifier")
+    q.add_argument("trials")
+    q.add_argument("--scores-out", default="")
+    q.set_defaults(func=cmd_ivector_plda_scoring)
 
     q = sub.add_parser("split-scp")
     q.add_argument("scp")

@@ -322,8 +322,8 @@ class BeamSearchDecoder:
             int(self.graph.start), int(o.max_active), int(self.E),
             int(o.eps_expansions), float(o.beam),
         )
-        init_recs, recs, fs, fsc, best_slot, best_cost = \
-            jax.tree.map(np.asarray, out)
+        from kaldi_tpu.decoder.hostpack import fetch_tree
+        init_recs, recs, fs, fsc, best_slot, best_cost = fetch_tree(out)
         # stack per-round (st, sc) tuples -> [B, R0/T*R, K] snapshots
         if init_recs:
             ist = np.stack([r[0] for r in init_recs], axis=1)

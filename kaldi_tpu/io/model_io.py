@@ -241,3 +241,50 @@ def load_const_arpa(path: str):
               "col_cost", "col_next"):
         setattr(clm, k, z[k])
     return clm
+
+
+def save_ubm(path: str, ubm) -> None:
+    """Save a DiagGmm or FullGmm UBM (ref: gmm-global-copy /
+    fgmm-global-* single-object files)."""
+    from kaldi_tpu.gmm.full_gmm import FullGmm
+    blobs = {"__version__": np.int64(FORMAT_VERSION),
+             "weights": np.asarray(ubm.weights),
+             "means": np.asarray(ubm.means)}
+    if isinstance(ubm, FullGmm):
+        blobs["__kind__"] = np.frombuffer(b"full_ubm", np.uint8)
+        blobs["covars"] = np.asarray(ubm.covars)
+    else:
+        blobs["__kind__"] = np.frombuffer(b"diag_ubm", np.uint8)
+        blobs["vars"] = np.asarray(ubm.vars)
+    with open(path, "wb") as f:
+        np.savez(f, **blobs)
+
+
+def load_ubm(path: str):
+    """-> DiagGmm or FullGmm."""
+    from kaldi_tpu.gmm.diag_gmm import DiagGmm
+    from kaldi_tpu.gmm.full_gmm import FullGmm
+    z = np.load(path)
+    assert int(z["__version__"]) == FORMAT_VERSION
+    kind = z["__kind__"].tobytes()
+    if kind == b"full_ubm":
+        return FullGmm(z["weights"], z["means"], z["covars"])
+    return DiagGmm(z["weights"], z["means"], z["vars"])
+
+
+def save_plda(path: str, plda) -> None:
+    """(ref: ivector/plda.h Plda::Write)"""
+    with open(path, "wb") as f:
+        np.savez(f,
+                 __version__=np.int64(FORMAT_VERSION),
+                 __kind__=np.frombuffer(b"plda", np.uint8),
+                 mean=np.asarray(plda.mean),
+                 transform=np.asarray(plda.transform),
+                 psi=np.asarray(plda.psi))
+
+
+def load_plda(path: str):
+    from kaldi_tpu.ivector.plda import Plda
+    z = np.load(path)
+    assert int(z["__version__"]) == FORMAT_VERSION
+    return Plda(mean=z["mean"], transform=z["transform"], psi=z["psi"])
