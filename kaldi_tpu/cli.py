@@ -187,12 +187,16 @@ def cmd_align_text(args):
 
 
 def cmd_kws_search(args):
-    """Keyword search over a text-lattice ark (ref: kwsbin/kws-search.cc;
-    keywords file: 'kwid word-id word-id ...')."""
-    from kaldi_tpu.lat.io import read_lattice_ark
-    from kaldi_tpu.kws import lattice_to_kws_index, search_index
-    indexes = [lattice_to_kws_index(lat, key)
-               for key, lat in read_lattice_ark(args.lattice_ark)]
+    """Keyword search over a text-lattice ark or a prebuilt index file
+    (ref: kwsbin/kws-search.cc; keywords file: 'kwid word-id ...')."""
+    from kaldi_tpu.kws import (lattice_to_kws_index, search_index,
+                               load_kws_index)
+    if getattr(args, "index", False):
+        indexes = load_kws_index(args.lattice_ark)
+    else:
+        from kaldi_tpu.lat.io import read_lattice_ark
+        indexes = [lattice_to_kws_index(lat, key)
+                   for key, lat in read_lattice_ark(args.lattice_ark)]
     with open(args.keywords) as f:
         for line in f:
             parts = line.split()
@@ -201,6 +205,112 @@ def cmd_kws_search(args):
             kwid, words = parts[0], [int(w) for w in parts[1:]]
             for (utt, t0, t1, p) in search_index(indexes, words):
                 print(f"{kwid} {utt} {t0} {t1} {p:.4f}")
+
+
+def cmd_lattice_to_kws_index(args):
+    """Build the timed-factor keyword index from a lattice ark
+    (ref: kwsbin/lattice-to-kws-index.cc over kws/kws-functions.h:89-97)."""
+    from kaldi_tpu.lat.io import read_lattice_ark
+    from kaldi_tpu.kws import lattice_to_kws_index, save_kws_index
+    indexes = [lattice_to_kws_index(lat, key)
+               for key, lat in read_lattice_ark(args.lattice_ark)]
+    save_kws_index(args.index_out, indexes)
+    print(f"lattice-to-kws-index: {len(indexes)} utterances",
+          file=sys.stderr)
+
+
+def cmd_kws_index_union(args):
+    """Union several index files (ref: kwsbin/kws-index-union.cc)."""
+    from kaldi_tpu.kws import (load_kws_index, save_kws_index,
+                               union_kws_indexes)
+    merged = union_kws_indexes([load_kws_index(p) for p in args.indexes])
+    save_kws_index(args.index_out, merged)
+    print(f"kws-index-union: {len(args.indexes)} files -> "
+          f"{len(merged)} utterances", file=sys.stderr)
+
+
+def cmd_compute_atwv(args):
+    """ATWV/STWV from a ref file ('kwid utt t_begin t_end') and a hits
+    file ('kwid utt t_begin t_end score') (ref: kwsbin/compute-atwv.cc
+    over kws/kws-scoring.h:188-221)."""
+    from kaldi_tpu.kws import compute_twv, TwvOptions
+
+    def read4(path, with_score):
+        d: dict = {}
+        with open(path) as f:
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                kw, utt, t0, t1 = parts[:4]
+                row = (utt, int(float(t0)), int(float(t1)))
+                if with_score:
+                    row += (float(parts[4]) if len(parts) > 4 else 1.0,)
+                d.setdefault(kw, []).append(row)
+        return d
+
+    refs = read4(args.ref, with_score=False)
+    hits = read4(args.hits, with_score=True)
+    res = compute_twv(refs, hits, args.duration,
+                      TwvOptions(score_threshold=args.score_threshold))
+    print(f"ATWV {res['atwv']:.4f}")
+    print(f"STWV {res['stwv']:.4f}")
+    for kw in sorted(res["per_kw"]):
+        print(f"{kw} {res['per_kw'][kw]:.4f}")
+
+
+def cmd_generate_proxy_keywords(args):
+    """Proxy keywords for OOVs by phone-confusion distance over the
+    lexicon (ref: kwsbin/generate-proxy-keywords.cc). Keywords file:
+    'kwid phone phone ...'; lexicon: 'word phone phone ...'."""
+    from kaldi_tpu.kws import generate_proxy_keywords
+    lexicon: dict = {}
+    with open(args.lexicon) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                lexicon.setdefault(parts[0], []).append(parts[1:])
+    confusion = {}
+    if args.confusion_matrix:
+        with open(args.confusion_matrix) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 3:
+                    confusion[(parts[0], parts[1])] = float(parts[2])
+    with open(args.keywords) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 2:
+                continue
+            kwid, pron = parts[0], parts[1:]
+            for words, cost in generate_proxy_keywords(
+                    pron, lexicon, confusion,
+                    nbest=args.nbest, beam=args.proxy_beam):
+                print(f"{kwid} {cost:.3f} " + " ".join(words))
+
+
+def cmd_transcripts_to_fsts(args):
+    """Transcripts -> linear acceptor FSTs, text-archive format
+    (ref: kwsbin/transcripts-to-fsts.cc)."""
+    from kaldi_tpu.fst.fst import Fst
+    from kaldi_tpu.fst.text_io import write_fst_text, read_symbols
+    sym = read_symbols(args.word_symbols) if args.word_symbols else None
+    out = open(args.fsts_out, "w") if args.fsts_out != "-" else sys.stdout
+    n = 0
+    with open(args.transcripts) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            utt, words = parts[0], parts[1:]
+            ids = [sym[w] if sym else int(w) for w in words]
+            out.write(utt + "\n")
+            write_fst_text(out, Fst.linear_acceptor(ids))
+            out.write("\n")
+            n += 1
+    if args.fsts_out != "-":
+        out.close()
+    print(f"transcripts-to-fsts: {n} fsts", file=sys.stderr)
 
 
 def cmd_compute_wer(args):
@@ -1711,7 +1821,42 @@ def main(argv=None):
     q = sub.add_parser("kws-search")
     q.add_argument("lattice_ark")
     q.add_argument("keywords")
+    q.add_argument("--index", action="store_true",
+                   help="input is a lattice-to-kws-index file, not an ark")
     q.set_defaults(func=cmd_kws_search)
+
+    q = sub.add_parser("lattice-to-kws-index")
+    q.add_argument("lattice_ark")
+    q.add_argument("index_out")
+    q.set_defaults(func=cmd_lattice_to_kws_index)
+
+    q = sub.add_parser("kws-index-union")
+    q.add_argument("index_out")
+    q.add_argument("indexes", nargs="+")
+    q.set_defaults(func=cmd_kws_index_union)
+
+    q = sub.add_parser("compute-atwv")
+    q.add_argument("duration", type=float,
+                   help="total audio duration in seconds")
+    q.add_argument("ref", help="'kwid utt t_begin t_end' lines")
+    q.add_argument("hits", help="'kwid utt t_begin t_end score' lines")
+    q.add_argument("--score-threshold", type=float, default=0.5)
+    q.set_defaults(func=cmd_compute_atwv)
+
+    q = sub.add_parser("generate-proxy-keywords")
+    q.add_argument("keywords", help="'kwid phone phone ...' lines")
+    q.add_argument("lexicon", help="'word phone phone ...' lines")
+    q.add_argument("--confusion-matrix", default="",
+                   help="'phone phone cost' lines")
+    q.add_argument("--nbest", type=int, default=10)
+    q.add_argument("--proxy-beam", type=float, default=4.0)
+    q.set_defaults(func=cmd_generate_proxy_keywords)
+
+    q = sub.add_parser("transcripts-to-fsts")
+    q.add_argument("transcripts")
+    q.add_argument("fsts_out")
+    q.add_argument("--word-symbols", default="")
+    q.set_defaults(func=cmd_transcripts_to_fsts)
 
     q = sub.add_parser("info")
     q.set_defaults(func=cmd_info)

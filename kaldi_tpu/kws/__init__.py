@@ -5,7 +5,9 @@
  kws/kws-functions.h:89-97, ATWV kws/kws-scoring.h:188-236.)
 """
 
-from kaldi_tpu.kws.index import KwsIndex, lattice_to_kws_index, search_index
+from kaldi_tpu.kws.index import (KwsIndex, lattice_to_kws_index,
+                                 search_index, save_kws_index,
+                                 load_kws_index, union_kws_indexes)
 from kaldi_tpu.kws.scoring import TwvOptions, compute_twv, align_hits
 from kaldi_tpu.kws.proxy import generate_proxy_keywords
 

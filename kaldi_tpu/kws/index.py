@@ -156,3 +156,36 @@ def search_index(indexes, keyword, merge_tolerance: int = 50):
         hits.extend((index.utt_id, t0, te, p) for (t0, te, p) in merged)
     hits.sort(key=lambda h: -h[3])
     return hits
+
+
+def save_kws_index(path: str, indexes) -> None:
+    """Serialize a list of per-utterance KwsIndex objects (the artifact
+    lattice-to-kws-index writes and kws-search/kws-index-union read;
+    ref: kwsbin/lattice-to-kws-index.cc writes a fst archive — here the
+    factor tables persist directly)."""
+    import pickle
+    payload = [dataclasses.asdict(ix) for ix in indexes]
+    with open(path, "wb") as f:
+        pickle.dump({"format": "kws_index_v1", "indexes": payload}, f,
+                    protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def load_kws_index(path: str):
+    """-> list[KwsIndex]."""
+    import pickle
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    assert blob.get("format") == "kws_index_v1", "not a kws index file"
+    return [KwsIndex(**d) for d in blob["indexes"]]
+
+
+def union_kws_indexes(index_lists):
+    """Merge several index collections, keeping one entry per utterance
+    (later files win on duplicate utt ids; ref: kwsbin/kws-index-union.cc
+    unions the factor transducers — with per-utterance tables a union is
+    key-level concatenation)."""
+    by_utt = {}
+    for lst in index_lists:
+        for ix in lst:
+            by_utt[ix.utt_id] = ix
+    return [by_utt[k] for k in sorted(by_utt)]
