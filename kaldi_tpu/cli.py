@@ -1235,8 +1235,10 @@ def cmd_gmm_align(args):
     from kaldi_tpu.decoder.viterbi import viterbi_align
     model = load_gmm_system(args.model)
     utts = _load_train_utts(args.text, args.rspecifier)
-    compiler = TrainingGraphCompiler(model.lang, model.trans_model,
-                                     model.ctx_dep)
+    compiler = TrainingGraphCompiler(
+        model.lang, model.trans_model, model.ctx_dep,
+        transition_scale=args.transition_scale,
+        self_loop_scale=args.self_loop_scale)
     cache: dict = {}
     graphs = []
     for (_u, _f, words) in utts:
@@ -1265,6 +1267,299 @@ def cmd_gmm_align(args):
             out.write(utts[b][0], np.asarray(res[0], np.int32))
             n_ok += 1
     print(f"gmm-align: aligned {n_ok}/{B}", file=sys.stderr)
+
+
+def cmd_align_equal(args):
+    """Equal (acoustics-free) alignment for EM iteration 0
+    (ref: bin/align-equal-compiled.cc)."""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.io.kaldi_io import open_wspecifier
+    from kaldi_tpu.fst.graph import TrainingGraphCompiler
+    from kaldi_tpu.decoder.graph_pack import pack_graphs
+    from kaldi_tpu.decoder.viterbi import equal_align
+    model = load_gmm_system(args.model)
+    utts = _load_train_utts(args.text, args.rspecifier)
+    compiler = TrainingGraphCompiler(
+        model.lang, model.trans_model, model.ctx_dep,
+        transition_scale=args.transition_scale,
+        self_loop_scale=args.self_loop_scale)
+    cache: dict = {}
+    graphs = []
+    for (_u, _f, words) in utts:
+        key = tuple(words)
+        if key not in cache:
+            cache[key] = compiler.compile_transcript(list(words))
+        graphs.append(cache[key])
+    nf = np.array([f.shape[0] for (_u, f, _w) in utts], np.int32)
+    batch = pack_graphs(graphs, model.trans_model.id2pdf_array)
+    results = equal_align(batch, nf)
+    n_ok = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for b, res in enumerate(results):
+            if res is None:
+                print(f"align-equal: failed for {utts[b][0]}",
+                      file=sys.stderr)
+                continue
+            out.write(utts[b][0], np.asarray(res[0], np.int32))
+            n_ok += 1
+    print(f"align-equal: aligned {n_ok}/{len(utts)}", file=sys.stderr)
+
+
+def cmd_gmm_init_mono(args):
+    """Flat-start monophone model from global feature moments
+    (ref: gmmbin/gmm-init-mono.cc)."""
+    from kaldi_tpu.fst.lang import Lexicon, prepare_lang
+    from kaldi_tpu.steps.mono import flat_start
+    from kaldi_tpu.io.model_io import save_gmm_system
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    with open(args.lexicon) as f:
+        lex = Lexicon.parse(f.read())
+    lang = prepare_lang(lex, [args.sil_phone], args.sil_phone,
+                        num_sil_states=args.num_sil_states)
+    feats = [v for (_k, v) in open_rspecifier(args.rspecifier)]
+    model = flat_start(lang, feats)
+    save_gmm_system(args.model_out, model)
+    print(f"gmm-init-mono: {model.am.num_pdfs} pdfs, dim "
+          f"{model.am.dim}", file=sys.stderr)
+
+
+def cmd_gmm_acc_stats_ali(args):
+    """GMM + transition stats from transition-id alignments
+    (ref: gmmbin/gmm-acc-stats-ali.cc)."""
+    from kaldi_tpu.io.model_io import load_gmm_system, save_gmm_accs
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.gmm.estimation import AccumAmDiagGmm
+    model = load_gmm_system(args.model)
+    am, tm = model.am, model.trans_model
+    acc = AccumAmDiagGmm(am)
+    trans_counts = np.zeros(tm.num_transition_ids + 1, np.float64)
+    feats = {k: v for (k, v) in open_rspecifier(args.rspecifier)}
+    n = 0
+    for utt, ali in open_rspecifier(args.ali_rspecifier):
+        if utt not in feats:
+            print(f"gmm-acc-stats-ali: no feats for {utt}",
+                  file=sys.stderr)
+            continue
+        tids = np.asarray(ali, np.int64)
+        acc.accumulate_from_alignment(am, feats[utt],
+                                      tm.id2pdf_array[tids])
+        np.add.at(trans_counts, tids, 1.0)
+        n += 1
+    save_gmm_accs(args.accs_out, acc, trans_counts)
+    print(f"gmm-acc-stats-ali: {n} utts, avg loglike/frame "
+          f"{acc.tot_like / max(acc.tot_frames, 1.0):.4f}",
+          file=sys.stderr)
+
+
+def cmd_gmm_sum_accs(args):
+    """(ref: gmmbin/gmm-sum-accs.cc)"""
+    from kaldi_tpu.io.model_io import load_gmm_accs, save_gmm_accs
+    total, tc_total = None, None
+    for p in args.accs_in:
+        acc, tc = load_gmm_accs(p)
+        if total is None:
+            total, tc_total = acc, tc
+        else:
+            total.add(acc)
+            if tc is not None:
+                tc_total = tc if tc_total is None else tc_total + tc
+    save_gmm_accs(args.accs_out, total, tc_total)
+    print(f"gmm-sum-accs: {len(args.accs_in)} -> {args.accs_out}",
+          file=sys.stderr)
+
+
+def cmd_gmm_est(args):
+    """MLE re-estimation from accs (+ transition update, optional mixup)
+    (ref: gmmbin/gmm-est.cc)."""
+    from kaldi_tpu.io.model_io import (load_gmm_system, load_gmm_accs,
+                                       save_gmm_system)
+    from kaldi_tpu.gmm.estimation import mle_diag_gmm_update
+    model = load_gmm_system(args.model)
+    acc, trans_counts = load_gmm_accs(args.accs)
+    am = model.am
+    occs = np.array([a.occ.sum() for a in acc.accs])
+    for i, a in enumerate(acc.accs):
+        am.pdfs[i] = mle_diag_gmm_update(
+            am.pdfs[i], a,
+            min_gaussian_occupancy=args.min_gaussian_occupancy)
+    if trans_counts is not None:
+        model.trans_model.mle_update(trans_counts)
+    if args.mix_up and args.mix_up > am.total_gauss:
+        am.split_by_count(args.mix_up, power=args.power, occs=occs)
+    am.invalidate()
+    save_gmm_system(args.model_out, model)
+    print(f"gmm-est: {am.num_pdfs} pdfs, {am.total_gauss} gauss, "
+          f"avg loglike/frame {acc.tot_like / max(acc.tot_frames, 1.0):.4f}",
+          file=sys.stderr)
+
+
+def cmd_gmm_boost_silence(args):
+    """Scale mixture weights of silence-phone pdfs so silence wins during
+    early alignment (ref: gmmbin/gmm-boost-silence.cc)."""
+    from kaldi_tpu.io.model_io import load_gmm_system, save_gmm_system
+    from kaldi_tpu.gmm.diag_gmm import DiagGmm
+    model = load_gmm_system(args.model)
+    sil = set(int(p) for p in args.silence_phones.split(":") if p)
+    pdfs = sorted({pdf for (ph, _st, pdf) in model.trans_model.tuples
+                   if ph in sil})
+    for pdf in pdfs:
+        g = model.am.pdfs[pdf]
+        model.am.pdfs[pdf] = DiagGmm(g.weights * args.boost, g.means,
+                                     g.vars)
+    model.am.invalidate()
+    save_gmm_system(args.model_out, model)
+    print(f"gmm-boost-silence: boosted {len(pdfs)} pdfs by "
+          f"{args.boost}", file=sys.stderr)
+
+
+def cmd_gmm_mixup(args):
+    """Gaussian mixture splitting to a target total
+    (ref: gmmbin/gmm-mixup.cc)."""
+    from kaldi_tpu.io.model_io import (load_gmm_system, load_gmm_accs,
+                                       save_gmm_system)
+    model = load_gmm_system(args.model)
+    occs = None
+    if args.occs:
+        acc, _tc = load_gmm_accs(args.occs)
+        occs = np.array([a.occ.sum() for a in acc.accs])
+    model.am.split_by_count(args.mix_up, power=args.power, occs=occs)
+    model.am.invalidate()
+    save_gmm_system(args.model_out, model)
+    print(f"gmm-mixup: -> {model.am.total_gauss} gauss", file=sys.stderr)
+
+
+def cmd_gmm_gselect(args):
+    """Per-frame top-N Gaussian indices from a diagonal UBM
+    (ref: gmmbin/gmm-gselect.cc; output text: 'utt i i i ; i i i ; ...'
+    one ';'-separated group per frame)."""
+    from kaldi_tpu.io.model_io import load_ubm
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    ubm = load_ubm(args.ubm)
+    out = open(args.gselect_out, "w") if args.gselect_out != "-" \
+        else sys.stdout
+    n = 0
+    for utt, v in open_rspecifier(args.rspecifier):
+        ll = ubm.loglikes(np.asarray(v, np.float64))
+        k = min(args.n, ll.shape[1])
+        idx = np.argpartition(-ll, k - 1, axis=1)[:, :k]
+        # order within each frame by decreasing loglike (ref does too)
+        row_ll = np.take_along_axis(ll, idx, axis=1)
+        order = np.argsort(-row_ll, axis=1)
+        idx = np.take_along_axis(idx, order, axis=1)
+        out.write(utt + " " + " ; ".join(
+            " ".join(str(int(i)) for i in row) for row in idx) + "\n")
+        n += 1
+    if args.gselect_out != "-":
+        out.close()
+    print(f"gmm-gselect: {n} utts, {args.n} per frame", file=sys.stderr)
+
+
+def cmd_gmm_info(args):
+    """(ref: gmmbin/gmm-info.cc)"""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    model = load_gmm_system(args.model)
+    tm = model.trans_model
+    print(f"number of phones {len(model.lang.topo.phones)}")
+    print(f"number of pdfs {model.am.num_pdfs}")
+    print(f"number of transition-ids {tm.num_transition_ids}")
+    print(f"number of transition-states {len(tm.tuples)}")
+    print(f"feature dimension {model.am.dim}")
+    print(f"number of gaussians {model.am.total_gauss}")
+
+
+def cmd_gmm_compute_likes(args):
+    """Per-pdf log-likelihood matrices from a GMM AM — the bridge to
+    latgen-faster-mapped (ref: gmmbin/gmm-compute-likes.cc)."""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    model = load_gmm_system(args.model)
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for utt, v in open_rspecifier(args.rspecifier):
+            ll = model.am.loglikes_np(np.asarray(v, np.float32)[None])[0]
+            out.write(utt, ll.astype(np.float32))
+            n += 1
+    print(f"gmm-compute-likes: {n} utts", file=sys.stderr)
+
+
+def cmd_ali_to_pdf(args):
+    """(ref: bin/ali-to-pdf.cc)"""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    model = load_gmm_system(args.model)
+    tid2pdf = model.trans_model.id2pdf_array
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for utt, ali in open_rspecifier(args.ali_rspecifier):
+            out.write(utt, tid2pdf[np.asarray(ali, np.int64)]
+                      .astype(np.int32))
+            n += 1
+    print(f"ali-to-pdf: {n} utts", file=sys.stderr)
+
+
+def cmd_ali_to_post(args):
+    """Alignments -> unit-weight posteriors (ref: bin/ali-to-post.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.hmm.posterior import ali_to_post, write_post_line
+    out = open(args.post_out, "w") if args.post_out != "-" else sys.stdout
+    n = 0
+    for utt, ali in open_rspecifier(args.ali_rspecifier):
+        write_post_line(out, utt, ali_to_post(np.asarray(ali, np.int64)))
+        n += 1
+    if args.post_out != "-":
+        out.close()
+    print(f"ali-to-post: {n} utts", file=sys.stderr)
+
+
+def cmd_weight_silence_post(args):
+    """Scale posterior entries on silence-phone transition-ids
+    (ref: bin/weight-silence-post.cc)."""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.hmm.posterior import (read_post_ark, write_post_line,
+                                         weight_silence_post)
+    model = load_gmm_system(args.model)
+    sil = [int(p) for p in args.silence_phones.split(":") if p]
+    out = open(args.post_out, "w") if args.post_out != "-" else sys.stdout
+    n = 0
+    for utt, post in read_post_ark(args.post_in):
+        write_post_line(out, utt, weight_silence_post(
+            post, model.trans_model, sil, args.silence_weight))
+        n += 1
+    if args.post_out != "-":
+        out.close()
+    print(f"weight-silence-post: {n} utts", file=sys.stderr)
+
+
+def cmd_sum_post(args):
+    """Frame-wise posterior sum of two archives (ref: bin/sum-post.cc)."""
+    from kaldi_tpu.hmm.posterior import (read_post_ark, write_post_line,
+                                         sum_post, scale_post)
+    b_map = {u: p for (u, p) in read_post_ark(args.post_b)}
+    out = open(args.post_out, "w") if args.post_out != "-" else sys.stdout
+    n = 0
+    for utt, pa in read_post_ark(args.post_a):
+        if utt not in b_map:
+            continue
+        pa = scale_post(pa, args.scale1)
+        pb = scale_post(b_map[utt], args.scale2)
+        write_post_line(out, utt, sum_post(pa, pb))
+        n += 1
+    if args.post_out != "-":
+        out.close()
+    print(f"sum-post: {n} utts", file=sys.stderr)
+
+
+def cmd_post_to_weights(args):
+    """Per-frame total posterior weight vectors
+    (ref: bin/post-to-weights.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_wspecifier
+    from kaldi_tpu.hmm.posterior import read_post_ark, post_to_weights
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for utt, post in read_post_ark(args.post_in):
+            out.write(utt, np.asarray(post_to_weights(post), np.float32))
+            n += 1
+    print(f"post-to-weights: {n} utts", file=sys.stderr)
 
 
 def cmd_train_tdnn(args):
@@ -1883,7 +2178,114 @@ def main(argv=None):
     q.add_argument("rspecifier")
     q.add_argument("wspecifier")
     q.add_argument("--acoustic-scale", type=float, default=0.1)
+    q.add_argument("--transition-scale", type=float, default=1.0)
+    q.add_argument("--self-loop-scale", type=float, default=0.1,
+                   help="steps/train_*.sh pass 0.1 to "
+                        "compile-train-graphs")
     q.set_defaults(func=cmd_gmm_align)
+
+    q = sub.add_parser("align-equal")
+    q.add_argument("model")
+    q.add_argument("text")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.add_argument("--transition-scale", type=float, default=1.0)
+    q.add_argument("--self-loop-scale", type=float, default=0.1)
+    q.set_defaults(func=cmd_align_equal)
+
+    q = sub.add_parser("gmm-init-mono")
+    q.add_argument("lexicon")
+    q.add_argument("rspecifier")
+    q.add_argument("model_out")
+    q.add_argument("--sil-phone", default="SIL")
+    q.add_argument("--num-sil-states", type=int, default=3)
+    q.set_defaults(func=cmd_gmm_init_mono)
+
+    q = sub.add_parser("gmm-acc-stats-ali")
+    q.add_argument("model")
+    q.add_argument("rspecifier")
+    q.add_argument("ali_rspecifier")
+    q.add_argument("accs_out")
+    q.set_defaults(func=cmd_gmm_acc_stats_ali)
+
+    q = sub.add_parser("gmm-sum-accs")
+    q.add_argument("accs_out")
+    q.add_argument("accs_in", nargs="+")
+    q.set_defaults(func=cmd_gmm_sum_accs)
+
+    q = sub.add_parser("gmm-est")
+    q.add_argument("model")
+    q.add_argument("accs")
+    q.add_argument("model_out")
+    q.add_argument("--mix-up", type=int, default=0)
+    q.add_argument("--power", type=float, default=0.2)
+    q.add_argument("--min-gaussian-occupancy", type=float, default=10.0)
+    q.set_defaults(func=cmd_gmm_est)
+
+    q = sub.add_parser("gmm-boost-silence")
+    q.add_argument("silence_phones", help="colon-separated phone ids")
+    q.add_argument("model")
+    q.add_argument("model_out")
+    q.add_argument("--boost", type=float, default=1.0)
+    q.set_defaults(func=cmd_gmm_boost_silence)
+
+    q = sub.add_parser("gmm-mixup")
+    q.add_argument("model")
+    q.add_argument("model_out")
+    q.add_argument("--mix-up", type=int, required=True)
+    q.add_argument("--power", type=float, default=0.2)
+    q.add_argument("--occs", default="",
+                   help="gmm accs file supplying occupancies")
+    q.set_defaults(func=cmd_gmm_mixup)
+
+    q = sub.add_parser("gmm-gselect")
+    q.add_argument("ubm")
+    q.add_argument("rspecifier")
+    q.add_argument("gselect_out")
+    q.add_argument("--n", type=int, default=50)
+    q.set_defaults(func=cmd_gmm_gselect)
+
+    q = sub.add_parser("gmm-info")
+    q.add_argument("model")
+    q.set_defaults(func=cmd_gmm_info)
+
+    q = sub.add_parser("gmm-compute-likes")
+    q.add_argument("model")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.set_defaults(func=cmd_gmm_compute_likes)
+
+    q = sub.add_parser("ali-to-pdf")
+    q.add_argument("model")
+    q.add_argument("ali_rspecifier")
+    q.add_argument("wspecifier")
+    q.set_defaults(func=cmd_ali_to_pdf)
+
+    q = sub.add_parser("ali-to-post")
+    q.add_argument("ali_rspecifier")
+    q.add_argument("post_out")
+    q.set_defaults(func=cmd_ali_to_post)
+
+    q = sub.add_parser("weight-silence-post")
+    q.add_argument("silence_weight", type=float)
+    q.add_argument("silence_phones", help="colon-separated phone ids")
+    q.add_argument("model")
+    q.add_argument("post_in")
+    q.add_argument("post_out")
+    q.set_defaults(func=cmd_weight_silence_post)
+
+    q = sub.add_parser("sum-post")
+    q.add_argument("post_a")
+    q.add_argument("post_b")
+    q.add_argument("post_out")
+    q.add_argument("--scale1", type=float, default=1.0)
+    q.add_argument("--scale2", type=float, default=1.0)
+    q.set_defaults(func=cmd_sum_post)
+
+    q = sub.add_parser("post-to-weights")
+    q.add_argument("post_in")
+    q.add_argument("wspecifier")
+    q.set_defaults(func=cmd_post_to_weights)
 
     q = sub.add_parser("train-tdnn")
     q.add_argument("model")

@@ -99,3 +99,38 @@ def merge_posteriors(post):
             d[i] = d.get(i, 0.0) + w
         out.append(sorted(d.items()))
     return out
+
+
+def write_post_line(f, utt: str, post) -> None:
+    """Kaldi text posterior line: 'utt [ id w id w ] [ ... ] ...'
+    (ref: hmm/posterior.h WritePosterior text mode)."""
+    parts = [utt]
+    for frame in post:
+        parts.append("[")
+        for (i, w) in frame:
+            parts.append(str(int(i)))
+            parts.append(f"{float(w):.6g}")
+        parts.append("]")
+    f.write(" ".join(parts) + "\n")
+
+
+def read_post_ark(path: str):
+    """Yields (utt, post) from a text posterior archive."""
+    with open(path) as f:
+        for line in f:
+            toks = line.split()
+            if not toks:
+                continue
+            utt, toks = toks[0], toks[1:]
+            post, frame = [], None
+            it = iter(toks)
+            for t in it:
+                if t == "[":
+                    frame = []
+                elif t == "]":
+                    post.append(frame)
+                    frame = None
+                else:
+                    w = float(next(it))
+                    frame.append((int(t), w))
+            yield utt, post

@@ -288,3 +288,41 @@ def load_plda(path: str):
     z = np.load(path)
     assert int(z["__version__"]) == FORMAT_VERSION
     return Plda(mean=z["mean"], transform=z["transform"], psi=z["psi"])
+
+
+def save_gmm_accs(path: str, acc, trans_counts=None) -> None:
+    """Save AccumAmDiagGmm stats (+ optional transition counts) — the
+    artifact gmm-acc-stats-ali writes and gmm-sum-accs/gmm-est read
+    (ref: gmmbin/gmm-acc-stats-ali.cc writes {TransitionAccs, GmmAccs})."""
+    blobs = {"__version__": np.int64(FORMAT_VERSION),
+             "__kind__": np.frombuffer(b"gmm_accs", np.uint8),
+             "num_pdfs": np.int64(len(acc.accs)),
+             "tot_like": np.float64(acc.tot_like),
+             "tot_frames": np.float64(acc.tot_frames)}
+    for i, a in enumerate(acc.accs):
+        blobs[f"acc{i}_occ"] = a.occ
+        blobs[f"acc{i}_mean"] = a.mean_acc
+        blobs[f"acc{i}_var"] = a.var_acc
+    if trans_counts is not None:
+        blobs["trans_counts"] = np.asarray(trans_counts, np.float64)
+    with open(path, "wb") as f:
+        np.savez(f, **blobs)
+
+
+def load_gmm_accs(path: str):
+    """-> (AccumAmDiagGmm-shaped object, trans_counts or None)."""
+    from kaldi_tpu.gmm.estimation import AccumAmDiagGmm, AccumDiagGmm
+    z = np.load(path)
+    assert int(z["__version__"]) == FORMAT_VERSION
+    assert z["__kind__"].tobytes() == b"gmm_accs", "not a gmm accs file"
+    acc = AccumAmDiagGmm.__new__(AccumAmDiagGmm)
+    acc.accs = []
+    for i in range(int(z["num_pdfs"])):
+        occ = z[f"acc{i}_occ"]
+        a = AccumDiagGmm(occ.shape[0], z[f"acc{i}_mean"].shape[1])
+        a.occ, a.mean_acc, a.var_acc = occ, z[f"acc{i}_mean"], z[f"acc{i}_var"]
+        acc.accs.append(a)
+    acc.tot_like = float(z["tot_like"])
+    acc.tot_frames = float(z["tot_frames"])
+    tc = z["trans_counts"] if "trans_counts" in z.files else None
+    return acc, tc
