@@ -1562,6 +1562,146 @@ def cmd_post_to_weights(args):
     print(f"post-to-weights: {n} utts", file=sys.stderr)
 
 
+def cmd_acc_tree_stats(args):
+    """Per-(context, pdf-class) Gaussian stats from alignments — the
+    build-tree input (ref: bin/acc-tree-stats.cc, hmm/tree-accu.h:41)."""
+    from kaldi_tpu.io.model_io import load_gmm_system, save_tree_stats
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.tree.build_tree import accumulate_tree_stats
+    model = load_gmm_system(args.model)
+    if args.ci_phones:
+        ci = {int(p) for p in args.ci_phones.split(":") if p}
+    else:
+        ci = {model.lang.phones[p] for p in model.lang.silence_phones}
+    feats = {k: v for (k, v) in open_rspecifier(args.rspecifier)}
+    stats: dict = {}
+    n = 0
+    for utt, ali in open_rspecifier(args.ali_rspecifier):
+        if utt not in feats:
+            print(f"acc-tree-stats: no feats for {utt}", file=sys.stderr)
+            continue
+        accumulate_tree_stats(
+            np.asarray(feats[utt]), np.asarray(ali, np.int64),
+            model.trans_model, N=args.context_width,
+            P=args.central_position, ci_phones=ci, stats=stats)
+        n += 1
+    save_tree_stats(args.stats_out, stats, args.context_width,
+                    args.central_position)
+    print(f"acc-tree-stats: {n} utts, {len(stats)} event stats",
+          file=sys.stderr)
+
+
+def cmd_sum_tree_stats(args):
+    """(ref: bin/sum-tree-stats.cc)"""
+    from kaldi_tpu.io.model_io import load_tree_stats, save_tree_stats
+    total, N, P = None, None, None
+    for p in args.stats_in:
+        stats, n_, p_ = load_tree_stats(p)
+        if total is None:
+            total, N, P = stats, n_, p_
+            continue
+        assert (n_, p_) == (N, P), "mismatched context windows"
+        for ev, st in stats.items():
+            total[ev] = st if ev not in total else total[ev].add(st)
+    save_tree_stats(args.stats_out, total, N, P)
+    print(f"sum-tree-stats: {len(args.stats_in)} -> {args.stats_out}",
+          file=sys.stderr)
+
+
+def cmd_cluster_phones(args):
+    """Cluster phones into question sets by central-phone stats
+    (ref: bin/cluster-phones.cc; one ascending phone-id set per line)."""
+    from kaldi_tpu.io.model_io import load_tree_stats
+    from kaldi_tpu.tree.build_tree import obtain_questions
+    stats, _N, P = load_tree_stats(args.stats)
+    qsets = obtain_questions(stats, P)
+    with open(args.questions_out, "w") as f:
+        for q in qsets:
+            f.write(" ".join(str(p) for p in sorted(q)) + "\n")
+    print(f"cluster-phones: {len(qsets)} question sets", file=sys.stderr)
+
+
+def cmd_build_tree(args):
+    """Tied-state decision tree from tree stats + questions
+    (ref: bin/build-tree.cc, tree/build-tree.h:82)."""
+    from kaldi_tpu.io.model_io import (load_gmm_system, load_tree_stats,
+                                       save_tree)
+    from kaldi_tpu.steps.deltas import DeltasTrainOpts, tree_from_stats
+    model = load_gmm_system(args.model)
+    stats, N, P = load_tree_stats(args.stats)
+    qsets = None
+    if args.questions:
+        qsets = []
+        with open(args.questions) as f:
+            for line in f:
+                toks = line.split()
+                if toks:
+                    qsets.append([int(t) for t in toks])
+    opts = DeltasTrainOpts(
+        num_leaves=args.max_leaves, tree_thresh=args.thresh,
+        cluster_thresh=args.cluster_thresh, sil_roots=args.sil_roots,
+        context_width=N, central_position=P)
+    ctx, _tm, _leaf_stats = tree_from_stats(model.lang, stats, opts, qsets)
+    save_tree(args.tree_out, ctx)
+    print(f"build-tree: {ctx.num_pdfs} leaves", file=sys.stderr)
+
+
+def cmd_gmm_init_model(args):
+    """GMM system from a tree + tree stats (1 gauss per leaf from the
+    leaf's own stats) (ref: gmmbin/gmm-init-model.cc)."""
+    from kaldi_tpu.io.model_io import (load_gmm_system, load_tree_stats,
+                                       load_tree, save_gmm_system)
+    from kaldi_tpu.steps.deltas import (transition_model_from_tree,
+                                        leaf_stats_from_tree_stats,
+                                        init_am_from_leaf_stats)
+    from kaldi_tpu.steps.mono import MonoModel
+    src = load_gmm_system(args.model)
+    ctx = load_tree(args.tree)
+    stats, _N, _P = load_tree_stats(args.stats)
+    tm = transition_model_from_tree(src.lang, ctx)
+    leaf_stats = leaf_stats_from_tree_stats(stats, ctx)
+    am = init_am_from_leaf_stats(leaf_stats, src.am.dim)
+    model = MonoModel(am, tm, ctx, src.lang)
+    save_gmm_system(args.model_out, model)
+    print(f"gmm-init-model: {am.num_pdfs} pdfs, "
+          f"{tm.num_transition_ids} transition ids", file=sys.stderr)
+
+
+def cmd_convert_ali(args):
+    """Re-map alignments from one system onto another's tree
+    (ref: bin/convert-ali.cc, hmm/hmm-utils.cc ConvertAlignment)."""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    from kaldi_tpu.hmm.hmm_utils import convert_alignment
+    old = load_gmm_system(args.old_model)
+    new = load_gmm_system(args.new_model)
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for utt, ali in open_rspecifier(args.ali_rspecifier):
+            out.write(utt, convert_alignment(
+                np.asarray(ali, np.int64), old.trans_model,
+                new.trans_model, new.ctx_dep))
+            n += 1
+    print(f"convert-ali: {n} utts", file=sys.stderr)
+
+
+def cmd_train_deltas(args):
+    """Tied-triphone training from an existing system's data dir
+    (ref: steps/train_deltas.sh fused, like train-mono)."""
+    from kaldi_tpu.io.model_io import load_gmm_system, save_gmm_system
+    from kaldi_tpu.steps.deltas import DeltasTrainOpts, train_deltas
+    ali_model = load_gmm_system(args.model)
+    utts = _load_train_utts(args.text, args.rspecifier)
+    model = train_deltas(ali_model.lang, utts, ali_model, DeltasTrainOpts(
+        num_iters=args.num_iters, totgauss=args.totgauss,
+        num_leaves=args.num_leaves, tree_thresh=args.tree_thresh,
+        realign_iters=tuple(range(1, args.num_iters)),
+        sil_roots=args.sil_roots))
+    save_gmm_system(args.model_out, model)
+    print(f"train-deltas: {model.am.num_pdfs} pdfs, "
+          f"{model.am.total_gauss} gauss", file=sys.stderr)
+
+
 def cmd_train_tdnn(args):
     """nnet2-style multisplice TDNN training from GMM alignments
     (ref: steps/nnet2/train_multisplice_accel2.sh + nnet2bin/nnet-train*)."""
@@ -2286,6 +2426,71 @@ def main(argv=None):
     q.add_argument("post_in")
     q.add_argument("wspecifier")
     q.set_defaults(func=cmd_post_to_weights)
+
+    q = sub.add_parser("acc-tree-stats")
+    q.add_argument("model")
+    q.add_argument("rspecifier")
+    q.add_argument("ali_rspecifier")
+    q.add_argument("stats_out")
+    q.add_argument("--context-width", type=int, default=3)
+    q.add_argument("--central-position", type=int, default=1)
+    q.add_argument("--ci-phones", default="",
+                   help="colon-separated context-independent phone ids "
+                        "(default: the model's silence phones)")
+    q.set_defaults(func=cmd_acc_tree_stats)
+
+    q = sub.add_parser("sum-tree-stats")
+    q.add_argument("stats_out")
+    q.add_argument("stats_in", nargs="+")
+    q.set_defaults(func=cmd_sum_tree_stats)
+
+    q = sub.add_parser("cluster-phones")
+    q.add_argument("stats")
+    q.add_argument("questions_out")
+    q.set_defaults(func=cmd_cluster_phones)
+
+    q = sub.add_parser("build-tree")
+    q.add_argument("model")
+    q.add_argument("stats")
+    q.add_argument("tree_out")
+    q.add_argument("--questions", default="",
+                   help="question-sets file (cluster-phones output); "
+                        "derived from the stats when absent")
+    q.add_argument("--max-leaves", type=int, default=500)
+    q.add_argument("--thresh", type=float, default=30.0)
+    q.add_argument("--cluster-thresh", type=float, default=-1.0)
+    q.add_argument("--sil-roots", default="shared_not_split",
+                   choices=["shared_not_split", "shared_split",
+                            "per_state"])
+    q.set_defaults(func=cmd_build_tree)
+
+    q = sub.add_parser("gmm-init-model")
+    q.add_argument("model", help="source system (lang/topology)")
+    q.add_argument("tree")
+    q.add_argument("stats")
+    q.add_argument("model_out")
+    q.set_defaults(func=cmd_gmm_init_model)
+
+    q = sub.add_parser("convert-ali")
+    q.add_argument("old_model")
+    q.add_argument("new_model")
+    q.add_argument("ali_rspecifier")
+    q.add_argument("wspecifier")
+    q.set_defaults(func=cmd_convert_ali)
+
+    q = sub.add_parser("train-deltas")
+    q.add_argument("model", help="alignment (mono) system")
+    q.add_argument("text")
+    q.add_argument("rspecifier")
+    q.add_argument("model_out")
+    q.add_argument("--num-iters", type=int, default=15)
+    q.add_argument("--totgauss", type=int, default=200)
+    q.add_argument("--num-leaves", type=int, default=50)
+    q.add_argument("--tree-thresh", type=float, default=30.0)
+    q.add_argument("--sil-roots", default="shared_not_split",
+                   choices=["shared_not_split", "shared_split",
+                            "per_state"])
+    q.set_defaults(func=cmd_train_deltas)
 
     q = sub.add_parser("train-tdnn")
     q.add_argument("model")

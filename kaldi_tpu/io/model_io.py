@@ -326,3 +326,54 @@ def load_gmm_accs(path: str):
     acc.tot_frames = float(z["tot_frames"])
     tc = z["trans_counts"] if "trans_counts" in z.files else None
     return acc, tc
+
+
+def save_tree_stats(path: str, stats: dict, context_width: int,
+                    central_position: int) -> None:
+    """Tree-accumulation stats: {event frozenset -> GaussStats} — the
+    acc-tree-stats output build-tree consumes (ref: bin/acc-tree-stats.cc
+    writes BuildTreeStatsType)."""
+    import pickle
+    payload = pickle.dumps({
+        "N": int(context_width), "P": int(central_position),
+        "stats": {ev: (st.count, st.x, st.x2, st.var_floor)
+                  for ev, st in stats.items()},
+    }, protocol=pickle.HIGHEST_PROTOCOL)
+    blobs = {"__version__": np.int64(FORMAT_VERSION),
+             "__kind__": np.frombuffer(b"tree_stats", np.uint8),
+             "__host__": np.frombuffer(payload, np.uint8)}
+    with open(path, "wb") as f:
+        np.savez(f, **blobs)
+
+
+def load_tree_stats(path: str):
+    """-> (stats dict, context_width, central_position)."""
+    import pickle
+    from kaldi_tpu.tree.clustering import GaussStats
+    z = np.load(path)
+    assert int(z["__version__"]) == FORMAT_VERSION
+    assert z["__kind__"].tobytes() == b"tree_stats", "not a tree stats file"
+    host = pickle.loads(z["__host__"].tobytes())
+    stats = {ev: GaussStats(count=c, x=x, x2=x2, var_floor=vf)
+             for ev, (c, x, x2, vf) in host["stats"].items()}
+    return stats, host["N"], host["P"]
+
+
+def save_tree(path: str, ctx) -> None:
+    """Decision tree / context dependency (ref: the 'tree' file
+    build-tree writes and gmm-init-model reads)."""
+    import pickle
+    payload = pickle.dumps(ctx, protocol=pickle.HIGHEST_PROTOCOL)
+    blobs = {"__version__": np.int64(FORMAT_VERSION),
+             "__kind__": np.frombuffer(b"tree", np.uint8),
+             "__host__": np.frombuffer(payload, np.uint8)}
+    with open(path, "wb") as f:
+        np.savez(f, **blobs)
+
+
+def load_tree(path: str):
+    import pickle
+    z = np.load(path)
+    assert int(z["__version__"]) == FORMAT_VERSION
+    assert z["__kind__"].tobytes() == b"tree", "not a tree file"
+    return pickle.loads(z["__host__"].tobytes())

@@ -104,8 +104,23 @@ def build_triphone_tree(
             N=opts.context_width, P=opts.central_position,
             ci_phones=set(sil_ids), stats=stats)
 
+    return tree_from_stats(lang, stats, opts)
+
+
+def tree_from_stats(lang: Lang, stats: dict, opts: DeltasTrainOpts,
+                    question_sets: list[list[int]] | None = None):
+    """Questions + roots policy + tree build + transition model from
+    pre-accumulated tree stats. Returns (ctx_dep, trans_model,
+    leaf_stats) — the cluster-phones / compile-questions / build-tree /
+    gmm-init-model chain fused (each also exposed as a CLI primitive).
+
+    question_sets: phone-id sets to use as questions (the cluster-phones
+    output); derived from the stats when None.
+    """
+    if question_sets is None:
+        question_sets = obtain_questions(stats, opts.central_position)
     questions = Questions(
-        obtain_questions(stats, opts.central_position),
+        question_sets,
         num_pdf_classes=max(lang.topo.num_pdf_classes(p)
                             for p in lang.topo.phones),
         N=opts.context_width, P=opts.central_position)
@@ -135,22 +150,29 @@ def build_triphone_tree(
         cluster_thresh=opts.cluster_thresh, P=opts.central_position)
     ctx = TreeContextDependency(opts.context_width, opts.central_position,
                                 tree, num_leaves)
+    tm = transition_model_from_tree(lang, ctx)
+    leaf_stats = leaf_stats_from_tree_stats(stats, ctx)
+    return ctx, tm, leaf_stats
 
+
+def transition_model_from_tree(lang: Lang, ctx) -> TransitionModel:
     def pdfs_of(phone, pdf_class):
         return ctx.event_map.multi_map(
-            {KPDF_CLASS: pdf_class, opts.central_position: phone})
+            {KPDF_CLASS: pdf_class, ctx.central_position: phone})
 
-    tm = TransitionModel(lang.topo, pdfs_of)
+    return TransitionModel(lang.topo, pdfs_of)
 
-    # per-leaf stats -> GMM init (gmm-init-model)
-    leaf_stats = [None] * num_leaves
+
+def leaf_stats_from_tree_stats(stats: dict, ctx):
+    """Per-leaf Gaussian stats for GMM init (the gmm-init-model input)."""
+    leaf_stats = [None] * ctx.num_pdfs
     for ev, st in stats.items():
-        leaf = tree.map(dict(ev))
+        leaf = ctx.event_map.map(dict(ev))
         if leaf is None:
             continue
         leaf_stats[leaf] = st if leaf_stats[leaf] is None \
             else leaf_stats[leaf].add(st)
-    return ctx, tm, leaf_stats
+    return leaf_stats
 
 
 def init_am_from_leaf_stats(leaf_stats, dim: int) -> AmDiagGmm:
