@@ -548,15 +548,31 @@ def cmd_decode_faster(args):
 def cmd_transform_feats(args):
     """Apply a linear/affine transform matrix to features
     (ref: featbin/transform-feats.cc — [D_out, D] linear or [D_out, D+1]
-    affine, auto-detected by width)."""
+    affine, auto-detected by width; a multi-matrix archive is looked up
+    per utterance, or per speaker with --utt2spk, the fMLLR decode
+    convention)."""
     from kaldi_tpu.io.kaldi_io import (open_rspecifier, open_wspecifier,
                                        read_ark)
-    mats = list(read_ark(args.transform))
-    if len(mats) != 1:
-        raise SystemExit("transform must be a single-matrix ark")
-    W = np.asarray(mats[0][1], np.float64)
+    mats = {k: np.asarray(v, np.float64)
+            for (k, v) in read_ark(args.transform)}
+    utt2spk = _read_utt2spk(args.utt2spk)
+    single = next(iter(mats.values())) if len(mats) == 1 else None
+
+    def lookup(utt):
+        if single is not None and not utt2spk:
+            return single
+        key = utt2spk.get(utt, utt)
+        return mats.get(key)
+
+    n_skip = 0
     with open_wspecifier(args.wspecifier, compress=args.compress) as out:
         for utt, feats in open_rspecifier(args.rspecifier):
+            W = lookup(utt)
+            if W is None:
+                print(f"transform-feats: no transform for {utt}",
+                      file=sys.stderr)
+                n_skip += 1
+                continue
             D = feats.shape[1]
             if W.shape[1] == D:
                 y = feats @ W.T
@@ -566,6 +582,8 @@ def cmd_transform_feats(args):
                 raise SystemExit(
                     f"transform cols {W.shape[1]} vs feat dim {D}")
             out.write(utt, y.astype(np.float32))
+    if n_skip:
+        print(f"transform-feats: skipped {n_skip} utts", file=sys.stderr)
 
 
 def cmd_paste_feats(args):
@@ -1702,6 +1720,256 @@ def cmd_train_deltas(args):
           f"{model.am.total_gauss} gauss", file=sys.stderr)
 
 
+def cmd_train_lda_mllt(args):
+    """Splice -> LDA -> tied-triphone GMM with iterative MLLT, fused
+    (ref: steps/train_lda_mllt.sh). Writes the model and the composed
+    MLLT·LDA feature transform; decode with
+    `splice-feats | transform-feats <transform>` features."""
+    from kaldi_tpu.io.model_io import load_gmm_system, save_gmm_system
+    from kaldi_tpu.io.kaldi_io import write_ark, open_rspecifier
+    from kaldi_tpu.steps.lda_mllt import LdaMlltTrainOpts, train_lda_mllt
+    ali_model = load_gmm_system(args.model)
+    utts_align = _load_train_utts(args.text, args.ali_rspecifier)
+    raw = {k: v for (k, v) in open_rspecifier(args.rspecifier)}
+    utts_raw = [(u, raw[u].astype(np.float32), w)
+                for (u, _f, w) in utts_align if u in raw]
+    if len(utts_raw) != len(utts_align):
+        raise SystemExit("raw and alignment feature archives disagree")
+    opts = LdaMlltTrainOpts(
+        num_iters=args.num_iters, totgauss=args.totgauss,
+        num_leaves=args.num_leaves, lda_dim=args.lda_dim,
+        splice_left=args.splice_left, splice_right=args.splice_right,
+        realign_iters=tuple(range(1, args.num_iters)))
+    lm = train_lda_mllt(ali_model.lang, utts_align, utts_raw, ali_model,
+                        opts)
+    save_gmm_system(args.model_out, lm.model)
+    write_ark(args.transform_out,
+              {"final": np.asarray(lm.transform, np.float32)})
+    print(f"train-lda-mllt: {lm.model.am.num_pdfs} pdfs, "
+          f"{lm.model.am.total_gauss} gauss, transform "
+          f"{lm.transform.shape[0]}x{lm.transform.shape[1]}",
+          file=sys.stderr)
+
+
+def cmd_train_sat(args):
+    """Speaker-adapted (fMLLR) tied-triphone training, fused
+    (ref: steps/train_sat.sh). Writes the model plus per-speaker
+    transforms; decode the training speakers with
+    `transform-feats --utt2spk` + decode-faster, or unseen speakers
+    with gmm-est-fmllr from a first pass (steps/decode_fmllr.sh)."""
+    from kaldi_tpu.io.model_io import load_gmm_system, save_gmm_system
+    from kaldi_tpu.io.kaldi_io import open_wspecifier
+    from kaldi_tpu.steps.sat import SatTrainOpts, train_sat
+    ali_model = load_gmm_system(args.model)
+    utt2spk = _read_utt2spk(args.utt2spk)
+    utts3 = _load_train_utts(args.text, args.rspecifier)
+    utts = [(u, f, w, utt2spk.get(u, u)) for (u, f, w) in utts3]
+    sat = train_sat(ali_model.lang, utts, ali_model, SatTrainOpts(
+        num_iters=args.num_iters, totgauss=args.totgauss,
+        num_leaves=args.num_leaves,
+        realign_iters=tuple(range(1, args.num_iters)),
+        fmllr_min_count=args.fmllr_min_count))
+    save_gmm_system(args.model_out, sat.model)
+    with open_wspecifier(args.trans_out) as out:
+        for spk, W in sorted(sat.transforms.items()):
+            out.write(spk, np.asarray(W, np.float32))
+    print(f"train-sat: {sat.model.am.num_pdfs} pdfs, "
+          f"{sat.model.am.total_gauss} gauss, "
+          f"{len(sat.transforms)} speaker transforms", file=sys.stderr)
+
+
+def _read_utt2spk(path: str) -> dict:
+    m = {}
+    if path:
+        with open(path) as f:
+            for line in f:
+                toks = line.split()
+                if len(toks) >= 2:
+                    m[toks[0]] = toks[1]
+    return m
+
+
+def _post_to_pdf_post(post, tm):
+    """Text-archive posterior (tid, w) frames -> (pdf, w) frames."""
+    return [[(tm.transition_id_to_pdf(tid), w) for (tid, w) in frame]
+            for frame in post]
+
+
+def cmd_gmm_est_fmllr(args):
+    """Per-speaker fMLLR transforms from weighted posteriors
+    (ref: gmmbin/gmm-est-fmllr.cc, transform/fmllr-diag-gmm.h:61)."""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    from kaldi_tpu.hmm.posterior import read_post_ark
+    from kaldi_tpu.transform.fmllr import FmllrStats, estimate_fmllr
+    model = load_gmm_system(args.model)
+    utt2spk = _read_utt2spk(args.utt2spk)
+    feats = {k: v for (k, v) in open_rspecifier(args.rspecifier)}
+    by_spk: dict = {}
+    for utt, post in read_post_ark(args.post_in):
+        if utt not in feats:
+            print(f"gmm-est-fmllr: no feats for {utt}", file=sys.stderr)
+            continue
+        spk = utt2spk.get(utt, utt)
+        st = by_spk.setdefault(spk, FmllrStats(feats[utt].shape[1]))
+        st.accumulate_from_posteriors(
+            model.am, feats[utt], _post_to_pdf_post(post,
+                                                    model.trans_model))
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for spk, st in sorted(by_spk.items()):
+            W, impr, count = estimate_fmllr(st, min_count=args.min_count)
+            # below min-count estimate_fmllr returns identity — written
+            # anyway so every speaker decodes (ref: fmllr-diag-gmm.cc:161)
+            out.write(spk, np.asarray(W, np.float32))
+            print(f"gmm-est-fmllr: {spk} auxf impr/frame "
+                  f"{impr / max(count, 1.0):.4f} over {count:.0f} frames",
+                  file=sys.stderr)
+            n += 1
+    print(f"gmm-est-fmllr: wrote {n} transforms", file=sys.stderr)
+
+
+def cmd_acc_lda(args):
+    """LDA class stats (class = pdf) from weighted posteriors
+    (ref: bin/acc-lda.cc, transform/lda-estimate.h:57)."""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.hmm.posterior import read_post_ark
+    from kaldi_tpu.transform.lda import LdaStats
+    model = load_gmm_system(args.model)
+    tm = model.trans_model
+    feats = {k: v for (k, v) in open_rspecifier(args.rspecifier)}
+    stats = None
+    n = 0
+    for utt, post in read_post_ark(args.post_in):
+        if utt not in feats:
+            continue
+        x = feats[utt]
+        if stats is None:
+            stats = LdaStats(model.am.num_pdfs, x.shape[1])
+        rows, classes, ws = [], [], []
+        for t, frame in enumerate(post):
+            for tid, w in frame:
+                rows.append(t)
+                classes.append(tm.transition_id_to_pdf(tid))
+                ws.append(w)
+        stats.accumulate(x[np.asarray(rows)],
+                         np.asarray(classes, np.int64),
+                         np.asarray(ws, np.float64))
+        n += 1
+    np.savez(open(args.accs_out, "wb"), zero_acc=stats.zero_acc,
+             first_acc=stats.first_acc, total_second=stats.total_second)
+    print(f"acc-lda: {n} utts, {stats.total_count:.0f} frames",
+          file=sys.stderr)
+
+
+def cmd_est_lda(args):
+    """(ref: bin/est-lda.cc)"""
+    from kaldi_tpu.transform.lda import LdaStats, estimate_lda
+    from kaldi_tpu.io.kaldi_io import write_ark
+    z = np.load(args.accs)
+    stats = LdaStats(z["zero_acc"].shape[0], z["first_acc"].shape[1])
+    stats.zero_acc, stats.first_acc = z["zero_acc"], z["first_acc"]
+    stats.total_second = z["total_second"]
+    W, evals = estimate_lda(stats, args.dim)
+    write_ark(args.matrix_out, {"lda": np.asarray(W, np.float32)})
+    print(f"est-lda: {W.shape[0]}x{W.shape[1]}, eig sum "
+          f"{evals.sum():.2f}", file=sys.stderr)
+
+
+def cmd_gmm_acc_mllt(args):
+    """MLLT (STC) stats from weighted posteriors
+    (ref: gmmbin/gmm-acc-mllt.cc, transform/mllt.h:42)."""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.hmm.posterior import read_post_ark
+    from kaldi_tpu.transform.mllt import MlltStats
+    model = load_gmm_system(args.model)
+    feats = {k: v for (k, v) in open_rspecifier(args.rspecifier)}
+    stats = MlltStats(model.am.dim)
+    n = 0
+    for utt, post in read_post_ark(args.post_in):
+        if utt not in feats:
+            continue
+        stats.accumulate_from_gmm_post(
+            feats[utt], model.am,
+            _post_to_pdf_post(post, model.trans_model))
+        n += 1
+    np.savez(open(args.accs_out, "wb"), G=stats.G, beta=stats.beta)
+    print(f"gmm-acc-mllt: {n} utts, beta {stats.beta:.0f}",
+          file=sys.stderr)
+
+
+def cmd_est_mllt(args):
+    """(ref: bin/est-mllt.cc)"""
+    from kaldi_tpu.transform.mllt import MlltStats, update_mllt
+    from kaldi_tpu.io.kaldi_io import write_ark
+    z = np.load(args.accs)
+    stats = MlltStats(z["G"].shape[1])
+    stats.G, stats.beta = z["G"], float(z["beta"])
+    M, impr = update_mllt(stats)
+    write_ark(args.matrix_out, {"mllt": np.asarray(M, np.float32)})
+    print(f"est-mllt: objf impr/frame {impr / max(stats.beta, 1.0):.4f} "
+          f"over {stats.beta:.0f} frames", file=sys.stderr)
+
+
+def cmd_compose_transforms(args):
+    """out = A ∘ B (apply B first) for linear [Do, Di] / affine
+    [Do, Di+1] matrices (ref: featbin/compose-transforms.cc)."""
+    from kaldi_tpu.io.kaldi_io import read_ark, write_ark
+
+    def read_one(path):
+        mats = dict(read_ark(path))
+        if len(mats) != 1:
+            raise SystemExit(f"{path}: expected a single-matrix ark")
+        return np.asarray(next(iter(mats.values())), np.float64)
+
+    A, B = read_one(args.a), read_one(args.b)
+    db = B.shape[0]                     # A consumes B's output dim
+    # affine iff cols == rows+1 (the square-transform convention);
+    # --b-is-affine forces it for rectangular B (ref: the reference's
+    # identical flag on compose-transforms)
+    b_affine = args.b_is_affine or B.shape[1] == B.shape[0] + 1
+    a_affine = A.shape[1] == db + 1
+    if not a_affine and A.shape[1] != db:
+        raise SystemExit(f"incompatible shapes {A.shape} {B.shape}")
+    if a_affine:
+        # homogeneous pad of B: [[B, b or 0], [0, 1]]
+        if b_affine:
+            Bh = np.vstack([B, np.zeros(B.shape[1])])
+        else:
+            Bh = np.vstack([np.hstack([B, np.zeros((db, 1))]),
+                            np.zeros(B.shape[1] + 1)])
+        Bh[-1, -1] = 1.0
+        C = A @ Bh
+    else:
+        C = A @ B          # linear A: affine-ness of B carries through
+    write_ark(args.out, {"composed": np.asarray(C, np.float32)})
+    print(f"compose-transforms: {C.shape[0]}x{C.shape[1]}",
+          file=sys.stderr)
+
+
+def cmd_gmm_est_map(args):
+    """MAP (tau-prior) re-estimation from accs
+    (ref: gmmbin/gmm-est-map.cc, gmm/mle-diag-gmm.h:225)."""
+    from kaldi_tpu.io.model_io import (load_gmm_system, load_gmm_accs,
+                                       save_gmm_system)
+    from kaldi_tpu.gmm.estimation import map_diag_gmm_update
+    model = load_gmm_system(args.model)
+    acc, _tc = load_gmm_accs(args.accs)
+    for i, a in enumerate(acc.accs):
+        model.am.pdfs[i] = map_diag_gmm_update(
+            model.am.pdfs[i], a, mean_tau=args.mean_tau,
+            weight_tau=args.weight_tau, variance_tau=args.variance_tau,
+            update_weights=args.update_weights,
+            update_vars=args.update_vars)
+    model.am.invalidate()
+    save_gmm_system(args.model_out, model)
+    print(f"gmm-est-map: tau {args.mean_tau}, avg loglike/frame "
+          f"{acc.tot_like / max(acc.tot_frames, 1.0):.4f}",
+          file=sys.stderr)
+
+
 def cmd_train_tdnn(args):
     """nnet2-style multisplice TDNN training from GMM alignments
     (ref: steps/nnet2/train_multisplice_accel2.sh + nnet2bin/nnet-train*)."""
@@ -2051,6 +2319,8 @@ def main(argv=None):
     q.add_argument("rspecifier")
     q.add_argument("wspecifier")
     q.add_argument("--compress", action="store_true")
+    q.add_argument("--utt2spk", default="",
+                   help="utt->spk map; transforms looked up per speaker")
     q.set_defaults(func=cmd_transform_feats)
 
     q = sub.add_parser("paste-feats")
@@ -2491,6 +2761,87 @@ def main(argv=None):
                    choices=["shared_not_split", "shared_split",
                             "per_state"])
     q.set_defaults(func=cmd_train_deltas)
+
+    q = sub.add_parser("train-lda-mllt")
+    q.add_argument("model", help="alignment system")
+    q.add_argument("text")
+    q.add_argument("rspecifier", help="raw (unspliced) features")
+    q.add_argument("ali_rspecifier",
+                   help="features in the alignment model's space")
+    q.add_argument("model_out")
+    q.add_argument("transform_out", help="composed MLLT*LDA transform ark")
+    q.add_argument("--num-iters", type=int, default=15)
+    q.add_argument("--totgauss", type=int, default=200)
+    q.add_argument("--num-leaves", type=int, default=50)
+    q.add_argument("--lda-dim", type=int, default=40)
+    q.add_argument("--splice-left", type=int, default=3)
+    q.add_argument("--splice-right", type=int, default=3)
+    q.set_defaults(func=cmd_train_lda_mllt)
+
+    q = sub.add_parser("train-sat")
+    q.add_argument("model", help="alignment system")
+    q.add_argument("text")
+    q.add_argument("rspecifier")
+    q.add_argument("utt2spk")
+    q.add_argument("model_out")
+    q.add_argument("trans_out", help="per-speaker fMLLR transform ark")
+    q.add_argument("--num-iters", type=int, default=15)
+    q.add_argument("--totgauss", type=int, default=200)
+    q.add_argument("--num-leaves", type=int, default=50)
+    q.add_argument("--fmllr-min-count", type=float, default=100.0)
+    q.set_defaults(func=cmd_train_sat)
+
+    q = sub.add_parser("gmm-est-fmllr")
+    q.add_argument("model")
+    q.add_argument("rspecifier")
+    q.add_argument("post_in")
+    q.add_argument("wspecifier")
+    q.add_argument("--utt2spk", default="")
+    q.add_argument("--min-count", type=float, default=500.0)
+    q.set_defaults(func=cmd_gmm_est_fmllr)
+
+    q = sub.add_parser("acc-lda")
+    q.add_argument("model")
+    q.add_argument("rspecifier")
+    q.add_argument("post_in")
+    q.add_argument("accs_out")
+    q.set_defaults(func=cmd_acc_lda)
+
+    q = sub.add_parser("est-lda")
+    q.add_argument("accs")
+    q.add_argument("matrix_out")
+    q.add_argument("--dim", type=int, default=40)
+    q.set_defaults(func=cmd_est_lda)
+
+    q = sub.add_parser("gmm-acc-mllt")
+    q.add_argument("model")
+    q.add_argument("rspecifier")
+    q.add_argument("post_in")
+    q.add_argument("accs_out")
+    q.set_defaults(func=cmd_gmm_acc_mllt)
+
+    q = sub.add_parser("est-mllt")
+    q.add_argument("accs")
+    q.add_argument("matrix_out")
+    q.set_defaults(func=cmd_est_mllt)
+
+    q = sub.add_parser("compose-transforms")
+    q.add_argument("a")
+    q.add_argument("b")
+    q.add_argument("out")
+    q.add_argument("--b-is-affine", action="store_true")
+    q.set_defaults(func=cmd_compose_transforms)
+
+    q = sub.add_parser("gmm-est-map")
+    q.add_argument("model")
+    q.add_argument("accs")
+    q.add_argument("model_out")
+    q.add_argument("--mean-tau", type=float, default=10.0)
+    q.add_argument("--weight-tau", type=float, default=10.0)
+    q.add_argument("--variance-tau", type=float, default=50.0)
+    q.add_argument("--update-weights", action="store_true")
+    q.add_argument("--update-vars", action="store_true")
+    q.set_defaults(func=cmd_gmm_est_map)
 
     q = sub.add_parser("train-tdnn")
     q.add_argument("model")

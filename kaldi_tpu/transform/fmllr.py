@@ -58,6 +58,37 @@ class FmllrStats:
         variances = np.concatenate([p.vars for p in am.pdfs], axis=0)
         self.accumulate(np.asarray(feats, np.float64), means, variances, post)
 
+    def accumulate_from_posteriors(self, am, feats, pdf_post):
+        """Weighted pdf-posterior accumulation against an AmDiagGmm
+        (ref: transform/fmllr-diag-gmm.h AccumulateFromPosteriors via
+        gmm-est-fmllr.cc). pdf_post: per frame, list of (pdf_id, w) —
+        the ali-to-post | weight-silence-post pipeline output. Each
+        (frame, pdf, w) entry is expanded to a virtual frame so the
+        within-pdf Gaussian posteriors come from the same batched kernel
+        as the hard-alignment path."""
+        from kaldi_tpu.gmm.estimation import _aligned_posteriors
+        import jax.numpy as jnp
+        rows, pdfs, ws = [], [], []
+        for t, frame in enumerate(pdf_post):
+            for pdf, w in frame:
+                rows.append(t)
+                pdfs.append(int(pdf))
+                ws.append(float(w))
+        if not rows:
+            return
+        feats = np.asarray(feats, np.float64)
+        xf = feats[np.asarray(rows)]
+        packed, seg = am.pack()
+        post, _ll = _aligned_posteriors(
+            jnp.asarray(xf, jnp.float32),
+            jnp.asarray(np.asarray(pdfs, np.int32)),
+            jnp.asarray(np.asarray(ws, np.float32)),
+            jnp.asarray(packed), jnp.asarray(seg))
+        means = np.concatenate([p.means for p in am.pdfs], axis=0)
+        variances = np.concatenate([p.vars for p in am.pdfs], axis=0)
+        self.accumulate(xf, means, variances,
+                        np.asarray(post, np.float64))
+
     def add(self, other):
         self.beta += other.beta
         self.K += other.K
