@@ -423,30 +423,18 @@ def cmd_extract_segments(args):
     print("\n".join(lines))
 
 
-def cmd_latgen_faster_mapped(args):
-    """Lattice-generating decode from precomputed pdf log-likelihood
-    matrices (ref: bin/latgen-faster-mapped.cc — the decodable is a
-    matrix, the graph maps tids to pdf rows). Writes int transcriptions
-    to stdout and, with --lattice-out, text lattices."""
-    from kaldi_tpu.io.model_io import load_hclg
-    from kaldi_tpu.io.kaldi_io import open_rspecifier
+def _latgen_from_loglikes(packed, keys, ll, nf, args, sym=None):
+    """Shared latgen tail: beam-search lattice decode from a padded
+    [B, T, P] loglike batch, optional word-level determinization,
+    best-path transcriptions (int ids, or words via `sym`), optional
+    lattice ark (ref: decoder/decoder-wrappers.cc DecodeUtteranceLattice*)."""
     from kaldi_tpu.decoder.beam_search import (BeamSearchDecoder,
                                                BeamSearchOpts)
     from kaldi_tpu.lat.generate import decode_to_lattices
     from kaldi_tpu.lat.io import write_lattice_ark
-    packed = load_hclg(args.graph)
     dec = BeamSearchDecoder(packed, BeamSearchOpts(
         beam=args.beam, max_active=args.max_active,
         acoustic_scale=args.acoustic_scale))
-    items = list(open_rspecifier(args.loglikes_rspecifier))
-    B = len(items)
-    T = max(m.shape[0] for (_k, m) in items)
-    P = items[0][1].shape[1]
-    ll = np.full((B, T, P), -1e10, np.float32)
-    nf = np.zeros(B, np.int32)
-    for b, (_k, m) in enumerate(items):
-        ll[b, : m.shape[0]] = m
-        nf[b] = m.shape[0]
     lats = decode_to_lattices(dec, ll, nf,
                               lattice_beam=args.lattice_beam)
     if args.determinize_lattice:
@@ -469,15 +457,184 @@ def cmd_latgen_faster_mapped(args):
                 det.append(l)
         lats = det
     from kaldi_tpu.lat.functions import lattice_best_path
-    for b, (k, _m) in enumerate(items):
+    trans_out = getattr(args, "transcription_out", "")
+    out = open(trans_out, "w") if trans_out else sys.stdout
+    for b, k in enumerate(keys):
         if lats[b] is None:
-            print(k)
+            out.write(f"{k}\n")
             continue
         res = lattice_best_path(lats[b])
-        print(f"{k} " + " ".join(str(w) for w in (res[0] if res else [])))
+        ws = res[0] if res else []
+        txt = " ".join(sym(w) if sym else str(w) for w in ws)
+        out.write(f"{k} {txt}\n")
+    if trans_out:
+        out.close()
     if args.lattice_out:
         write_lattice_ark(args.lattice_out,
-                          {k: lats[b] for b, (k, _m) in enumerate(items)})
+                          {k: lats[b] for b, k in enumerate(keys)})
+
+
+def cmd_latgen_faster_mapped(args):
+    """Lattice-generating decode from precomputed pdf log-likelihood
+    matrices (ref: bin/latgen-faster-mapped.cc — the decodable is a
+    matrix, the graph maps tids to pdf rows). Writes int transcriptions
+    to stdout and, with --lattice-out, text lattices."""
+    from kaldi_tpu.io.model_io import load_hclg
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    packed = load_hclg(args.graph)
+    items = list(open_rspecifier(args.loglikes_rspecifier))
+    B = len(items)
+    T = max(m.shape[0] for (_k, m) in items)
+    P = items[0][1].shape[1]
+    ll = np.full((B, T, P), -1e10, np.float32)
+    nf = np.zeros(B, np.int32)
+    for b, (_k, m) in enumerate(items):
+        ll[b, : m.shape[0]] = m
+        nf[b] = m.shape[0]
+    _latgen_from_loglikes(packed, [k for (k, _m) in items], ll, nf, args)
+
+
+def cmd_gmm_latgen_faster(args):
+    """Lattice-generating GMM decode straight from features — the
+    reference's #1 entry point (ref: gmmbin/gmm-latgen-faster.cc).
+    Optional --utt2spk + --transform applies per-speaker fMLLR before
+    scoring (the steps/decode_fmllr.sh second pass)."""
+    from kaldi_tpu.io.model_io import load_gmm_system, load_hclg
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, read_ark
+    model = load_gmm_system(args.model)
+    packed = load_hclg(args.graph)
+    items = list(open_rspecifier(args.rspecifier))
+    if args.transform:
+        trans = {k: np.asarray(v, np.float64)
+                 for (k, v) in read_ark(args.transform)}
+        utt2spk = _read_utt2spk(args.utt2spk)
+        from kaldi_tpu.transform.fmllr import apply_affine_transform
+        items = [(k, np.asarray(apply_affine_transform(
+                      f, trans[utt2spk.get(k, k)]), np.float32)
+                  if utt2spk.get(k, k) in trans else f)
+                 for (k, f) in items]
+    B = len(items)
+    T = max(f.shape[0] for (_k, f) in items)
+    D = items[0][1].shape[1]
+    feats = np.zeros((B, T, D), np.float32)
+    nf = np.zeros(B, np.int32)
+    for b, (_k, f) in enumerate(items):
+        feats[b, : f.shape[0]] = f
+        nf[b] = f.shape[0]
+    ll = np.array(model.am.loglikes_np(feats), np.float32)  # writable copy
+    # mask padding so no path survives past the true end
+    for b in range(B):
+        ll[b, nf[b]:] = -1e10
+    _latgen_from_loglikes(packed, [k for (k, _f) in items], ll, nf,
+                          args, sym=model.lang.words.sym)
+
+
+def cmd_decode_fmllr(args):
+    """Two-pass fMLLR decoding: SI first pass, per-speaker fMLLR from
+    first-pass alignments, adapted second pass
+    (ref: steps/decode_fmllr.sh; gmm-est-fmllr + gmm-latgen-faster)."""
+    from kaldi_tpu.io.model_io import load_gmm_system, load_hclg
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    from kaldi_tpu.decoder.dense import make_decoder
+    from kaldi_tpu.decoder.beam_search import BeamSearchOpts
+    from kaldi_tpu.steps.sat import SatModel, decode_fmllr
+    model = load_gmm_system(args.model)
+    packed = load_hclg(args.graph)
+    utt2spk = _read_utt2spk(args.utt2spk)
+    utts = [(k, f.astype(np.float32), utt2spk.get(k, k))
+            for (k, f) in open_rspecifier(args.rspecifier)]
+    dec = make_decoder(packed, BeamSearchOpts(
+        beam=args.beam, max_active=args.max_active,
+        acoustic_scale=args.acoustic_scale))
+    hyps = decode_fmllr(SatModel(model, {}), dec, utts, model.lang,
+                        acoustic_scale=args.acoustic_scale,
+                        fmllr_min_count=args.fmllr_min_count)
+    out = open(args.transcription_out, "w") if args.transcription_out \
+        else sys.stdout
+    for (k, _f, _s) in utts:
+        words = " ".join(model.lang.words.sym(w) for w in hyps.get(k, []))
+        out.write(f"{k} {words}\n")
+    if args.transcription_out:
+        out.close()
+
+
+def _arc_frames(a) -> int:
+    tids = getattr(a, "tids", None)
+    if tids:
+        return len(tids)
+    return 1 if a.ilabel else 0
+
+
+def cmd_lattice_copy(args):
+    """Copy/validate a text lattice archive (ref: latbin/lattice-copy.cc;
+    with --write-ark="" prints per-lattice stats only)."""
+    from kaldi_tpu.lat.io import read_lattice_ark, write_lattice_ark
+    lats = {}
+    for key, lat in read_lattice_ark(args.lattice_ark):
+        lats[key] = lat
+        if args.verbose:
+            print(f"{key}: {lat.num_states} states {lat.num_arcs} arcs",
+                  file=sys.stderr)
+    if args.out:
+        write_lattice_ark(args.out, lats)
+    print(f"lattice-copy: {len(lats)} lattices", file=sys.stderr)
+
+
+def cmd_lattice_depth(args):
+    """Mean arc depth (arcs crossing each frame) per lattice and overall
+    (ref: latbin/lattice-depth.cc Compute total arc-frames / frames)."""
+    from kaldi_tpu.lat.io import read_lattice_ark
+    tot_frames, tot_arc_frames = 0, 0
+    for key, lat in read_lattice_ark(args.lattice_ark):
+        arc_frames = sum(_arc_frames(a)
+                         for s in range(lat.num_states)
+                         for a in lat.arcs[s])
+        # frame count: max emitted frames over paths (time-synchronous
+        # lattices agree on every path; DP over the topological order)
+        order = lat.topological_order()
+        nmax = np.zeros(lat.num_states, np.int64)
+        for s in order:
+            for a in lat.arcs[s]:
+                nmax[a.nextstate] = max(nmax[a.nextstate],
+                                        nmax[s] + _arc_frames(a))
+        T = max((int(nmax[s]) for s in lat.finals), default=0)
+        depth = arc_frames / max(T, 1)
+        print(f"{key} {depth:.4f}")
+        tot_frames += T
+        tot_arc_frames += arc_frames
+    print(f"lattice-depth: overall depth "
+          f"{tot_arc_frames / max(tot_frames, 1):.4f} over "
+          f"{tot_frames} frames", file=sys.stderr)
+
+
+def cmd_lattice_rmali(args):
+    """Strip alignments (transition-id ilabels / strings) from lattices
+    (ref: latbin/lattice-rmali.cc — word lattices for LM rescoring
+    don't need them)."""
+    from kaldi_tpu.lat.io import read_lattice_ark, write_lattice_ark
+    lats = {}
+    for key, lat in read_lattice_ark(args.lattice_ark):
+        for s in range(lat.num_states):
+            for a in lat.arcs[s]:
+                a.ilabel = 0
+                if hasattr(a, "tids"):
+                    a.tids = ()
+        lats[key] = lat
+    write_lattice_ark(args.out, lats)
+    print(f"lattice-rmali: {len(lats)} lattices", file=sys.stderr)
+
+
+def cmd_lattice_add_penalty(args):
+    """Add a per-word insertion penalty to lattice graph costs
+    (ref: latbin/lattice-add-penalty.cc)."""
+    from kaldi_tpu.lat.io import read_lattice_ark, write_lattice_ark
+    from kaldi_tpu.lat.functions import add_word_ins_penalty
+    lats = {}
+    for key, lat in read_lattice_ark(args.lattice_ark):
+        add_word_ins_penalty(lat, args.word_ins_penalty)
+        lats[key] = lat
+    write_lattice_ark(args.out, lats)
+    print(f"lattice-add-penalty: {len(lats)} lattices", file=sys.stderr)
 
 
 def cmd_lattice_best_path(args):
@@ -2306,6 +2463,55 @@ def main(argv=None):
     q.add_argument("--max-active", type=int, default=512)
     q.add_argument("--acoustic-scale", type=float, default=0.1)
     q.set_defaults(func=cmd_latgen_faster_mapped)
+
+    q = sub.add_parser("gmm-latgen-faster")
+    q.add_argument("model")
+    q.add_argument("graph")
+    q.add_argument("rspecifier")
+    q.add_argument("--lattice-out", default="")
+    q.add_argument("--transcription-out", default="")
+    q.add_argument("--determinize-lattice", action="store_true")
+    q.add_argument("--beam", type=float, default=16.0)
+    q.add_argument("--lattice-beam", type=float, default=8.0)
+    q.add_argument("--max-active", type=int, default=512)
+    q.add_argument("--acoustic-scale", type=float, default=0.1)
+    q.add_argument("--utt2spk", default="")
+    q.add_argument("--transform", default="",
+                   help="fMLLR transform ark, looked up per --utt2spk")
+    q.set_defaults(func=cmd_gmm_latgen_faster)
+
+    q = sub.add_parser("decode-fmllr")
+    q.add_argument("model")
+    q.add_argument("graph")
+    q.add_argument("rspecifier")
+    q.add_argument("utt2spk")
+    q.add_argument("--transcription-out", default="")
+    q.add_argument("--beam", type=float, default=16.0)
+    q.add_argument("--max-active", type=int, default=512)
+    q.add_argument("--acoustic-scale", type=float, default=0.1)
+    q.add_argument("--fmllr-min-count", type=float, default=100.0)
+    q.set_defaults(func=cmd_decode_fmllr)
+
+    q = sub.add_parser("lattice-copy")
+    q.add_argument("lattice_ark")
+    q.add_argument("--out", default="")
+    q.add_argument("--verbose", action="store_true")
+    q.set_defaults(func=cmd_lattice_copy)
+
+    q = sub.add_parser("lattice-depth")
+    q.add_argument("lattice_ark")
+    q.set_defaults(func=cmd_lattice_depth)
+
+    q = sub.add_parser("lattice-rmali")
+    q.add_argument("lattice_ark")
+    q.add_argument("out")
+    q.set_defaults(func=cmd_lattice_rmali)
+
+    q = sub.add_parser("lattice-add-penalty")
+    q.add_argument("lattice_ark")
+    q.add_argument("out")
+    q.add_argument("--word-ins-penalty", type=float, default=0.0)
+    q.set_defaults(func=cmd_lattice_add_penalty)
 
     q = sub.add_parser("lattice-best-path")
     q.add_argument("lattice_ark")
