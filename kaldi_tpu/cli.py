@@ -2127,6 +2127,241 @@ def cmd_gmm_est_map(args):
           file=sys.stderr)
 
 
+def cmd_nnet3_info(args):
+    """Print an nnet3 model's structure: dims, context, nodes,
+    components, parameter counts (ref: nnet3bin/nnet3-info.cc /
+    nnet3-am-info.cc)."""
+    from kaldi_tpu.io.model_io import load_am_nnet3
+    am = load_am_nnet3(args.model)
+    net = am.model
+    n_params = sum(int(np.prod(np.shape(p)))
+                   for leaf in am.params.values()
+                   for p in leaf.values())
+    print(f"input-dim {net.dims.get('input', '?')}")
+    print(f"output-dim {net.dims['output']}")
+    print(f"left-context {net.left_context}")
+    print(f"right-context {net.right_context}")
+    print(f"num-parameters {n_params}")
+    print(f"num-nodes {len(net.nodes)}")
+    print(f"num-components {len(net.components)}")
+    for n in net.nodes:
+        print(f"node {n.name} kind={n.kind} dim={net.dims.get(n.name)}")
+    for name, cfg in net.components.items():
+        print(f"component {name} type={cfg['type']}")
+
+
+def cmd_nnet3_copy(args):
+    """Copy an nnet3 model, optionally scaling parameters
+    (ref: nnet3bin/nnet3-copy.cc --scale)."""
+    from kaldi_tpu.io.model_io import load_am_nnet3, save_am_nnet3
+    am = load_am_nnet3(args.model)
+    if args.scale != 1.0:
+        am = am.replace_params({
+            comp: {k: np.asarray(v) * args.scale
+                   for k, v in leaf.items()}
+            for comp, leaf in am.params.items()})
+    save_am_nnet3(args.model_out, am)
+    print(f"nnet3-copy: scale {args.scale}", file=sys.stderr)
+
+
+def cmd_nnet3_compute(args):
+    """Forward an nnet3 model over a feature archive; writes the net
+    output per utterance (log-posteriors), or pseudo-loglikes with
+    --use-priors (ref: nnet3bin/nnet3-compute.cc)."""
+    from kaldi_tpu.io.model_io import load_am_nnet3
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    am = load_am_nnet3(args.model)
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for utt, feats in open_rspecifier(args.rspecifier):
+            x = feats.astype(np.float32)[None]
+            if args.use_priors:
+                y = am.loglikes_np(x)[0]
+            else:
+                y = np.asarray(am.model.apply(am.params, x,
+                                              pad_context=True))[0]
+            out.write(utt, y.astype(np.float32))
+            n += 1
+    print(f"nnet3-compute: {n} utts", file=sys.stderr)
+
+
+def cmd_ivector_mean(args):
+    """Average vectors: with --spk2utt, one mean per speaker; otherwise
+    a single global mean under key 'mean'
+    (ref: ivectorbin/ivector-mean.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    vecs = {k: np.asarray(v, np.float64)
+            for (k, v) in open_rspecifier(args.rspecifier)}
+    with open_wspecifier(args.wspecifier) as out:
+        if args.spk2utt:
+            with open(args.spk2utt) as f:
+                for line in f:
+                    parts = line.split()
+                    spk, utts = parts[0], [u for u in parts[1:]
+                                           if u in vecs]
+                    if not utts:
+                        continue
+                    out.write(spk, np.mean([vecs[u] for u in utts],
+                                           axis=0).astype(np.float32))
+        else:
+            out.write("mean", np.mean(list(vecs.values()),
+                                      axis=0).astype(np.float32))
+    print(f"ivector-mean: {len(vecs)} vectors in", file=sys.stderr)
+
+
+def cmd_ivector_normalize_length(args):
+    """Scale each vector to length sqrt(dim)
+    (ref: ivectorbin/ivector-normalize-length.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    n = 0
+    ratios = []
+    with open_wspecifier(args.wspecifier) as out:
+        for key, v in open_rspecifier(args.rspecifier):
+            v = np.asarray(v, np.float64)
+            norm = np.linalg.norm(v)
+            ratio = norm / np.sqrt(v.size)
+            ratios.append(ratio)
+            if not args.scaleup and ratio < 1.0:
+                ratio = 1.0   # --scaleup=false: only shrink long vectors
+            out.write(key, (v / max(ratio, 1e-20)).astype(np.float32))
+            n += 1
+    print(f"ivector-normalize-length: {n} vectors, avg ratio "
+          f"{np.mean(ratios):.4f}", file=sys.stderr)
+
+
+def cmd_ivector_subtract_global_mean(args):
+    """Subtract the mean of all input vectors (or a precomputed one via
+    --mean) (ref: ivectorbin/ivector-subtract-global-mean.cc)."""
+    from kaldi_tpu.io.kaldi_io import (open_rspecifier, open_wspecifier,
+                                       read_ark)
+    items = [(k, np.asarray(v, np.float64))
+             for (k, v) in open_rspecifier(args.rspecifier)]
+    if args.mean:
+        mean = np.asarray(next(iter(dict(read_ark(args.mean)).values())),
+                          np.float64)
+    else:
+        mean = np.mean([v for (_k, v) in items], axis=0)
+    with open_wspecifier(args.wspecifier) as out:
+        for k, v in items:
+            out.write(k, (v - mean).astype(np.float32))
+    print(f"ivector-subtract-global-mean: {len(items)} vectors",
+          file=sys.stderr)
+
+
+def cmd_logistic_regression_train(args):
+    """Multiclass logistic regression on vectors (e.g. language-id on
+    i-vectors) (ref: ivectorbin/logistic-regression-train.cc).
+    utt2label: text file 'utt label'; class names are stored with the
+    model."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.ivector.logistic_regression import (
+        LogisticRegression, LogisticRegressionConfig)
+    labels_txt = _read_utt2spk(args.utt2label)
+    X, y, classes = [], [], {}
+    for utt, v in open_rspecifier(args.rspecifier):
+        if utt not in labels_txt:
+            continue
+        lab = labels_txt[utt]
+        classes.setdefault(lab, len(classes))
+        X.append(np.asarray(v, np.float32))
+        y.append(classes[lab])
+    lr = LogisticRegression()
+    loss = lr.train(np.stack(X), np.asarray(y, np.int32),
+                    LogisticRegressionConfig(max_steps=args.max_steps,
+                                             normalizer=args.normalizer))
+    names = [c for c, _i in sorted(classes.items(), key=lambda kv: kv[1])]
+    with open(args.model_out, "wb") as f:
+        np.savez(f, weights=lr.weights,
+                 classes=np.frombuffer(
+                     "\n".join(names).encode(), dtype=np.uint8))
+    print(f"logistic-regression-train: {len(X)} examples, "
+          f"{len(classes)} classes, final loss {loss:.4f}",
+          file=sys.stderr)
+
+
+def cmd_logistic_regression_eval(args):
+    """Log-posteriors (and argmax class) of vectors under a trained
+    model (ref: ivectorbin/logistic-regression-eval.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    from kaldi_tpu.ivector.logistic_regression import LogisticRegression
+    z = np.load(args.model)
+    lr = LogisticRegression(z["weights"])
+    names = z["classes"].tobytes().decode().split("\n")
+    n_correct, n_tot = 0, 0
+    truth = _read_utt2spk(args.utt2label) if args.utt2label else {}
+    with open_wspecifier(args.wspecifier) as out:
+        for utt, v in open_rspecifier(args.rspecifier):
+            lp = lr.log_posteriors(np.asarray(v, np.float32)[None])[0]
+            out.write(utt, lp.astype(np.float32))
+            if utt in truth:
+                n_tot += 1
+                n_correct += int(names[int(np.argmax(lp))] == truth[utt])
+    if n_tot:
+        print(f"logistic-regression-eval: accuracy "
+              f"{n_correct / n_tot:.4f} over {n_tot}", file=sys.stderr)
+
+
+def cmd_copy_vector(args):
+    """(ref: bin/copy-vector.cc)"""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for k, v in open_rspecifier(args.rspecifier):
+            out.write(k, np.asarray(v, np.float32))
+            n += 1
+    print(f"copy-vector: {n}", file=sys.stderr)
+
+
+def cmd_copy_int_vector(args):
+    """(ref: bin/copy-int-vector.cc — alignments etc.)"""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for k, v in open_rspecifier(args.rspecifier):
+            out.write(k, np.asarray(v, np.int32))
+            n += 1
+    print(f"copy-int-vector: {n}", file=sys.stderr)
+
+
+def _sum_archives(paths, average=False):
+    """Per-key elementwise sum across archives (ref: bin/matrix-sum.cc,
+    bin/vector-sum.cc — the sharded-job stats-merging convention)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    acc: dict = {}
+    counts: dict = {}
+    for p in paths:
+        for k, v in open_rspecifier(p):
+            v = np.asarray(v, np.float64)
+            if k in acc:
+                acc[k] = acc[k] + v
+                counts[k] += 1
+            else:
+                acc[k] = v
+                counts[k] = 1
+    if average:
+        for k in acc:
+            acc[k] = acc[k] / counts[k]
+    return acc
+
+
+def cmd_matrix_sum(args):
+    from kaldi_tpu.io.kaldi_io import open_wspecifier
+    acc = _sum_archives(args.rspecifiers, args.average)
+    with open_wspecifier(args.wspecifier) as out:
+        for k in sorted(acc):
+            out.write(k, acc[k].astype(np.float32))
+    print(f"matrix-sum: {len(acc)} keys", file=sys.stderr)
+
+
+def cmd_vector_sum(args):
+    from kaldi_tpu.io.kaldi_io import open_wspecifier
+    acc = _sum_archives(args.rspecifiers, args.average)
+    with open_wspecifier(args.wspecifier) as out:
+        for k in sorted(acc):
+            out.write(k, acc[k].astype(np.float32))
+    print(f"vector-sum: {len(acc)} keys", file=sys.stderr)
+
+
 def cmd_train_tdnn(args):
     """nnet2-style multisplice TDNN training from GMM alignments
     (ref: steps/nnet2/train_multisplice_accel2.sh + nnet2bin/nnet-train*)."""
@@ -3221,6 +3456,82 @@ def main(argv=None):
     q.add_argument("--ivector-period", type=int, default=10)
     q.add_argument("--num-gselect", type=int, default=5)
     q.set_defaults(func=cmd_ivector_extract_online2)
+
+    q = sub.add_parser("nnet3-info")
+    q.add_argument("model")
+    q.set_defaults(func=cmd_nnet3_info)
+
+    q = sub.add_parser("nnet3-copy")
+    q.add_argument("model")
+    q.add_argument("model_out")
+    q.add_argument("--scale", type=float, default=1.0)
+    q.set_defaults(func=cmd_nnet3_copy)
+
+    q = sub.add_parser("nnet3-compute")
+    q.add_argument("model")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.add_argument("--use-priors", action="store_true",
+                   help="subtract log-priors (pseudo-loglikes out)")
+    q.set_defaults(func=cmd_nnet3_compute)
+
+    q = sub.add_parser("ivector-mean")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.add_argument("--spk2utt", default="")
+    q.set_defaults(func=cmd_ivector_mean)
+
+    q = sub.add_parser("ivector-normalize-length")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.add_argument("--scaleup", action="store_true", default=True)
+    q.add_argument("--no-scaleup", dest="scaleup", action="store_false")
+    q.set_defaults(func=cmd_ivector_normalize_length)
+
+    q = sub.add_parser("ivector-subtract-global-mean")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.add_argument("--mean", default="",
+                   help="precomputed mean ark (from ivector-mean)")
+    q.set_defaults(func=cmd_ivector_subtract_global_mean)
+
+    q = sub.add_parser("logistic-regression-train")
+    q.add_argument("rspecifier")
+    q.add_argument("utt2label")
+    q.add_argument("model_out")
+    q.add_argument("--max-steps", type=int, default=100)
+    q.add_argument("--normalizer", type=float, default=0.0025)
+    q.set_defaults(func=cmd_logistic_regression_train)
+
+    q = sub.add_parser("logistic-regression-eval")
+    q.add_argument("model")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.add_argument("--utt2label", default="",
+                   help="truth labels; prints accuracy")
+    q.set_defaults(func=cmd_logistic_regression_eval)
+
+    q = sub.add_parser("copy-vector")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.set_defaults(func=cmd_copy_vector)
+
+    q = sub.add_parser("copy-int-vector")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.set_defaults(func=cmd_copy_int_vector)
+
+    q = sub.add_parser("matrix-sum")
+    q.add_argument("wspecifier")
+    q.add_argument("rspecifiers", nargs="+")
+    q.add_argument("--average", action="store_true")
+    q.set_defaults(func=cmd_matrix_sum)
+
+    q = sub.add_parser("vector-sum")
+    q.add_argument("wspecifier")
+    q.add_argument("rspecifiers", nargs="+")
+    q.add_argument("--average", action="store_true")
+    q.set_defaults(func=cmd_vector_sum)
 
     q = sub.add_parser("train-nnet3")
     q.add_argument("model")
