@@ -2127,6 +2127,67 @@ def cmd_gmm_est_map(args):
           file=sys.stderr)
 
 
+def cmd_train_sgmm2(args):
+    """SGMM2 system from a trained GMM system's alignments, fused
+    (ref: steps/train_sgmm2.sh — UBM from the GMM, SGMM2 EM over the
+    same tree/transitions; sgmm2bin/sgmm2-init + sgmm2-acc-stats +
+    sgmm2-est)."""
+    from kaldi_tpu.io.model_io import load_gmm_system, save_sgmm2
+    from kaldi_tpu.steps.sgmm_steps import SgmmTrainOpts, train_sgmm2_system
+    gmm = load_gmm_system(args.model)
+    utts = _load_train_utts(args.text, args.rspecifier)
+    sgmm_am, likes = train_sgmm2_system(gmm, utts, SgmmTrainOpts(
+        ubm_gauss=args.ubm_gauss, phn_dim=args.phn_dim,
+        spk_dim=args.spk_dim, num_iters=args.num_iters,
+        num_gselect=args.num_gselect,
+        total_substates=args.total_substates))
+    save_sgmm2(args.sgmm_out, sgmm_am)
+    print(f"train-sgmm2: {sgmm_am.sgmm.num_states} states, "
+          f"{sgmm_am.sgmm.num_gauss} gauss, phn-dim "
+          f"{sgmm_am.sgmm.phn_dim}, final loglike/frame "
+          f"{likes[-1]:.4f}", file=sys.stderr)
+
+
+def cmd_sgmm2_info(args):
+    """(ref: sgmm2bin/sgmm2-info.cc)"""
+    from kaldi_tpu.io.model_io import load_sgmm2
+    am = load_sgmm2(args.model)
+    s = am.sgmm
+    n_sub = sum(len(vj) for vj in s.v)
+    print(f"number of states {s.num_states}")
+    print(f"number of gaussians {s.num_gauss}")
+    print(f"feature dimension {s.dim}")
+    print(f"phone-space dimension {s.phn_dim}")
+    print(f"speaker-space dimension {s.spk_dim}")
+    print(f"number of substates {n_sub}")
+
+
+def cmd_sgmm2_latgen_faster(args):
+    """Lattice-generating decode with an SGMM2 acoustic model; the
+    graph/words come from the companion GMM system the SGMM was built
+    over (ref: sgmm2bin/sgmm2-latgen-faster.cc)."""
+    from kaldi_tpu.io.model_io import (load_gmm_system, load_hclg,
+                                      load_sgmm2)
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    sgmm_am = load_sgmm2(args.model)
+    gmm = load_gmm_system(args.gmm_model)
+    packed = load_hclg(args.graph)
+    items = list(open_rspecifier(args.rspecifier))
+    B = len(items)
+    T = max(f.shape[0] for (_k, f) in items)
+    D = items[0][1].shape[1]
+    feats = np.zeros((B, T, D), np.float32)
+    nf = np.zeros(B, np.int32)
+    for b, (_k, f) in enumerate(items):
+        feats[b, : f.shape[0]] = f
+        nf[b] = f.shape[0]
+    ll = np.array(sgmm_am.loglikes_np(feats), np.float32)
+    for b in range(B):
+        ll[b, nf[b]:] = -1e10
+    _latgen_from_loglikes(packed, [k for (k, _f) in items], ll, nf,
+                          args, sym=gmm.lang.words.sym)
+
+
 def cmd_nnet3_info(args):
     """Print an nnet3 model's structure: dims, context, nodes,
     components, parameter counts (ref: nnet3bin/nnet3-info.cc /
@@ -3456,6 +3517,37 @@ def main(argv=None):
     q.add_argument("--ivector-period", type=int, default=10)
     q.add_argument("--num-gselect", type=int, default=5)
     q.set_defaults(func=cmd_ivector_extract_online2)
+
+    q = sub.add_parser("train-sgmm2")
+    q.add_argument("model", help="trained GMM system (alignment model)")
+    q.add_argument("text")
+    q.add_argument("rspecifier")
+    q.add_argument("sgmm_out")
+    q.add_argument("--ubm-gauss", type=int, default=16)
+    q.add_argument("--phn-dim", type=int, default=10)
+    q.add_argument("--spk-dim", type=int, default=0)
+    q.add_argument("--num-iters", type=int, default=8)
+    q.add_argument("--num-gselect", type=int, default=8)
+    q.add_argument("--total-substates", type=int, default=None)
+    q.set_defaults(func=cmd_train_sgmm2)
+
+    q = sub.add_parser("sgmm2-info")
+    q.add_argument("model")
+    q.set_defaults(func=cmd_sgmm2_info)
+
+    q = sub.add_parser("sgmm2-latgen-faster")
+    q.add_argument("model", help="sgmm2 model file")
+    q.add_argument("gmm_model", help="companion GMM system (graph/words)")
+    q.add_argument("graph")
+    q.add_argument("rspecifier")
+    q.add_argument("--lattice-out", default="")
+    q.add_argument("--transcription-out", default="")
+    q.add_argument("--determinize-lattice", action="store_true")
+    q.add_argument("--beam", type=float, default=16.0)
+    q.add_argument("--lattice-beam", type=float, default=8.0)
+    q.add_argument("--max-active", type=int, default=512)
+    q.add_argument("--acoustic-scale", type=float, default=0.1)
+    q.set_defaults(func=cmd_sgmm2_latgen_faster)
 
     q = sub.add_parser("nnet3-info")
     q.add_argument("model")

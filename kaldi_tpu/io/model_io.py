@@ -377,3 +377,43 @@ def load_tree(path: str):
     assert int(z["__version__"]) == FORMAT_VERSION
     assert z["__kind__"].tobytes() == b"tree", "not a tree file"
     return pickle.loads(z["__host__"].tobytes())
+
+
+def save_sgmm2(path: str, sgmm_am) -> None:
+    """Save an SGMM2 acoustic model (SgmmAm adapter around AmSgmm2)
+    (ref: sgmm2/am-sgmm2.h AmSgmm2::Write — global params Sigma_inv/M/w/N
+    plus ragged per-state substate vectors v_j / weights c_j)."""
+    sgmm = sgmm_am.sgmm
+    blobs = {
+        "__version__": np.int64(FORMAT_VERSION),
+        "__kind__": np.frombuffer(b"sgmm2", dtype=np.uint8),
+        "Sigma_inv": sgmm.Sigma_inv, "M": sgmm.M, "w": sgmm.w,
+        "num_states": np.int64(sgmm.num_states),
+        "num_gselect": np.int64(sgmm_am.num_gselect),
+    }
+    if sgmm.N is not None:
+        blobs["N"] = sgmm.N
+    for j in range(sgmm.num_states):
+        blobs[f"v{j}"] = np.stack(sgmm.v[j])
+        blobs[f"c{j}"] = np.asarray(sgmm.c[j])
+    with open(path, "wb") as f:
+        np.savez(f, **blobs)
+
+
+def load_sgmm2(path: str):
+    """-> SgmmAm (decoder-facing adapter)."""
+    from kaldi_tpu.sgmm.model import AmSgmm2
+    from kaldi_tpu.steps.sgmm_steps import SgmmAm
+    z = np.load(path)
+    assert int(z["__version__"]) == FORMAT_VERSION
+    assert z["__kind__"].tobytes() == b"sgmm2", "not an sgmm2 file"
+    sgmm = AmSgmm2.__new__(AmSgmm2)
+    sgmm.Sigma_inv = z["Sigma_inv"]
+    sgmm.M = z["M"]
+    sgmm.w = z["w"]
+    sgmm.N = z["N"] if "N" in z.files else None
+    J = int(z["num_states"])
+    sgmm.v = [[row for row in z[f"v{j}"]] for j in range(J)]
+    sgmm.c = [z[f"c{j}"] for j in range(J)]
+    sgmm._update_derived()
+    return SgmmAm(sgmm, int(z["num_gselect"]))

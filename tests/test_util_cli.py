@@ -9,6 +9,7 @@ import contextlib
 import io
 
 import numpy as np
+import pytest
 
 from kaldi_tpu.cli import main
 from kaldi_tpu.io.kaldi_io import read_ark, write_ark, open_rspecifier
@@ -161,3 +162,32 @@ def test_nnet3_utils_cli(tmp_path, capsys):
           f"ark:{P('yl.ark')}", "--use-priors"])
     (yl,) = [v for _, v in read_ark(P("yl.ark"))]
     np.testing.assert_allclose(yl, y - np.log(1.0 / 5), rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_sgmm2_cli_end_to_end(tmp_path, capsys):
+    """train-mono -> train-sgmm2 -> sgmm2-info / sgmm2-latgen-faster;
+    the SGMM decodes its training set at WER 0
+    (ref: steps/train_sgmm2.sh + sgmm2bin/sgmm2-latgen-faster.cc)."""
+    from test_gmmbin_cli import _tiny_corpus
+    _tiny_corpus(tmp_path, n_utts=16, seed=0)
+    P = lambda n: str(tmp_path / n)
+    main(["train-mono", P("lexicon.txt"), P("text"),
+          f"ark:{P('feats.ark')}", P("mono.npz")])
+    main(["train-sgmm2", P("mono.npz"), P("text"),
+          f"ark:{P('feats.ark')}", P("sgmm.npz"),
+          "--phn-dim", "8", "--num-iters", "6"])
+    capsys.readouterr()
+    main(["sgmm2-info", P("sgmm.npz")])
+    info = capsys.readouterr().out
+    assert "number of states 15" in info
+    assert "phone-space dimension 8" in info
+    main(["mkgraph", P("mono.npz"), P("lm.arpa"), P("hclg.npz")])
+    main(["sgmm2-latgen-faster", P("sgmm.npz"), P("mono.npz"),
+          P("hclg.npz"), f"ark:{P('feats.ark')}",
+          "--transcription-out", P("hyp.txt"),
+          "--lattice-out", P("lat.ark")])
+    main(["compute-wer", P("text"), P("hyp.txt"), "--max-wer", "0"])
+    from kaldi_tpu.lat.io import read_lattice_ark
+    lats = dict(read_lattice_ark(P("lat.ark")))
+    assert len(lats) == 16
