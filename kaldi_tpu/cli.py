@@ -2127,6 +2127,165 @@ def cmd_gmm_est_map(args):
           file=sys.stderr)
 
 
+def cmd_gmm_global_info(args):
+    """(ref: gmmbin/gmm-global-info.cc / fgmmbin/fgmm-global-info.cc)"""
+    from kaldi_tpu.io.model_io import load_ubm
+    from kaldi_tpu.gmm.full_gmm import FullGmm
+    ubm = load_ubm(args.model)
+    print(f"number of gaussians {ubm.num_gauss}")
+    print(f"feature dimension {ubm.dim}")
+    print(f"covariance type "
+          f"{'full' if isinstance(ubm, FullGmm) else 'diagonal'}")
+
+
+def cmd_gmm_global_acc_stats(args):
+    """EM stats for a global (non-HMM) diag/full GMM over a feature
+    archive (ref: gmmbin/gmm-global-acc-stats.cc,
+    fgmmbin/fgmm-global-acc-stats.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.io.model_io import load_ubm
+    from kaldi_tpu.gmm.full_gmm import FullGmm, AccumFullGmm
+    from kaldi_tpu.gmm.estimation import AccumDiagGmm
+    ubm = load_ubm(args.model)
+    full = isinstance(ubm, FullGmm)
+    acc = (AccumFullGmm if full else AccumDiagGmm)(ubm.num_gauss, ubm.dim)
+    n_frames, tot_like = 0, 0.0
+    for _utt, feats in open_rspecifier(args.rspecifier):
+        x = feats.astype(np.float64)
+        acc.accumulate(ubm, x)
+        tot_like += float(ubm.loglike(x).sum())
+        n_frames += len(x)
+    blobs = {"occ": acc.occ, "mean_acc": acc.mean_acc,
+             "full": np.int64(full),
+             "tot_like": np.float64(tot_like),
+             "tot_frames": np.float64(n_frames)}
+    blobs["cov_acc" if full else "var_acc"] = \
+        acc.cov_acc if full else acc.var_acc
+    np.savez(open(args.accs_out, "wb"), **blobs)
+    print(f"gmm-global-acc-stats: {n_frames} frames, avg loglike "
+          f"{tot_like / max(n_frames, 1):.4f}", file=sys.stderr)
+
+
+def cmd_gmm_global_est(args):
+    """(ref: gmmbin/gmm-global-est.cc / fgmmbin/fgmm-global-est.cc)"""
+    from kaldi_tpu.io.model_io import load_ubm, save_ubm
+    from kaldi_tpu.gmm.full_gmm import (FullGmm, AccumFullGmm,
+                                        mle_full_gmm_update)
+    from kaldi_tpu.gmm.estimation import (AccumDiagGmm,
+                                          mle_diag_gmm_update)
+    ubm = load_ubm(args.model)
+    z = np.load(args.accs)
+    full = bool(z["full"])
+    assert full == isinstance(ubm, FullGmm), "accs/model covariance kind"
+    if full:
+        acc = AccumFullGmm(ubm.num_gauss, ubm.dim)
+        acc.occ, acc.mean_acc = z["occ"], z["mean_acc"]
+        acc.cov_acc = z["cov_acc"]
+        new = mle_full_gmm_update(
+            ubm, acc, min_gaussian_occupancy=args.min_gaussian_occupancy)
+    else:
+        acc = AccumDiagGmm(ubm.num_gauss, ubm.dim)
+        acc.occ, acc.mean_acc = z["occ"], z["mean_acc"]
+        acc.var_acc = z["var_acc"]
+        new = mle_diag_gmm_update(
+            ubm, acc, min_gaussian_occupancy=args.min_gaussian_occupancy)
+    save_ubm(args.model_out, new)
+    print(f"gmm-global-est: avg loglike/frame "
+          f"{float(z['tot_like']) / max(float(z['tot_frames']), 1):.4f}",
+          file=sys.stderr)
+
+
+def cmd_gmm_global_get_frame_likes(args):
+    """Per-frame total loglikes under a global GMM
+    (ref: gmmbin/gmm-global-get-frame-likes.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    from kaldi_tpu.io.model_io import load_ubm
+    ubm = load_ubm(args.model)
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for utt, feats in open_rspecifier(args.rspecifier):
+            out.write(utt, np.asarray(ubm.loglike(
+                feats.astype(np.float64)), np.float32))
+            n += 1
+    print(f"gmm-global-get-frame-likes: {n} utts", file=sys.stderr)
+
+
+def cmd_est_pca(args):
+    """PCA transform from pooled features
+    (ref: bin/est-pca.cc / matrix-functions.h ComputePca)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, write_ark
+    from kaldi_tpu.utils.optimization import est_pca
+    pooled = np.concatenate([v for (_k, v) in
+                             open_rspecifier(args.rspecifier)])
+    W = est_pca(pooled.astype(np.float64), args.dim,
+                normalize_variance=args.normalize_variance,
+                normalize_mean=not args.no_normalize_mean)
+    write_ark(args.matrix_out, {"pca": np.asarray(W, np.float32)})
+    print(f"est-pca: {W.shape[0]}x{W.shape[1]} from {len(pooled)} frames",
+          file=sys.stderr)
+
+
+def _fmllr_stats_by_spk(model, rspecifier, post_in, utt2spk_path):
+    """Shared per-speaker FmllrStats accumulation from posteriors."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.hmm.posterior import read_post_ark
+    from kaldi_tpu.transform.fmllr import FmllrStats
+    utt2spk = _read_utt2spk(utt2spk_path)
+    feats = {k: v for (k, v) in open_rspecifier(rspecifier)}
+    by_spk: dict = {}
+    for utt, post in read_post_ark(post_in):
+        if utt not in feats:
+            continue
+        spk = utt2spk.get(utt, utt)
+        st = by_spk.setdefault(spk, FmllrStats(feats[utt].shape[1]))
+        st.accumulate_from_posteriors(
+            model.am, feats[utt], _post_to_pdf_post(post,
+                                                    model.trans_model))
+    return by_spk
+
+
+def cmd_gmm_basis_fmllr_training(args):
+    """Estimate an fMLLR basis from training speakers' gradient scatter
+    (ref: gmmbin/gmm-basis-fmllr-training.cc,
+    transform/basis-fmllr-diag-gmm.h:63)."""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.transform.basis_fmllr import (BasisFmllrAccus,
+                                                 estimate_fmllr_basis)
+    model = load_gmm_system(args.model)
+    by_spk = _fmllr_stats_by_spk(model, args.rspecifier, args.post_in,
+                                 args.utt2spk)
+    accus = BasisFmllrAccus(model.am.dim)
+    for _spk, st in sorted(by_spk.items()):
+        accus.accumulate_from_speaker(st)
+    basis = estimate_fmllr_basis(accus, args.basis_size)
+    np.savez(open(args.basis_out, "wb"), basis=basis)
+    print(f"gmm-basis-fmllr-training: basis {basis.shape[0]} x "
+          f"{basis.shape[1]}x{basis.shape[2]} from {len(by_spk)} "
+          f"speakers", file=sys.stderr)
+
+
+def cmd_gmm_est_basis_fmllr(args):
+    """Per-speaker basis-fMLLR coefficients (robust with seconds of
+    data; ref: gmmbin/gmm-est-basis-fmllr.cc)."""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.io.kaldi_io import open_wspecifier
+    from kaldi_tpu.transform.basis_fmllr import (
+        compute_basis_fmllr_transform)
+    model = load_gmm_system(args.model)
+    basis = np.load(args.basis)["basis"]
+    by_spk = _fmllr_stats_by_spk(model, args.rspecifier, args.post_in,
+                                 args.utt2spk)
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for spk, st in sorted(by_spk.items()):
+            W, n_coef, impr = compute_basis_fmllr_transform(st, basis)
+            out.write(spk, np.asarray(W, np.float32))
+            print(f"gmm-est-basis-fmllr: {spk} coeffs {n_coef} auxf "
+                  f"impr/frame {impr:.4f}", file=sys.stderr)
+            n += 1
+    print(f"gmm-est-basis-fmllr: wrote {n} transforms", file=sys.stderr)
+
+
 def cmd_train_sgmm2(args):
     """SGMM2 system from a trained GMM system's alignments, fused
     (ref: steps/train_sgmm2.sh — UBM from the GMM, SGMM2 EM over the
@@ -3517,6 +3676,61 @@ def main(argv=None):
     q.add_argument("--ivector-period", type=int, default=10)
     q.add_argument("--num-gselect", type=int, default=5)
     q.set_defaults(func=cmd_ivector_extract_online2)
+
+    for name in ("gmm-global-info", "fgmm-global-info"):
+        q = sub.add_parser(name)
+        q.add_argument("model")
+        q.set_defaults(func=cmd_gmm_global_info)
+
+    for name in ("gmm-global-acc-stats", "fgmm-global-acc-stats"):
+        q = sub.add_parser(name)
+        q.add_argument("model")
+        q.add_argument("rspecifier")
+        q.add_argument("accs_out")
+        q.set_defaults(func=cmd_gmm_global_acc_stats)
+
+    for name in ("gmm-global-est", "fgmm-global-est"):
+        q = sub.add_parser(name)
+        q.add_argument("model")
+        q.add_argument("accs")
+        q.add_argument("model_out")
+        q.add_argument("--min-gaussian-occupancy", type=float,
+                       default=10.0)
+        q.set_defaults(func=cmd_gmm_global_est)
+
+    for name in ("gmm-global-get-frame-likes",
+                 "fgmm-global-get-frame-likes"):
+        q = sub.add_parser(name)
+        q.add_argument("model")
+        q.add_argument("rspecifier")
+        q.add_argument("wspecifier")
+        q.set_defaults(func=cmd_gmm_global_get_frame_likes)
+
+    q = sub.add_parser("est-pca")
+    q.add_argument("rspecifier")
+    q.add_argument("matrix_out")
+    q.add_argument("--dim", type=int, default=40)
+    q.add_argument("--normalize-variance", action="store_true")
+    q.add_argument("--no-normalize-mean", action="store_true")
+    q.set_defaults(func=cmd_est_pca)
+
+    q = sub.add_parser("gmm-basis-fmllr-training")
+    q.add_argument("model")
+    q.add_argument("rspecifier")
+    q.add_argument("post_in")
+    q.add_argument("basis_out")
+    q.add_argument("--utt2spk", default="")
+    q.add_argument("--basis-size", type=int, default=50)
+    q.set_defaults(func=cmd_gmm_basis_fmllr_training)
+
+    q = sub.add_parser("gmm-est-basis-fmllr")
+    q.add_argument("model")
+    q.add_argument("basis")
+    q.add_argument("rspecifier")
+    q.add_argument("post_in")
+    q.add_argument("wspecifier")
+    q.add_argument("--utt2spk", default="")
+    q.set_defaults(func=cmd_gmm_est_basis_fmllr)
 
     q = sub.add_parser("train-sgmm2")
     q.add_argument("model", help="trained GMM system (alignment model)")

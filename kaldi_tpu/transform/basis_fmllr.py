@@ -5,6 +5,15 @@ coefficient count proportional to the speaker's frame count.
  over training speakers), BasisFmllrEstimate::EstimateFmllrBasis and
  ComputeTransform; Povey & Yao 2012. W(s) = W0 + Σ_k d_k B_k with
  N(s) = min(basis_size, η·β(s)) coefficients.)
+
+The basis is estimated in the space preconditioned by the average per-frame
+Hessian H̄ of the fMLLR auxiliary (the blockdiag-G part, which dominates):
+bases are the top eigenvectors of H̄^{-1/2} S H̄^{-1/2} mapped back through
+H̄^{-1/2}, so they are H̄-orthonormal and the per-coefficient curvature is
+roughly uniform — this is what makes a plain projected-gradient iteration
+with a second-order step size converge (a raw-I-orthonormal basis mixes
+directions whose curvatures differ by ~10 orders of magnitude, and gradient
+ascent stalls; ref basis-fmllr-diag-gmm.cc preconditions the same way).
 """
 
 from __future__ import annotations
@@ -27,12 +36,16 @@ def _auxf_gradient(W: np.ndarray, stats: FmllrStats) -> np.ndarray:
 
 
 class BasisFmllrAccus:
-    """Gradient scatter over training speakers
-    (ref: basis-fmllr-diag-gmm.h:63 BasisFmllrAccus)."""
+    """Gradient scatter + average-Hessian accumulation over training
+    speakers (ref: basis-fmllr-diag-gmm.h:63 BasisFmllrAccus)."""
 
     def __init__(self, dim: int):
         self.dim = dim
-        self.grad_scatter = np.zeros((dim * (dim + 1), dim * (dim + 1)))
+        n = dim * (dim + 1)
+        self.grad_scatter = np.zeros((n, n))
+        # blockdiag(G_d) summed over speakers: the −∂²auxf/∂W² of the
+        # quadratic term, which dominates the logdet curvature.
+        self.H = np.zeros((n, n))
         self.beta = 0.0
 
     def accumulate_from_speaker(self, stats: FmllrStats):
@@ -41,16 +54,32 @@ class BasisFmllrAccus:
         grad = _auxf_gradient(W0, stats) / max(np.sqrt(stats.beta), 1e-10)
         v = grad.reshape(-1)
         self.grad_scatter += np.outer(v, v)
+        for d in range(D):
+            s = d * (D + 1)
+            self.H[s:s + D + 1, s:s + D + 1] += stats.G[d]
         self.beta += stats.beta
 
 
+def _hbar(accus: BasisFmllrAccus) -> np.ndarray:
+    """Average per-frame Hessian, ridged so dims the data never excited
+    stay invertible."""
+    Hbar = accus.H / max(accus.beta, 1e-10)
+    return Hbar + np.eye(Hbar.shape[0]) * (1e-4 * np.trace(Hbar) /
+                                           Hbar.shape[0] + 1e-10)
+
+
 def estimate_fmllr_basis(accus: BasisFmllrAccus, basis_size: int):
-    """-> basis [basis_size, D, D+1], orthonormal in the vectorized space,
-    from the top eigenvectors of the gradient scatter."""
+    """-> basis [basis_size, D, D+1], H̄-orthonormal, from the top
+    eigenvectors of the Hessian-preconditioned gradient scatter."""
     D = accus.dim
-    w, V = np.linalg.eigh(accus.grad_scatter)
+    Hbar = _hbar(accus)
+    e, U = np.linalg.eigh(Hbar)
+    H_mhalf = (U / np.sqrt(e)) @ U.T
+    M = H_mhalf @ accus.grad_scatter @ H_mhalf
+    w, V = np.linalg.eigh(M)
     order = np.argsort(-w)[:basis_size]
-    return np.stack([V[:, i].reshape(D, D + 1) for i in order])
+    B = H_mhalf @ V[:, order]          # columns: H̄-orthonormal bases
+    return np.stack([B[:, i].reshape(D, D + 1) for i in range(len(order))])
 
 
 def compute_basis_fmllr_transform(
@@ -58,14 +87,16 @@ def compute_basis_fmllr_transform(
     basis: np.ndarray,
     eta: float = 0.2,          # coefficients per frame (ref default ~ N∝β)
     num_iters: int = 10,
-    step_sizes: int = 10,
+    step_sizes: int = 20,
 ):
     """-> (W [D, D+1], num_coeffs_used, auxf_impr_per_frame).
 
-    Gradient ascent over the coefficients d (the reference optimizes the
-    same objective via a conjugate-gradient-flavoured iteration; at
-    N ≤ basis_size ≤ D(D+1) dims a backtracking gradient step converges
-    to the same optimum of this concave objective)."""
+    Projected gradient ascent over the coefficients d with a
+    second-order step size t* = m1/m2 along each search direction
+    (m1 = ⟨grad, ΔW⟩, m2 = Σ_d ΔW_d G_d ΔW_d — the exact curvature of
+    the quadratic term), backtracked against the exact auxiliary so the
+    logdet singularity can never be crossed. Matches the iteration of
+    ref basis-fmllr-diag-gmm.cc ComputeTransform / CalBasisFmllrStepSize."""
     D = stats.K.shape[0]
     W0 = np.concatenate([np.eye(D), np.zeros((D, 1))], axis=1)
     if stats.beta <= 0:
@@ -79,8 +110,12 @@ def compute_basis_fmllr_transform(
     for _ in range(num_iters):
         grad_w = _auxf_gradient(W, stats)
         grad_d = np.array([np.sum(b * grad_w) for b in B])
-        # backtracking line search along the basis-projected gradient
-        step = 1.0 / max(stats.beta, 1.0)
+        dW = np.einsum("k,kij->ij", grad_d, B)
+        m1 = float(np.sum(grad_w * dW))
+        m2 = sum(float(dW[r] @ stats.G[r] @ dW[r]) for r in range(D))
+        if m1 <= 0 or m2 <= 0:
+            break
+        step = m1 / m2
         improved = False
         for _ in range(step_sizes):
             d_try = d + step * grad_d
@@ -88,10 +123,13 @@ def compute_basis_fmllr_transform(
             if abs(np.linalg.det(W_try[:, :D])) > 1e-10:
                 f = fmllr_auxf(W_try, stats)
                 if f > cur:
+                    rel = f - cur
                     d, W, cur = d_try, W_try, f
                     improved = True
                     break
             step *= 0.5
         if not improved:
+            break
+        if rel < 1e-5 * max(abs(cur), 1.0):
             break
     return W, N, (cur - base) / stats.beta

@@ -106,9 +106,12 @@ def test_basis_fmllr():
         accus.accumulate_from_speaker(stats)
     basis = estimate_fmllr_basis(accus, basis_size=6)
     assert basis.shape == (6, dim, dim + 1)
-    # basis elements orthonormal in vec space
+    # basis elements orthonormal in the H̄ (average per-frame Hessian)
+    # inner product — the preconditioned space the basis lives in
+    from kaldi_tpu.transform.basis_fmllr import _hbar
     V = basis.reshape(6, -1)
-    np.testing.assert_allclose(V @ V.T, np.eye(6), atol=1e-8)
+    np.testing.assert_allclose(V @ _hbar(accus) @ V.T, np.eye(6),
+                               atol=1e-8)
 
     # test speaker
     A = np.eye(dim) * 1.1

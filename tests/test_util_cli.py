@@ -191,3 +191,87 @@ def test_sgmm2_cli_end_to_end(tmp_path, capsys):
     from kaldi_tpu.lat.io import read_lattice_ark
     lats = dict(read_lattice_ark(P("lat.ark")))
     assert len(lats) == 16
+
+
+def test_global_gmm_tools_and_est_pca(tmp_path, capsys):
+    """gmm-global-{info,acc-stats,est,get-frame-likes} on diag and full
+    UBMs: one EM step via the CLI raises the average loglike
+    (ref: gmmbin/gmm-global-*.cc, fgmmbin/fgmm-global-*.cc)."""
+    P = lambda n: str(tmp_path / n)
+    rng = np.random.RandomState(4)
+    # two-cluster data so EM has something to learn
+    feats = {f"u{i}": np.concatenate([
+        rng.randn(30, 5) + 4.0, rng.randn(30, 5) - 4.0
+    ]).astype(np.float32) for i in range(4)}
+    write_ark(P("f.ark"), feats)
+    for flag, name in ((["--full"], "fgmm"), ([], "gmm")):
+        ubm = f"{name}_ubm.npz"
+        main(["train-ubm", f"ark:{P('f.ark')}", P(ubm),
+              "--num-gauss", "4", "--num-iters", "2"] + flag)
+        capsys.readouterr()
+        main([f"{name}-global-info", P(ubm)])
+        info = capsys.readouterr().out
+        assert "number of gaussians 4" in info
+        assert ("full" if flag else "diagonal") in info
+        main([f"{name}-global-acc-stats", P(ubm), f"ark:{P('f.ark')}",
+              P("acc0.npz")])
+        main([f"{name}-global-est", P(ubm), P("acc0.npz"),
+              P("ubm1.npz"), "--min-gaussian-occupancy", "3"])
+        main([f"{name}-global-acc-stats", P("ubm1.npz"),
+              f"ark:{P('f.ark')}", P("acc1.npz")])
+        l0 = float(np.load(P("acc0.npz"))["tot_like"])
+        l1 = float(np.load(P("acc1.npz"))["tot_like"])
+        assert l1 >= l0, (name, l0, l1)
+        main([f"{name}-global-get-frame-likes", P("ubm1.npz"),
+              f"ark:{P('f.ark')}", f"ark:{P('likes.ark')}"])
+        likes = dict(read_ark(P("likes.ark")))
+        assert all(v.shape == (60,) for v in likes.values())
+
+    # est-pca: projecting onto the top component separates the clusters
+    main(["est-pca", f"ark:{P('f.ark')}", P("pca.ark"), "--dim", "2"])
+    (W,) = [v for _, v in read_ark(P("pca.ark"))]
+    assert W.shape == (2, 6)
+    main(["transform-feats", P("pca.ark"), f"ark:{P('f.ark')}",
+          f"ark:{P('fp.ark')}"])
+    fp = dict(read_ark(P("fp.ark")))
+    x = fp["u0"]
+    assert x.shape == (60, 2)
+    # first PCA dim separates the two clusters linearly
+    assert (x[:30, 0] > 0).all() != (x[30:, 0] > 0).all()
+
+
+def test_basis_fmllr_cli(tmp_path):
+    """Basis estimated over training speakers; per-speaker coefficients
+    beat identity on the fMLLR auxiliary (ref:
+    gmmbin/gmm-basis-fmllr-{training,est}.cc)."""
+    from test_gmmbin_cli import _tiny_corpus
+    _tiny_corpus(tmp_path, n_utts=12, seed=0)
+    P = lambda n: str(tmp_path / n)
+    main(["train-mono", P("lexicon.txt"), P("text"),
+          f"ark:{P('feats.ark')}", P("mono.npz"),
+          "--num-iters", "6", "--totgauss", "40"])
+    main(["gmm-align", P("mono.npz"), P("text"), f"ark:{P('feats.ark')}",
+          f"ark:{P('ali.ark')}"])
+    main(["ali-to-post", f"ark:{P('ali.ark')}", P("post.txt")])
+    utts = sorted(l.split()[0] for l in open(P("text")))
+    with open(P("utt2spk"), "w") as f:
+        for i, u in enumerate(utts):
+            f.write(f"{u} spk{i % 3}\n")
+    main(["gmm-basis-fmllr-training", P("mono.npz"),
+          f"ark:{P('feats.ark')}", P("post.txt"), P("basis.npz"),
+          "--utt2spk", P("utt2spk"), "--basis-size", "20"])
+    basis = np.load(P("basis.npz"))["basis"]
+    assert basis.shape == (20, 39, 40)
+    # basis elements are linearly independent (orthonormal in the
+    # preconditioned-Hessian space; see transform/basis_fmllr.py)
+    V = basis.reshape(20, -1)
+    assert np.linalg.matrix_rank(V) == 20
+    main(["gmm-est-basis-fmllr", P("mono.npz"), P("basis.npz"),
+          f"ark:{P('feats.ark')}", P("post.txt"),
+          f"ark:{P('trans.ark')}", "--utt2spk", P("utt2spk")])
+    trans = dict(read_ark(P("trans.ark")))
+    assert sorted(trans) == ["spk0", "spk1", "spk2"]
+    for W in trans.values():
+        assert W.shape == (39, 40)
+        assert not np.allclose(W, np.concatenate(
+            [np.eye(39), np.zeros((39, 1))], axis=1))
