@@ -1353,6 +1353,143 @@ def cmd_fst_info(args):
     }, indent=2))
 
 
+def cmd_arpa2fst(args):
+    """ARPA LM -> G acceptor with #0 backoff inputs, OpenFst text out
+    (ref: bin/arpa2fst.cc + egs utils/format_lm.sh)."""
+    from kaldi_tpu.lm.arpa import ArpaLm
+    from kaldi_tpu.lm.arpa import arpa_to_g
+    from kaldi_tpu.fst.fst import SymbolTable
+    from kaldi_tpu.fst.text_io import save_fst
+    words = SymbolTable.read(args.words)
+    with open(args.arpa) as f:
+        lm = ArpaLm.parse(f.read())
+    g = arpa_to_g(lm, words, backoff_symbol=args.backoff_symbol)
+    save_fst(args.fst_out, g)
+    print(f"arpa2fst: order {lm.order}, {g.num_states} states, "
+          f"{g.num_arcs} arcs", file=sys.stderr)
+
+
+def cmd_fst_compose_context(args):
+    """LG -> CLG + ilabel_info file (ref: fstbin/fstcomposecontext.cc;
+    ilabel_info convention fstext/context-fst.h)."""
+    from kaldi_tpu.fst.text_io import load_fst, save_fst
+    from kaldi_tpu.fst.context import compose_context
+    lg = load_fst(args.fst_in)
+    disambig = set()
+    if args.read_disambig_syms:
+        with open(args.read_disambig_syms) as f:
+            disambig = {int(t) for t in f.read().split()}
+    clg, ilabel_info = compose_context(
+        lg, disambig, N=args.context_size, P=args.central_position)
+    with open(args.ilabels_out, "w") as f:
+        json.dump([list(map(int, w)) for w in ilabel_info], f)
+    save_fst(args.fst_out, clg)
+    print(f"fst-compose-context: {clg.num_states} states, "
+          f"{clg.num_arcs} arcs, {len(ilabel_info)} ilabels",
+          file=sys.stderr)
+
+
+def cmd_make_h_transducer(args):
+    """ilabel_info + model (tree, transitions) -> Ha transducer
+    (ref: bin/make-h-transducer.cc)."""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.fst.hmm_graph import make_h_transducer
+    from kaldi_tpu.fst.text_io import save_fst
+    model = load_gmm_system(args.model)
+    with open(args.ilabels) as f:
+        ilabel_info = json.load(f)
+    ha, disambig_tids = make_h_transducer(
+        ilabel_info, model.ctx_dep, model.trans_model,
+        transition_scale=args.transition_scale)
+    save_fst(args.fst_out, ha)
+    if args.disambig_syms_out:
+        with open(args.disambig_syms_out, "w") as f:
+            for t in disambig_tids:
+                f.write(f"{t}\n")
+    print(f"make-h-transducer: {ha.num_states} states, {ha.num_arcs} "
+          f"arcs, {len(disambig_tids)} disambig tids", file=sys.stderr)
+
+
+def cmd_add_self_loops(args):
+    """Insert self-loop transition-ids with probability-mass rescaling
+    (ref: bin/add-self-loops.cc, hmm/hmm-utils.cc AddSelfLoops)."""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.fst.hmm_graph import add_self_loops
+    from kaldi_tpu.fst.text_io import load_fst, save_fst
+    model = load_gmm_system(args.model)
+    fst = load_fst(args.fst_in)
+    disambig = ()
+    if args.disambig_syms:
+        with open(args.disambig_syms) as f:
+            disambig = tuple(int(t) for t in f.read().split())
+    out = add_self_loops(fst, model.trans_model, disambig,
+                         self_loop_scale=args.self_loop_scale,
+                         reorder=True)
+    save_fst(args.fst_out, out)
+    print(f"add-self-loops: {out.num_states} states, {out.num_arcs} arcs",
+          file=sys.stderr)
+
+
+def cmd_fst_rmsymbols(args):
+    """Replace listed input symbols with epsilon
+    (ref: fstbin/fstrmsymbols.cc)."""
+    from kaldi_tpu.fst.text_io import load_fst, save_fst
+    from kaldi_tpu.fst.epsilon import remove_symbols
+    fst = load_fst(args.fst_in)
+    with open(args.syms) as f:
+        syms = [int(t) for t in f.read().split()]
+    remove_symbols(fst, syms)
+    save_fst(args.fst_out, fst)
+    print(f"fst-rmsymbols: removed {len(syms)} symbols", file=sys.stderr)
+
+
+def cmd_fst_pack_graph(args):
+    """Pack an HCLG text FST into the device arc-table artifact used by
+    the decoders (the TPU-side analogue of just loading HCLG.fst: CSR
+    arc tables + tid->pdf mapping; ref: decode path of
+    gmmbin/gmm-latgen-faster.cc reading fst::ReadFstKaldi)."""
+    from kaldi_tpu.io.model_io import load_gmm_system, save_hclg
+    from kaldi_tpu.fst.text_io import load_fst
+    from kaldi_tpu.decoder.graph_pack import pack_graph
+    model = load_gmm_system(args.model)
+    fst = load_fst(args.fst_in)
+    fst.connect()
+    fst.arcsort("ilabel")
+    packed = pack_graph(fst, model.trans_model.id2pdf_array)
+    save_hclg(args.graph_out, packed)
+    print(f"fst-pack-graph: {packed.num_states} states", file=sys.stderr)
+
+
+def cmd_tree_info(args):
+    """(ref: bin/tree-info.cc)"""
+    from kaldi_tpu.io.model_io import load_gmm_system, load_tree
+    try:
+        ctx = load_tree(args.model)
+    except Exception:
+        ctx = load_gmm_system(args.model).ctx_dep
+    print(f"num-pdfs {ctx.num_pdfs}")
+    print(f"context-width {ctx.context_width}")
+    print(f"central-position {ctx.central_position}")
+
+
+def cmd_show_transitions(args):
+    """Dump the transition model: per transition-state tuples and
+    per-transition-id probabilities (ref: bin/show-transitions.cc)."""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    model = load_gmm_system(args.model)
+    tm = model.trans_model
+    for ts in range(1, len(tm.tuples) + 1):
+        phone, hmm_state, pdf = tm.tuples[ts - 1]
+        print(f"Transition-state {ts}: phone = "
+              f"{model.lang.phones.sym(phone)} hmm-state = {hmm_state} "
+              f"pdf = {pdf}")
+        for tid in tm.transition_ids_of_state(ts):
+            p = float(np.exp(tm.log_probs[tid]))
+            kind = ("self-loop" if tm.is_self_loop(tid)
+                    else f"idx {tm.transition_id_to_transition_index(tid)}")
+            print(f" Transition-id = {tid} p = {p:.4f} [{kind}]")
+
+
 # ---------------- file-driven training / online decoding ----------------
 
 def _read_text_file(path):
@@ -3602,6 +3739,65 @@ def main(argv=None):
     q = sub.add_parser("fst-info")
     q.add_argument("fst_in")
     q.set_defaults(func=cmd_fst_info)
+
+    q = sub.add_parser("arpa2fst")
+    q.add_argument("arpa")
+    q.add_argument("words")
+    q.add_argument("fst_out")
+    q.add_argument("--backoff-symbol", default="#0")
+    q.set_defaults(func=cmd_arpa2fst)
+
+    q = sub.add_parser("fst-compose-context")
+    q.add_argument("ilabels_out")
+    q.add_argument("fst_in")
+    q.add_argument("fst_out")
+    q.add_argument("--context-size", type=int, default=3)
+    q.add_argument("--central-position", type=int, default=1)
+    q.add_argument("--read-disambig-syms", default="")
+    q.set_defaults(func=cmd_fst_compose_context)
+
+    q = sub.add_parser("make-h-transducer")
+    q.add_argument("ilabels")
+    q.add_argument("model")
+    q.add_argument("fst_out")
+    q.add_argument("--disambig-syms-out", default="")
+    q.add_argument("--transition-scale", type=float, default=1.0)
+    q.set_defaults(func=cmd_make_h_transducer)
+
+    q = sub.add_parser("add-self-loops")
+    q.add_argument("model")
+    q.add_argument("fst_in")
+    q.add_argument("fst_out")
+    q.add_argument("--self-loop-scale", type=float, default=0.1)
+    q.add_argument("--disambig-syms", default="")
+    q.set_defaults(func=cmd_add_self_loops)
+
+    q = sub.add_parser("fst-rmsymbols")
+    q.add_argument("syms")
+    q.add_argument("fst_in")
+    q.add_argument("fst_out")
+    q.set_defaults(func=cmd_fst_rmsymbols)
+
+    def _rmepslocal(fst, a):
+        from kaldi_tpu.fst.epsilon import remove_eps_local
+        remove_eps_local(fst)
+        return fst
+    q = _fst_io_parser("fst-rmepslocal")
+    q.set_defaults(func=_fst_unary(_rmepslocal))
+
+    q = sub.add_parser("fst-pack-graph")
+    q.add_argument("model")
+    q.add_argument("fst_in")
+    q.add_argument("graph_out")
+    q.set_defaults(func=cmd_fst_pack_graph)
+
+    q = sub.add_parser("tree-info")
+    q.add_argument("model", help="tree file or GMM system npz")
+    q.set_defaults(func=cmd_tree_info)
+
+    q = sub.add_parser("show-transitions")
+    q.add_argument("model")
+    q.set_defaults(func=cmd_show_transitions)
 
     q = sub.add_parser("apply-cmvn-online")
     q.add_argument("rspecifier")
