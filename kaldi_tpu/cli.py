@@ -1013,6 +1013,245 @@ def cmd_lattice_to_ctm_conf(args):
                   f"{dur * args.frame_shift:.2f} {w} {c:.2f}")
 
 
+def cmd_lattice_1best(args):
+    """Viterbi-best path of each lattice, written as a linear lattice
+    (ref: latbin/lattice-1best.cc)."""
+    from kaldi_tpu.lat.io import read_lattice_ark, write_lattice_ark
+    from kaldi_tpu.lat.functions import lattice_scale, lattice_best_path
+    from kaldi_tpu.lat.lattice import Lattice
+    out = {}
+    for key, lat in read_lattice_ark(args.lattice_ark):
+        lattice_scale(lat, lm_scale=args.lm_scale,
+                      acoustic_scale=args.acoustic_scale)
+        res = lattice_best_path(lat)
+        if res is None:
+            print(f"warning: no path for {key}", file=sys.stderr)
+            continue
+        words, tids, cost = res
+        lin = Lattice()
+        prev = lin.add_state()
+        lin.start = prev
+        # emit one arc per tid; attach words greedily to the first arcs
+        wq = list(words)
+        for tid in tids:
+            nxt = lin.add_state()
+            lin.add_arc(prev, tid, wq.pop(0) if wq else 0, 0.0, 0.0, nxt)
+            prev = nxt
+        for w in wq:       # words beyond tids (tid-free lattice)
+            nxt = lin.add_state()
+            lin.add_arc(prev, 0, w, 0.0, 0.0, nxt)
+            prev = nxt
+        lin.set_final(prev, cost, 0.0)
+        out[key] = lin
+    write_lattice_ark(args.out_ark, out)
+    print(f"lattice-1best: {len(out)} lattices", file=sys.stderr)
+
+
+def cmd_linear_to_nbest(args):
+    """Inverse of nbest-to-linear: utterance transcripts (int words) ->
+    single-path lattices (ref: latbin/linear-to-nbest.cc)."""
+    from kaldi_tpu.lat.io import write_lattice_ark
+    from kaldi_tpu.lat.lattice import Lattice
+    out = {}
+    with open(args.transcripts) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            lin = Lattice()
+            prev = lin.add_state()
+            lin.start = prev
+            for w in parts[1:]:
+                nxt = lin.add_state()
+                lin.add_arc(prev, 0, int(w), 0.0, 0.0, nxt)
+                prev = nxt
+            lin.set_final(prev, 0.0, 0.0)
+            out[parts[0]] = lin
+    write_lattice_ark(args.out_ark, out)
+    print(f"linear-to-nbest: {len(out)} paths", file=sys.stderr)
+
+
+def cmd_lattice_to_post(args):
+    """Per-frame transition-id posteriors from lattice forward-backward
+    (ref: latbin/lattice-to-post.cc)."""
+    from kaldi_tpu.lat.io import read_lattice_ark
+    from kaldi_tpu.lat.functions import lattice_scale
+    from kaldi_tpu.lat.posteriors import lattice_to_post
+    from kaldi_tpu.hmm.posterior import write_post_line
+    n, tot, frames = 0, 0.0, 0
+    with open(args.post_out, "w") as f:
+        for key, lat in read_lattice_ark(args.lattice_ark):
+            lattice_scale(lat, lm_scale=args.lm_scale,
+                          acoustic_scale=args.acoustic_scale)
+            post, like = lattice_to_post(lat)
+            write_post_line(f, key, post)
+            tot += like
+            frames += len(post)
+            n += 1
+    print(f"lattice-to-post: {n} lattices, avg loglike/frame "
+          f"{tot / max(frames, 1):.4f}", file=sys.stderr)
+
+
+def _read_ali_dict(rspecifier):
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    return {k: np.asarray(v, np.int64)
+            for (k, v) in open_rspecifier(rspecifier)}
+
+
+def cmd_lattice_to_mpe_post(args):
+    """MPE/sMBR posteriors against a numerator alignment
+    (ref: latbin/lattice-to-mpe-post.cc, lattice-to-smbr-post.cc)."""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.lat.io import read_lattice_ark
+    from kaldi_tpu.lat.functions import lattice_scale
+    from kaldi_tpu.lat.posteriors import (
+        lattice_forward_backward_mpe_variants)
+    from kaldi_tpu.hmm.posterior import write_post_line
+    model = load_gmm_system(args.model)
+    ali = _read_ali_dict(args.ali_rspecifier)
+    sil = {int(p) for p in args.silence_phones.split(":") if p}
+    n, tot_acc, frames = 0, 0.0, 0
+    with open(args.post_out, "w") as f:
+        for key, lat in read_lattice_ark(args.lattice_ark):
+            if key not in ali:
+                continue
+            lattice_scale(lat, lm_scale=args.lm_scale,
+                          acoustic_scale=args.acoustic_scale)
+            post, acc = lattice_forward_backward_mpe_variants(
+                lat, ali[key], model.trans_model,
+                criterion=args.criterion, silence_phones=sil,
+                one_silence_class=not args.no_one_silence_class)
+            write_post_line(f, key, post)
+            tot_acc += acc
+            frames += len(post)
+            n += 1
+    print(f"lattice-to-{args.criterion}-post: {n} lattices, avg "
+          f"accuracy/frame {tot_acc / max(frames, 1):.4f}",
+          file=sys.stderr)
+
+
+def cmd_lattice_boost_ali(args):
+    """Boosted-MMI lattice boosting against the numerator alignment
+    (ref: latbin/lattice-boost-ali.cc)."""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.lat.io import read_lattice_ark, write_lattice_ark
+    from kaldi_tpu.lat.posteriors import lattice_boost
+    model = load_gmm_system(args.model)
+    ali = _read_ali_dict(args.ali_rspecifier)
+    sil = {int(p) for p in args.silence_phones.split(":") if p}
+    out = {}
+    for key, lat in read_lattice_ark(args.lattice_ark):
+        if key not in ali:
+            continue
+        out[key] = lattice_boost(
+            lat, ali[key], model.trans_model, args.b,
+            silence_phones=sil,
+            max_silence_error=args.max_silence_error)
+    write_lattice_ark(args.out_ark, out)
+    print(f"lattice-boost-ali: {len(out)} lattices, b={args.b}",
+          file=sys.stderr)
+
+
+def cmd_lattice_lmrescore(args):
+    """Add lm_scale * G-costs by composing each lattice with a backoff
+    word acceptor; run with --lm-scale=-1 on the old G then +1 on the
+    new one to swap LMs (ref: latbin/lattice-lmrescore.cc)."""
+    from kaldi_tpu.lat.io import read_lattice_ark, write_lattice_ark
+    from kaldi_tpu.lat.functions import compose_lattice_with_lm
+    from kaldi_tpu.fst.text_io import load_fst
+    g = load_fst(args.g_fst)
+    out = {}
+    for key, lat in read_lattice_ark(args.lattice_ark):
+        out[key] = compose_lattice_with_lm(
+            lat, g, backoff_label=args.backoff_symbol,
+            lm_scale=args.lm_scale)
+    write_lattice_ark(args.out_ark, out)
+    print(f"lattice-lmrescore: {len(out)} lattices, "
+          f"lm_scale={args.lm_scale}", file=sys.stderr)
+
+
+def cmd_lattice_to_phone_lattice(args):
+    """Replace word output labels with phone labels read off the
+    transition-ids (ref: latbin/lattice-to-phone-lattice.cc)."""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.lat.io import read_lattice_ark, write_lattice_ark
+    from kaldi_tpu.lat.align import phone_align_lattice
+    model = load_gmm_system(args.model)
+    out = {}
+    for key, lat in read_lattice_ark(args.lattice_ark):
+        out[key] = phone_align_lattice(lat, model.trans_model,
+                                       replace_output_symbols=True)
+    write_lattice_ark(args.out_ark, out)
+    print(f"lattice-to-phone-lattice: {len(out)} lattices",
+          file=sys.stderr)
+
+
+def cmd_lattice_align_phones(args):
+    """Re-segment lattice arcs on phone boundaries
+    (ref: latbin/lattice-align-phones.cc)."""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.lat.io import read_lattice_ark, write_lattice_ark
+    from kaldi_tpu.lat.align import phone_align_lattice
+    model = load_gmm_system(args.model)
+    out = {}
+    for key, lat in read_lattice_ark(args.lattice_ark):
+        out[key] = phone_align_lattice(
+            lat, model.trans_model,
+            replace_output_symbols=args.replace_output_symbols)
+    write_lattice_ark(args.out_ark, out)
+    print(f"lattice-align-phones: {len(out)} lattices", file=sys.stderr)
+
+
+def cmd_lattice_equivalent(args):
+    """Exit 0 iff the two archives' lattices are best-path equivalent
+    within delta (a practical stand-in for the reference's randomized
+    equivalence test; ref: latbin/lattice-equivalent.cc)."""
+    from kaldi_tpu.lat.io import read_lattice_ark
+    from kaldi_tpu.lat.functions import lattice_best_path
+    a = dict(read_lattice_ark(args.ark_a))
+    b = dict(read_lattice_ark(args.ark_b))
+    n_bad = 0
+    for key in sorted(set(a) | set(b)):
+        if key not in a or key not in b:
+            n_bad += 1
+            continue
+        ra, rb = lattice_best_path(a[key]), lattice_best_path(b[key])
+        if (ra is None) != (rb is None):
+            n_bad += 1
+            continue
+        if ra is None:
+            continue
+        if ra[0] != rb[0] or abs(ra[2] - rb[2]) > args.delta:
+            n_bad += 1
+    print(f"lattice-equivalent: {n_bad} differ "
+          f"of {len(set(a) | set(b))}", file=sys.stderr)
+    if n_bad:
+        sys.exit(1)
+
+
+def cmd_lattice_limit_depth(args):
+    """Prune with progressively tighter beams until mean depth is under
+    the cap (ref: latbin/lattice-limit-depth.cc)."""
+    from kaldi_tpu.lat.io import read_lattice_ark, write_lattice_ark
+    from kaldi_tpu.lat.functions import prune_lattice
+    from kaldi_tpu.lat.posteriors import lattice_state_times
+    out = {}
+    for key, lat in read_lattice_ark(args.lattice_ark):
+        costs = [a.cost for arcs in lat.arcs for a in arcs]
+        beam = max(1.0, float(np.ptp(costs))) if costs else 1.0
+        for _ in range(10):
+            _times, T = lattice_state_times(lat)
+            n_arcs = sum(1 for arcs in lat.arcs for a in arcs
+                         if a.ilabel != 0)
+            if n_arcs / max(T, 1) <= args.max_depth:
+                break
+            lat = prune_lattice(lat, beam)
+            beam *= 0.5       # tighten until under the depth cap
+        out[key] = lat
+    write_lattice_ark(args.out_ark, out)
+    print(f"lattice-limit-depth: {len(out)} lattices", file=sys.stderr)
+
+
 def cmd_compile_train_graphs(args):
     """Per-utterance training graphs from transcripts
     (ref: bin/compile-train-graphs.cc); prints states/arcs per utt."""
@@ -2347,6 +2586,126 @@ def cmd_gmm_global_get_frame_likes(args):
     print(f"gmm-global-get-frame-likes: {n} utts", file=sys.stderr)
 
 
+def cmd_gmm_acc_stats(args):
+    """GMM + transition stats weighted by soft posteriors from a post
+    file (ref: gmmbin/gmm-acc-stats.cc — the denominator-stats path of
+    discriminative training)."""
+    from kaldi_tpu.io.model_io import load_gmm_system, save_gmm_accs
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.hmm.posterior import read_post_ark
+    from kaldi_tpu.gmm.estimation import AccumAmDiagGmm
+    model = load_gmm_system(args.model)
+    am, tm = model.am, model.trans_model
+    acc = AccumAmDiagGmm(am)
+    trans_counts = np.zeros(tm.num_transition_ids + 1, np.float64)
+    feats = {k: v for (k, v) in open_rspecifier(args.rspecifier)}
+    n = 0
+    for utt, post in read_post_ark(args.post_in):
+        if utt not in feats:
+            continue
+        acc.accumulate_from_posteriors(
+            am, feats[utt], _post_to_pdf_post(post, tm))
+        for t, entries in enumerate(post):
+            for tid, w in entries:
+                trans_counts[int(tid)] += w
+        n += 1
+    save_gmm_accs(args.accs_out, acc, trans_counts)
+    print(f"gmm-acc-stats: {n} utts", file=sys.stderr)
+
+
+def cmd_gmm_est_gaussians_ebw(args):
+    """Discriminative (EBW) mean/variance update from numerator and
+    denominator accs (ref: gmmbin/gmm-est-gaussians-ebw.cc)."""
+    from kaldi_tpu.io.model_io import (load_gmm_system, load_gmm_accs,
+                                       save_gmm_system)
+    from kaldi_tpu.gmm.ebw import EbwOptions, update_ebw_diag_gmm
+    model = load_gmm_system(args.model)
+    num, _tc = load_gmm_accs(args.num_accs)
+    den, _tc = load_gmm_accs(args.den_accs)
+    opts = EbwOptions(E=args.E, tau=args.tau)
+    for pdf in range(model.am.num_pdfs):
+        g, _impr, _cnt = update_ebw_diag_gmm(
+            model.am.pdfs[pdf], num.accs[pdf], den.accs[pdf], opts)
+        model.am.pdfs[pdf] = g
+    model.am.invalidate()
+    save_gmm_system(args.model_out, model)
+    print(f"gmm-est-gaussians-ebw: updated {model.am.num_pdfs} pdfs",
+          file=sys.stderr)
+
+
+def cmd_gmm_est_weights_ebw(args):
+    """EBW mixture-weight update (ref: gmmbin/gmm-est-weights-ebw.cc)."""
+    from kaldi_tpu.io.model_io import (load_gmm_system, load_gmm_accs,
+                                       save_gmm_system)
+    from kaldi_tpu.gmm.ebw import update_ebw_weights_diag_gmm
+    model = load_gmm_system(args.model)
+    num, _tc = load_gmm_accs(args.num_accs)
+    den, _tc = load_gmm_accs(args.den_accs)
+    for pdf in range(model.am.num_pdfs):
+        model.am.pdfs[pdf] = update_ebw_weights_diag_gmm(
+            model.am.pdfs[pdf], num.accs[pdf], den.accs[pdf],
+            weight_tau=args.weight_tau)
+    model.am.invalidate()
+    save_gmm_system(args.model_out, model)
+    print(f"gmm-est-weights-ebw: updated {model.am.num_pdfs} pdfs",
+          file=sys.stderr)
+
+
+def cmd_gmm_global_sum_accs(args):
+    """(ref: gmmbin/gmm-global-sum-accs.cc)"""
+    blobs = None
+    for p in args.accs_in:
+        z = dict(np.load(p))
+        if blobs is None:
+            blobs = z
+        else:
+            assert bool(z["full"]) == bool(blobs["full"])
+            for k in z:
+                if k != "full":
+                    blobs[k] = blobs[k] + z[k]
+    np.savez(open(args.accs_out, "wb"), **blobs)
+    print(f"gmm-global-sum-accs: {len(args.accs_in)} files",
+          file=sys.stderr)
+
+
+def cmd_gmm_copy(args):
+    """(ref: gmmbin/gmm-copy.cc)"""
+    from kaldi_tpu.io.model_io import load_gmm_system, save_gmm_system
+    save_gmm_system(args.model_out, load_gmm_system(args.model))
+    print("gmm-copy: done", file=sys.stderr)
+
+
+def cmd_gmm_transform_means(args):
+    """Left-multiply every Gaussian mean by a linear/affine transform —
+    the MLLT/LDA model-space step (ref: gmmbin/gmm-transform-means.cc)."""
+    from kaldi_tpu.io.model_io import load_gmm_system, save_gmm_system
+    from kaldi_tpu.io.kaldi_io import read_ark
+    from kaldi_tpu.gmm.diag_gmm import DiagGmm
+    model = load_gmm_system(args.model)
+    mats = dict(read_ark(args.transform))
+    if len(mats) != 1:
+        raise SystemExit("gmm-transform-means: transform ark must hold "
+                         "exactly one matrix")
+    (M,) = mats.values()
+    M = np.asarray(M, np.float64)
+    D = model.am.dim
+    if M.shape == (D, D + 1):
+        A, b = M[:, :D], M[:, D]
+    elif M.shape == (D, D):
+        A, b = M, np.zeros(D)
+    else:
+        raise SystemExit(f"gmm-transform-means: transform shape "
+                         f"{M.shape} does not match dim {D}")
+    for pdf in range(model.am.num_pdfs):
+        g = model.am.pdfs[pdf]
+        model.am.pdfs[pdf] = DiagGmm(
+            g.weights, g.means @ A.T + b, g.vars)
+    model.am.invalidate()
+    save_gmm_system(args.model_out, model)
+    print(f"gmm-transform-means: {model.am.num_pdfs} pdfs",
+          file=sys.stderr)
+
+
 def cmd_est_pca(args):
     """PCA transform from pooled features
     (ref: bin/est-pca.cc / matrix-functions.h ComputePca)."""
@@ -3249,6 +3608,123 @@ def main(argv=None):
     q.add_argument("--acoustic-scale", type=float, default=0.1)
     q.add_argument("--frame-shift", type=float, default=0.01)
     q.set_defaults(func=cmd_lattice_to_ctm_conf)
+
+    q = sub.add_parser("lattice-1best")
+    q.add_argument("lattice_ark")
+    q.add_argument("out_ark")
+    q.add_argument("--lm-scale", type=float, default=1.0)
+    q.add_argument("--acoustic-scale", type=float, default=1.0)
+    q.set_defaults(func=cmd_lattice_1best)
+
+    q = sub.add_parser("linear-to-nbest")
+    q.add_argument("transcripts")
+    q.add_argument("out_ark")
+    q.set_defaults(func=cmd_linear_to_nbest)
+
+    q = sub.add_parser("lattice-to-post")
+    q.add_argument("lattice_ark")
+    q.add_argument("post_out")
+    q.add_argument("--lm-scale", type=float, default=1.0)
+    q.add_argument("--acoustic-scale", type=float, default=0.1)
+    q.set_defaults(func=cmd_lattice_to_post)
+
+    for name, crit in (("lattice-to-mpe-post", "mpfe"),
+                       ("lattice-to-smbr-post", "smbr")):
+        q = sub.add_parser(name)
+        q.add_argument("model")
+        q.add_argument("ali_rspecifier")
+        q.add_argument("lattice_ark")
+        q.add_argument("post_out")
+        q.add_argument("--lm-scale", type=float, default=1.0)
+        q.add_argument("--acoustic-scale", type=float, default=0.1)
+        q.add_argument("--silence-phones", default="")
+        q.add_argument("--no-one-silence-class", action="store_true")
+        q.set_defaults(func=cmd_lattice_to_mpe_post, criterion=crit)
+
+    q = sub.add_parser("lattice-boost-ali")
+    q.add_argument("model")
+    q.add_argument("lattice_ark")
+    q.add_argument("ali_rspecifier")
+    q.add_argument("out_ark")
+    q.add_argument("--b", type=float, default=0.05)
+    q.add_argument("--silence-phones", default="")
+    q.add_argument("--max-silence-error", type=float, default=0.0)
+    q.set_defaults(func=cmd_lattice_boost_ali)
+
+    q = sub.add_parser("lattice-lmrescore")
+    q.add_argument("lattice_ark")
+    q.add_argument("g_fst")
+    q.add_argument("out_ark")
+    q.add_argument("--lm-scale", type=float, default=1.0)
+    q.add_argument("--backoff-symbol", type=int, required=True,
+                   help="word-id of the #0 backoff symbol in G")
+    q.set_defaults(func=cmd_lattice_lmrescore)
+
+    q = sub.add_parser("lattice-to-phone-lattice")
+    q.add_argument("model")
+    q.add_argument("lattice_ark")
+    q.add_argument("out_ark")
+    q.set_defaults(func=cmd_lattice_to_phone_lattice)
+
+    q = sub.add_parser("lattice-align-phones")
+    q.add_argument("model")
+    q.add_argument("lattice_ark")
+    q.add_argument("out_ark")
+    q.add_argument("--replace-output-symbols", action="store_true")
+    q.set_defaults(func=cmd_lattice_align_phones)
+
+    q = sub.add_parser("lattice-equivalent")
+    q.add_argument("ark_a")
+    q.add_argument("ark_b")
+    q.add_argument("--delta", type=float, default=0.1)
+    q.set_defaults(func=cmd_lattice_equivalent)
+
+    q = sub.add_parser("lattice-limit-depth")
+    q.add_argument("lattice_ark")
+    q.add_argument("out_ark")
+    q.add_argument("--max-depth", type=int, default=80)
+    q.set_defaults(func=cmd_lattice_limit_depth)
+
+    q = sub.add_parser("gmm-acc-stats")
+    q.add_argument("model")
+    q.add_argument("rspecifier")
+    q.add_argument("post_in")
+    q.add_argument("accs_out")
+    q.set_defaults(func=cmd_gmm_acc_stats)
+
+    q = sub.add_parser("gmm-est-gaussians-ebw")
+    q.add_argument("model")
+    q.add_argument("num_accs")
+    q.add_argument("den_accs")
+    q.add_argument("model_out")
+    q.add_argument("--E", type=float, default=2.0)
+    q.add_argument("--tau", type=float, default=100.0)
+    q.set_defaults(func=cmd_gmm_est_gaussians_ebw)
+
+    q = sub.add_parser("gmm-est-weights-ebw")
+    q.add_argument("model")
+    q.add_argument("num_accs")
+    q.add_argument("den_accs")
+    q.add_argument("model_out")
+    q.add_argument("--weight-tau", type=float, default=10.0)
+    q.set_defaults(func=cmd_gmm_est_weights_ebw)
+
+    for name in ("gmm-global-sum-accs", "fgmm-global-sum-accs"):
+        q = sub.add_parser(name)
+        q.add_argument("accs_out")
+        q.add_argument("accs_in", nargs="+")
+        q.set_defaults(func=cmd_gmm_global_sum_accs)
+
+    q = sub.add_parser("gmm-copy")
+    q.add_argument("model")
+    q.add_argument("model_out")
+    q.set_defaults(func=cmd_gmm_copy)
+
+    q = sub.add_parser("gmm-transform-means")
+    q.add_argument("transform")
+    q.add_argument("model")
+    q.add_argument("model_out")
+    q.set_defaults(func=cmd_gmm_transform_means)
 
     q = sub.add_parser("mkgraph")
     q.add_argument("model")

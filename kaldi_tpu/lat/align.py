@@ -417,7 +417,7 @@ def phone_align_lattice(lat: Lattice, tm, replace_output_symbols=False):
 
     def final_ts(buf):
         for (t, _o, _g, _a) in buf:
-            if tm.is_final(t):
+            if t and tm.is_final(t):
                 return tm.transition_id_to_transition_state(t)
         return None
 
@@ -437,13 +437,18 @@ def phone_align_lattice(lat: Lattice, tm, replace_output_symbols=False):
             out.arcs[src][-1].tids = tids
 
     def flush(origin, buf, dst_ls):
-        tids = tuple(t for (t, _o, _g, _a) in buf)
+        # eps (tid 0) entries are graph arcs swallowed mid-phone; they
+        # contribute weight/olabel but are not part of the phone's tids
+        tids = tuple(t for (t, _o, _g, _a) in buf if t)
         gc = sum(g for (_t, _o, g, _a) in buf)
         ac = sum(a for (_t, _o, _g, a) in buf)
         ol = next((o for (_t, o, _g, _a) in buf if o != 0), 0)
+        dst = get(dst_ls)
+        if not tids:           # weight/word-only buffer: emit an eps arc
+            add_arc_once(origin, 0, ol, gc, ac, dst)
+            return dst
         if replace_output_symbols:
             ol = tm.transition_id_to_phone(tids[0])
-        dst = get(dst_ls)
         add_arc_once(origin, tids[0], ol, gc, ac, dst, tids)
         return dst
 
@@ -466,10 +471,13 @@ def phone_align_lattice(lat: Lattice, tm, replace_output_symbols=False):
             info = (arc.ilabel, arc.olabel, arc.graph_cost,
                     arc.acoustic_cost)
             if arc.ilabel == 0:
-                # eps/word-only arc: a phone boundary must already hold
+                if buf and fts is None:
+                    # mid-phone graph eps (word arcs, HCLG back-arcs):
+                    # swallow its weight/word into the open phone, like
+                    # the reference aligner's ComputationState
+                    push((arc.nextstate, buf + (info,), origin))
+                    continue
                 if buf:
-                    if fts is None:
-                        continue  # mid-phone eps: ill-formed path, drop
                     origin2 = flush(origin, buf, ls)
                 else:
                     origin2 = origin
@@ -492,8 +500,10 @@ def phone_align_lattice(lat: Lattice, tm, replace_output_symbols=False):
                     push((arc.nextstate, (info,), origin2))
             else:
                 push((arc.nextstate, buf + (info,), origin))
-        # a completed phone ending exactly at a final lattice state
-        if buf and fts is not None and ls in lat.finals:
+        # a phone ending at a final lattice state — complete, or truncated
+        # by the end of the utterance (the reference emits partial phones
+        # too, flagging error_state_; we keep them silently)
+        if buf and ls in lat.finals:
             dst = flush(origin, buf, ls)
             g, a = lat.finals[ls]
             out.set_final(dst, g, a)
