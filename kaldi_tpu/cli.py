@@ -3096,6 +3096,251 @@ def cmd_train_tdnn(args):
           file=sys.stderr)
 
 
+def _read_egs_dir(egs_dir):
+    """-> egs dict {feats, targets, weights} concatenated over archives."""
+    import glob as _glob
+    from kaldi_tpu.io.kaldi_io import read_ark
+    feats, targets = [], []
+    for p in sorted(_glob.glob(os.path.join(egs_dir, "egs.*.ark"))):
+        a = p.rsplit("egs.", 1)[1].split(".ark")[0]
+        targ = dict(read_ark(os.path.join(egs_dir, f"targets.{a}.ark")))
+        for k, x in read_ark(p):
+            feats.append(x)
+            targets.append(targ[k].astype(np.int32))
+    if not feats:
+        raise SystemExit(f"no egs archives under {egs_dir}")
+    f = np.stack(feats)
+    t = np.stack(targets)
+    return {"feats": f, "targets": t,
+            "weights": np.ones(t.shape, np.float32)}
+
+
+def cmd_nnet_get_egs(args):
+    """Dump frame-chunk training examples with context to randomized
+    archives (ref: nnet2bin/nnet-get-egs.cc + steps/nnet2/get_egs2.sh)."""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.steps.egs import dump_egs
+    model = load_gmm_system(args.model)
+    tm = model.trans_model
+    feats = {k: v for (k, v) in open_rspecifier(args.rspecifier)}
+    aligned = []
+    for utt, ali in open_rspecifier(args.ali_rspecifier):
+        if utt in feats:
+            tids = np.asarray(ali, np.int64)
+            aligned.append((feats[utt].astype(np.float32),
+                            tm.id2pdf_array[tids]))
+    n = dump_egs(aligned, args.left_context, args.right_context,
+                 args.chunk, args.egs_dir,
+                 num_archives=args.num_archives,
+                 compress=not args.no_compress, seed=args.seed)
+    print(f"nnet-get-egs: {len(aligned)} utts -> {n} archives",
+          file=sys.stderr)
+
+
+def _rewrite_egs(in_dir, out_dir, transform, num_archives, seed):
+    """Shared egs-archive rewriter: reads all (feats, target) examples,
+    applies `transform(examples, rng) -> examples`, writes round-robin
+    into num_archives archives."""
+    import glob as _glob
+    from kaldi_tpu.io.kaldi_io import read_ark, write_ark
+    rng = np.random.RandomState(seed)
+    examples = []
+    for p in sorted(_glob.glob(os.path.join(in_dir, "egs.*.ark"))):
+        a = p.rsplit("egs.", 1)[1].split(".ark")[0]
+        targ = dict(read_ark(os.path.join(in_dir, f"targets.{a}.ark")))
+        for k, x in read_ark(p):
+            examples.append((k, x, targ[k]))
+    examples = transform(examples, rng)
+    os.makedirs(out_dir, exist_ok=True)
+    buckets = [[] for _ in range(num_archives)]
+    for i, ex in enumerate(examples):
+        buckets[i % num_archives].append(ex)
+    for a, items in enumerate(buckets):
+        write_ark(os.path.join(out_dir, f"egs.{a}.ark"),
+                  {k: x for (k, x, _y) in items})
+        write_ark(os.path.join(out_dir, f"targets.{a}.ark"),
+                  {k: y for (k, _x, y) in items})
+    return len(examples)
+
+
+def cmd_nnet_copy_egs(args):
+    """Redistribute egs across archives (ref: nnet2bin/nnet-copy-egs.cc)."""
+    n = _rewrite_egs(args.egs_in, args.egs_out, lambda ex, rng: ex,
+                     args.num_archives, args.seed)
+    print(f"nnet-copy-egs: {n} examples -> {args.num_archives} archives",
+          file=sys.stderr)
+
+
+def cmd_nnet_shuffle_egs(args):
+    """(ref: nnet2bin/nnet-shuffle-egs.cc)"""
+    def shuf(ex, rng):
+        order = rng.permutation(len(ex))
+        return [ex[i] for i in order]
+    n = _rewrite_egs(args.egs_in, args.egs_out, shuf,
+                     args.num_archives, args.seed)
+    print(f"nnet-shuffle-egs: {n} examples", file=sys.stderr)
+
+
+def cmd_nnet_subset_egs(args):
+    """(ref: nnet2bin/nnet-subset-egs.cc)"""
+    def take(ex, rng):
+        if args.randomize:
+            order = rng.permutation(len(ex))[: args.n]
+            return [ex[i] for i in sorted(order)]
+        return ex[: args.n]
+    n = _rewrite_egs(args.egs_in, args.egs_out, take, 1, args.seed)
+    print(f"nnet-subset-egs: kept {n}", file=sys.stderr)
+
+
+def cmd_nnet_am_init(args):
+    """Random-init a multisplice TDNN AmNnet sized to a GMM system's
+    pdf count (ref: nnet2bin/nnet-am-init.cc + nnet-init)."""
+    import jax
+    from kaldi_tpu.io.model_io import load_gmm_system, save_am_nnet
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.nnet.tdnn import Tdnn, TdnnConfig
+    from kaldi_tpu.nnet.am_nnet import AmNnet
+    model = load_gmm_system(args.model)
+    _k, f0 = next(iter(open_rspecifier(args.rspecifier)))
+    splice = tuple(tuple(int(t) for t in grp.split(","))
+                   for grp in args.splice_indexes.split(";"))
+    cfg = TdnnConfig(feat_dim=f0.shape[1],
+                     num_pdfs=model.am.num_pdfs,
+                     splice_indexes=splice,
+                     hidden_dim=args.hidden_dim,
+                     pnorm_output_dim=args.pnorm_output_dim,
+                     nonlinearity=args.nonlinearity)
+    net = Tdnn(cfg)
+    params = net.init(jax.random.PRNGKey(args.seed))
+    save_am_nnet(args.nnet_out, AmNnet(net, params))
+    print(f"nnet-am-init: {cfg.num_pdfs} pdfs, "
+          f"{len(cfg.splice_indexes)} layers", file=sys.stderr)
+
+
+def cmd_nnet_train_simple(args):
+    """SGD over an egs dir, one process (ref: nnet2bin/nnet-train-simple.cc)."""
+    from kaldi_tpu.io.model_io import load_am_nnet, save_am_nnet
+    from kaldi_tpu.nnet.train import NnetTrainOpts, train_epochs
+    am = load_am_nnet(args.nnet_in)
+    egs = _read_egs_dir(args.egs_dir)
+    params, history = train_epochs(
+        am.model, am.params, egs,
+        NnetTrainOpts(initial_lr=args.initial_lr, final_lr=args.final_lr,
+                      num_epochs=args.num_epochs,
+                      minibatch_size=args.minibatch_size,
+                      momentum=args.momentum))
+    save_am_nnet(args.nnet_out, am.replace_params(params))
+    if history:
+        print(f"nnet-train-simple: final loss {history[-1][2]:.3f} "
+              f"acc {history[-1][3]:.3f}", file=sys.stderr)
+
+
+def cmd_nnet_am_info(args):
+    """(ref: nnet2bin/nnet-am-info.cc)"""
+    from kaldi_tpu.io.model_io import load_am_nnet
+    am = load_am_nnet(args.nnet)
+    cfg = am.model.config
+    n_params = sum(int(np.prod(np.shape(v)))
+                   for layer in am.params["layers"] for v in layer.values())
+    n_params += sum(int(np.prod(np.shape(v)))
+                    for v in am.params["final"].values())
+    print(f"num-components {len(cfg.splice_indexes) + 1}")
+    print(f"num-pdfs {cfg.num_pdfs}")
+    print(f"input-dim {cfg.feat_dim}")
+    print(f"left-context {cfg.left_context}")
+    print(f"right-context {cfg.right_context}")
+    print(f"num-parameters {n_params}")
+    for i, ctx in enumerate(cfg.splice_indexes):
+        print(f"layer {i} splice {list(ctx)} hidden {cfg.hidden_dim} "
+              f"({cfg.nonlinearity})")
+
+
+def cmd_nnet_am_copy(args):
+    """(ref: nnet2bin/nnet-am-copy.cc)"""
+    from kaldi_tpu.io.model_io import load_am_nnet, save_am_nnet
+    save_am_nnet(args.nnet_out, load_am_nnet(args.nnet_in))
+    print("nnet-am-copy: done", file=sys.stderr)
+
+
+def cmd_nnet_am_average(args):
+    """Average parameters of N models (ref: nnet2bin/nnet-am-average.cc —
+    the reduce step of parallel-SGD-with-model-averaging)."""
+    from kaldi_tpu.io.model_io import load_am_nnet, save_am_nnet
+    from kaldi_tpu.nnet.combine import average_params
+    ams = [load_am_nnet(p) for p in args.nnets_in]
+    params = average_params([a.params for a in ams])
+    out = ams[0].replace_params(params)
+    out.priors = np.mean([a.priors for a in ams], axis=0)
+    save_am_nnet(args.nnet_out, out)
+    print(f"nnet-am-average: {len(ams)} models", file=sys.stderr)
+
+
+def cmd_nnet_combine_fast(args):
+    """Validation-loss-optimal model combination
+    (ref: nnet2bin/nnet-combine-fast.cc)."""
+    import jax.numpy as jnp
+    from kaldi_tpu.io.model_io import load_am_nnet, save_am_nnet
+    from kaldi_tpu.nnet.combine import combine_params
+    from kaldi_tpu.nnet.train import cross_entropy_loss
+    ams = [load_am_nnet(p) for p in args.nnets_in]
+    egs = _read_egs_dir(args.valid_egs)
+    feats = jnp.asarray(egs["feats"])
+    targets = jnp.asarray(egs["targets"])
+    weights = jnp.asarray(egs["weights"])
+    model = ams[0].model
+
+    def loss_fn(params):
+        return cross_entropy_loss(model, params, feats, targets,
+                                  weights)[0]
+
+    params, final_loss = combine_params(
+        [a.params for a in ams], loss_fn, num_steps=args.num_steps)
+    save_am_nnet(args.nnet_out, ams[0].replace_params(params))
+    print(f"nnet-combine-fast: {len(ams)} models, valid loss "
+          f"{final_loss:.4f}", file=sys.stderr)
+
+
+def cmd_nnet_adjust_priors(args):
+    """priors := average posterior over held-out features
+    (ref: nnet2bin/nnet-adjust-priors.cc)."""
+    from kaldi_tpu.io.model_io import load_am_nnet, save_am_nnet
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    am = load_am_nnet(args.nnet_in)
+    batches = (f.astype(np.float32)[None]
+               for (_k, f) in open_rspecifier(args.rspecifier))
+    am.set_priors_from_posteriors(batches)
+    save_am_nnet(args.nnet_out, am)
+    print(f"nnet-adjust-priors: prior entropy "
+          f"{-np.sum(am.priors * np.log(np.maximum(am.priors, 1e-20))):.3f}",
+          file=sys.stderr)
+
+
+def cmd_nnet_latgen_faster(args):
+    """Hybrid nnet2 lattice-generating decode
+    (ref: nnet2bin/nnet-latgen-faster.cc)."""
+    from kaldi_tpu.io.model_io import (load_gmm_system, load_am_nnet,
+                                       load_hclg)
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    model = load_gmm_system(args.model)
+    am = load_am_nnet(args.nnet)
+    packed = load_hclg(args.graph)
+    items = list(open_rspecifier(args.rspecifier))
+    B = len(items)
+    T = max(f.shape[0] for (_k, f) in items)
+    D = items[0][1].shape[1]
+    feats = np.zeros((B, T, D), np.float32)
+    nf = np.zeros(B, np.int32)
+    for b, (_k, f) in enumerate(items):
+        feats[b, : f.shape[0]] = f
+        nf[b] = f.shape[0]
+    ll = np.array(am.loglikes_np(feats), np.float32)
+    for b in range(B):
+        ll[b, nf[b]:] = -1e10
+    _latgen_from_loglikes(packed, [k for (k, _f) in items], ll, nf,
+                          args, sym=model.lang.words.sym)
+
+
 def cmd_train_nnet3(args):
     """nnet3 training from GMM alignments: config-built TDNN or LSTM
     (ref: steps/nnet3/train_{tdnn,lstm}.sh + nnet3bin/nnet3-train)."""
@@ -4128,6 +4373,106 @@ def main(argv=None):
     q.add_argument("--minibatch-size", type=int, default=64)
     q.add_argument("--momentum", type=float, default=0.9)
     q.set_defaults(func=cmd_train_tdnn)
+
+    q = sub.add_parser("nnet-get-egs")
+    q.add_argument("model")
+    q.add_argument("rspecifier")
+    q.add_argument("ali_rspecifier")
+    q.add_argument("egs_dir")
+    q.add_argument("--left-context", type=int, default=13)
+    q.add_argument("--right-context", type=int, default=9)
+    q.add_argument("--chunk", type=int, default=8)
+    q.add_argument("--num-archives", type=int, default=2)
+    q.add_argument("--no-compress", action="store_true")
+    q.add_argument("--seed", type=int, default=0)
+    q.set_defaults(func=cmd_nnet_get_egs)
+
+    q = sub.add_parser("nnet-copy-egs")
+    q.add_argument("egs_in")
+    q.add_argument("egs_out")
+    q.add_argument("--num-archives", type=int, default=2)
+    q.add_argument("--seed", type=int, default=0)
+    q.set_defaults(func=cmd_nnet_copy_egs)
+
+    q = sub.add_parser("nnet-shuffle-egs")
+    q.add_argument("egs_in")
+    q.add_argument("egs_out")
+    q.add_argument("--num-archives", type=int, default=1)
+    q.add_argument("--seed", type=int, default=0)
+    q.set_defaults(func=cmd_nnet_shuffle_egs)
+
+    q = sub.add_parser("nnet-subset-egs")
+    q.add_argument("egs_in")
+    q.add_argument("egs_out")
+    q.add_argument("--n", type=int, default=1000)
+    q.add_argument("--randomize", action="store_true")
+    q.add_argument("--seed", type=int, default=0)
+    q.set_defaults(func=cmd_nnet_subset_egs)
+
+    q = sub.add_parser("nnet-am-init")
+    q.add_argument("model")
+    q.add_argument("rspecifier", help="features (to size the input dim)")
+    q.add_argument("nnet_out")
+    q.add_argument("--splice-indexes",
+                   default="-2,-1,0,1,2;-1,2;-3,3;0")
+    q.add_argument("--hidden-dim", type=int, default=256)
+    q.add_argument("--pnorm-output-dim", type=int, default=64)
+    q.add_argument("--nonlinearity", default="pnorm",
+                   choices=["pnorm", "relu"])
+    q.add_argument("--seed", type=int, default=0)
+    q.set_defaults(func=cmd_nnet_am_init)
+
+    q = sub.add_parser("nnet-train-simple")
+    q.add_argument("nnet_in")
+    q.add_argument("egs_dir")
+    q.add_argument("nnet_out")
+    q.add_argument("--initial-lr", type=float, default=0.04)
+    q.add_argument("--final-lr", type=float, default=0.004)
+    q.add_argument("--num-epochs", type=int, default=4)
+    q.add_argument("--minibatch-size", type=int, default=128)
+    q.add_argument("--momentum", type=float, default=0.9)
+    q.set_defaults(func=cmd_nnet_train_simple)
+
+    q = sub.add_parser("nnet-am-info")
+    q.add_argument("nnet")
+    q.set_defaults(func=cmd_nnet_am_info)
+
+    q = sub.add_parser("nnet-am-copy")
+    q.add_argument("nnet_in")
+    q.add_argument("nnet_out")
+    q.set_defaults(func=cmd_nnet_am_copy)
+
+    q = sub.add_parser("nnet-am-average")
+    q.add_argument("nnet_out")
+    q.add_argument("nnets_in", nargs="+")
+    q.set_defaults(func=cmd_nnet_am_average)
+
+    q = sub.add_parser("nnet-combine-fast")
+    q.add_argument("valid_egs")
+    q.add_argument("nnet_out")
+    q.add_argument("nnets_in", nargs="+")
+    q.add_argument("--num-steps", type=int, default=50)
+    q.set_defaults(func=cmd_nnet_combine_fast)
+
+    q = sub.add_parser("nnet-adjust-priors")
+    q.add_argument("nnet_in")
+    q.add_argument("rspecifier")
+    q.add_argument("nnet_out")
+    q.set_defaults(func=cmd_nnet_adjust_priors)
+
+    q = sub.add_parser("nnet-latgen-faster")
+    q.add_argument("model")
+    q.add_argument("nnet")
+    q.add_argument("graph")
+    q.add_argument("rspecifier")
+    q.add_argument("--lattice-out", default="")
+    q.add_argument("--transcription-out", default="")
+    q.add_argument("--determinize-lattice", action="store_true")
+    q.add_argument("--beam", type=float, default=16.0)
+    q.add_argument("--lattice-beam", type=float, default=8.0)
+    q.add_argument("--max-active", type=int, default=512)
+    q.add_argument("--acoustic-scale", type=float, default=0.1)
+    q.set_defaults(func=cmd_nnet_latgen_faster)
 
     q = sub.add_parser("online2-wav-nnet2-latgen-faster")
     q.add_argument("model")           # GMM system npz (trans_model+lang)
