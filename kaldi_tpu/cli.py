@@ -2843,6 +2843,181 @@ def cmd_sgmm2_latgen_faster(args):
                           args, sym=gmm.lang.words.sym)
 
 
+def cmd_sgmm2_gselect(args):
+    """Per-frame Gaussian preselection indices
+    (ref: sgmm2bin/sgmm2-gselect.cc)."""
+    from kaldi_tpu.io.model_io import load_sgmm2
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    am = load_sgmm2(args.model)
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for utt, feats in open_rspecifier(args.rspecifier):
+            gsel = am.sgmm.gselect(feats.astype(np.float64),
+                                   args.num_gselect)
+            out.write(utt, np.asarray(gsel, np.float32))
+            n += 1
+    print(f"sgmm2-gselect: {n} utts", file=sys.stderr)
+
+
+def cmd_sgmm2_acc_stats(args):
+    """SGMM2 EM stats from per-frame posteriors
+    (ref: sgmm2bin/sgmm2-acc-stats.cc)."""
+    from kaldi_tpu.io.model_io import (load_sgmm2, load_gmm_system,
+                                       save_sgmm2_accs)
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.hmm.posterior import read_post_ark
+    from kaldi_tpu.sgmm.estimate import Sgmm2Accs
+    am = load_sgmm2(args.model)
+    gmm = load_gmm_system(args.gmm_model)
+    tm = gmm.trans_model
+    feats = {k: v for (k, v) in open_rspecifier(args.rspecifier)}
+    accs = Sgmm2Accs(am.sgmm)
+    n = 0
+    for utt, post in read_post_ark(args.post_in):
+        if utt not in feats:
+            continue
+        pdf_post = _post_to_pdf_post(post, tm)
+        accs.accumulate(am.sgmm, feats[utt].astype(np.float64),
+                        pdf_post, num_gselect=am.num_gselect)
+        n += 1
+    save_sgmm2_accs(args.accs_out, accs)
+    print(f"sgmm2-acc-stats: {n} utts, avg loglike/frame "
+          f"{accs.tot_like / max(accs.tot_frames, 1.0):.4f}",
+          file=sys.stderr)
+
+
+def cmd_sgmm2_sum_accs(args):
+    """(ref: sgmm2bin/sgmm2-sum-accs.cc)"""
+    from kaldi_tpu.io.model_io import load_sgmm2_accs, save_sgmm2_accs
+    total = None
+    for p in args.accs_in:
+        a = load_sgmm2_accs(p)
+        if total is None:
+            total = a
+        else:
+            for j in range(len(total.gamma)):
+                total.gamma[j] += a.gamma[j]
+                total.y[j] += a.y[j]
+            total.Y += a.Y
+            total.Q += a.Q
+            total.S_centered += a.S_centered
+            total.tot_like += a.tot_like
+            total.tot_frames += a.tot_frames
+    save_sgmm2_accs(args.accs_out, total)
+    print(f"sgmm2-sum-accs: {len(args.accs_in)} files", file=sys.stderr)
+
+
+def cmd_sgmm2_est(args):
+    """ML M-step (ref: sgmm2bin/sgmm2-est.cc)."""
+    from kaldi_tpu.io.model_io import (load_sgmm2, load_sgmm2_accs,
+                                       save_sgmm2)
+    from kaldi_tpu.sgmm.estimate import update_sgmm2
+    am = load_sgmm2(args.model)
+    accs = load_sgmm2_accs(args.accs)
+    sgmm = update_sgmm2(am.sgmm, accs, update_flags=args.update_flags)
+    if args.split_substates:
+        sgmm.split_substates(args.split_substates,
+                             state_occs=accs.state_occs())
+    am.sgmm = sgmm
+    save_sgmm2(args.model_out, am)
+    print(f"sgmm2-est: flags {args.update_flags}, avg loglike/frame "
+          f"{accs.tot_like / max(accs.tot_frames, 1.0):.4f}",
+          file=sys.stderr)
+
+
+def cmd_sgmm2_est_ebw(args):
+    """Discriminative EBW M-step from num/den stats
+    (ref: sgmm2bin/sgmm2-est-ebw.cc, estimate-am-sgmm2-ebw.h)."""
+    from kaldi_tpu.io.model_io import (load_sgmm2, load_sgmm2_accs,
+                                       save_sgmm2)
+    from kaldi_tpu.sgmm.ebw import update_sgmm2_ebw, EbwSgmm2Options
+    am = load_sgmm2(args.model)
+    num = load_sgmm2_accs(args.num_accs)
+    den = load_sgmm2_accs(args.den_accs)
+    impr = update_sgmm2_ebw(am.sgmm, num, den, EbwSgmm2Options(),
+                            update_flags=args.update_flags)
+    save_sgmm2(args.model_out, am)
+    print("sgmm2-est-ebw: auxf impr " +
+          " ".join(f"{k}={v:.3f}" for k, v in impr.items()),
+          file=sys.stderr)
+
+
+def cmd_sgmm2_align(args):
+    """Forced alignment with SGMM2 acoustics over per-utterance training
+    graphs (ref: sgmm2bin/sgmm2-align-compiled.cc)."""
+    from kaldi_tpu.io.model_io import load_sgmm2, load_gmm_system
+    from kaldi_tpu.io.kaldi_io import open_wspecifier
+    from kaldi_tpu.fst.graph import TrainingGraphCompiler
+    from kaldi_tpu.decoder.graph_pack import pack_graphs
+    from kaldi_tpu.decoder.viterbi import viterbi_align
+    am = load_sgmm2(args.model)
+    gmm = load_gmm_system(args.gmm_model)
+    utts = _load_train_utts(args.text, args.rspecifier)
+    compiler = TrainingGraphCompiler(gmm.lang, gmm.trans_model,
+                                     gmm.ctx_dep)
+    cache: dict = {}
+    graphs = []
+    for (_u, _f, words) in utts:
+        key = tuple(words)
+        if key not in cache:
+            cache[key] = compiler.compile_transcript(list(words))
+        graphs.append(cache[key])
+    B = len(utts)
+    T = max(f.shape[0] for (_u, f, _w) in utts)
+    D = utts[0][1].shape[1]
+    feats = np.zeros((B, T, D), np.float32)
+    nf = np.zeros(B, np.int32)
+    for b, (_u, f, _w) in enumerate(utts):
+        feats[b, : f.shape[0]] = f
+        nf[b] = f.shape[0]
+    batch = pack_graphs(graphs, gmm.trans_model.id2pdf_array)
+    results = viterbi_align(batch, am.loglikes_np(feats), nf,
+                            args.acoustic_scale)
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for (utt, _f, _w), res in zip(utts, results):
+            if res is None:
+                print(f"sgmm2-align: failed for {utt}", file=sys.stderr)
+                continue
+            out.write(utt, np.asarray(res[0], np.int32))
+            n += 1
+    print(f"sgmm2-align: aligned {n}/{len(utts)}", file=sys.stderr)
+
+
+def cmd_sgmm2_est_spkvecs(args):
+    """Per-speaker vector estimation
+    (ref: sgmm2bin/sgmm2-est-spkvecs.cc)."""
+    from kaldi_tpu.io.model_io import load_sgmm2, load_gmm_system
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    from kaldi_tpu.hmm.posterior import read_post_ark
+    from kaldi_tpu.sgmm.estimate import estimate_speaker_vector
+    am = load_sgmm2(args.model)
+    gmm = load_gmm_system(args.gmm_model)
+    tm = gmm.trans_model
+    utt2spk = _read_utt2spk(args.utt2spk)
+    feats = {k: v for (k, v) in open_rspecifier(args.rspecifier)}
+    by_spk: dict = {}
+    for utt, post in read_post_ark(args.post_in):
+        if utt not in feats:
+            continue
+        spk = utt2spk.get(utt, utt)
+        by_spk.setdefault(spk, []).append(
+            (feats[utt].astype(np.float64),
+             _post_to_pdf_post(post, tm)))
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for spk, pieces in sorted(by_spk.items()):
+            f = np.concatenate([x for (x, _p) in pieces])
+            post: list = []
+            for (_x, p) in pieces:
+                post.extend(p)
+            st = estimate_speaker_vector(am.sgmm, f, post,
+                                         num_gselect=am.num_gselect)
+            out.write(spk, np.asarray(st.v, np.float32))
+            n += 1
+    print(f"sgmm2-est-spkvecs: {n} speakers", file=sys.stderr)
+
+
 def cmd_nnet3_info(args):
     """Print an nnet3 model's structure: dims, context, nodes,
     components, parameter counts (ref: nnet3bin/nnet3-info.cc /
@@ -2899,6 +3074,127 @@ def cmd_nnet3_compute(args):
             out.write(utt, y.astype(np.float32))
             n += 1
     print(f"nnet3-compute: {n} utts", file=sys.stderr)
+
+
+def cmd_nnet3_init(args):
+    """Random-init an nnet3 model from a config file
+    (ref: nnet3bin/nnet3-init.cc + steps/nnet3/make_tdnn_configs.py)."""
+    import jax
+    from kaldi_tpu.nnet3.network import Nnet3
+    from kaldi_tpu.nnet3.training import AmNnet3
+    from kaldi_tpu.io.model_io import save_am_nnet3
+    with open(args.config) as f:
+        net = Nnet3(f.read())
+    params = net.init(jax.random.PRNGKey(args.seed))
+    save_am_nnet3(args.nnet_out, AmNnet3(net, params))
+    print(f"nnet3-init: output-dim {net.dims['output']}, "
+          f"{len(net.components)} components", file=sys.stderr)
+
+
+def cmd_nnet3_train(args):
+    """SGD over an egs dir through the nnet3 trainer
+    (ref: nnet3bin/nnet3-train.cc, nnet3/nnet-training.cc:37)."""
+    from kaldi_tpu.io.model_io import load_am_nnet3, save_am_nnet3
+    from kaldi_tpu.nnet3.training import Nnet3TrainOpts, train_nnet3
+    am = load_am_nnet3(args.nnet_in)
+    egs = _read_egs_dir(args.egs_dir)
+    params, history = train_nnet3(
+        am.model, am.params, egs,
+        Nnet3TrainOpts(initial_lr=args.initial_lr,
+                       final_lr=args.final_lr,
+                       num_epochs=args.num_epochs,
+                       minibatch_size=args.minibatch_size,
+                       momentum=args.momentum))
+    save_am_nnet3(args.nnet_out, am.replace_params(params))
+    if history:
+        print(f"nnet3-train: final loss {history[-1][2]:.3f} "
+              f"acc {history[-1][3]:.3f}", file=sys.stderr)
+
+
+def cmd_nnet3_compute_prob(args):
+    """Diagnostic objective over an egs dir
+    (ref: nnet3bin/nnet3-compute-prob.cc, nnet3/nnet-diagnostics.h:81)."""
+    import jax.numpy as jnp
+    from kaldi_tpu.io.model_io import load_am_nnet3
+    from kaldi_tpu.nnet3.training import nnet3_objective
+    am = load_am_nnet3(args.nnet)
+    egs = _read_egs_dir(args.egs_dir)
+    loss, acc = nnet3_objective(
+        am.model, am.params, jnp.asarray(egs["feats"]),
+        jnp.asarray(egs["targets"]), jnp.asarray(egs["weights"]))
+    print(f"log-probability-per-frame {-float(loss):.4f} "
+          f"accuracy {float(acc):.4f}")
+
+
+def cmd_nnet3_average(args):
+    """(ref: nnet3bin/nnet3-average.cc)"""
+    from kaldi_tpu.io.model_io import load_am_nnet3, save_am_nnet3
+    from kaldi_tpu.nnet.combine import average_params
+    ams = [load_am_nnet3(p) for p in args.nnets_in]
+    out = ams[0].replace_params(average_params([a.params for a in ams]))
+    out.priors = np.mean([a.priors for a in ams], axis=0)
+    save_am_nnet3(args.nnet_out, out)
+    print(f"nnet3-average: {len(ams)} models", file=sys.stderr)
+
+
+def cmd_nnet3_combine(args):
+    """Validation-optimal combination (ref: nnet3bin/nnet3-combine.cc)."""
+    import jax.numpy as jnp
+    from kaldi_tpu.io.model_io import load_am_nnet3, save_am_nnet3
+    from kaldi_tpu.nnet.combine import combine_params
+    from kaldi_tpu.nnet3.training import nnet3_objective
+    ams = [load_am_nnet3(p) for p in args.nnets_in]
+    egs = _read_egs_dir(args.valid_egs)
+    feats = jnp.asarray(egs["feats"])
+    targets = jnp.asarray(egs["targets"])
+    weights = jnp.asarray(egs["weights"])
+    net = ams[0].model
+
+    def loss_fn(params):
+        return nnet3_objective(net, params, feats, targets, weights)[0]
+
+    params, final_loss = combine_params(
+        [a.params for a in ams], loss_fn, num_steps=args.num_steps)
+    save_am_nnet3(args.nnet_out, ams[0].replace_params(params))
+    print(f"nnet3-combine: {len(ams)} models, valid loss "
+          f"{final_loss:.4f}", file=sys.stderr)
+
+
+def cmd_nnet3_adjust_priors(args):
+    """(ref: nnet3bin/nnet3-am-adjust-priors.cc)"""
+    from kaldi_tpu.io.model_io import load_am_nnet3, save_am_nnet3
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    am = load_am_nnet3(args.nnet_in)
+    batches = (f.astype(np.float32)[None]
+               for (_k, f) in open_rspecifier(args.rspecifier))
+    am.set_priors_from_posteriors(batches)
+    save_am_nnet3(args.nnet_out, am)
+    print("nnet3-am-adjust-priors: done", file=sys.stderr)
+
+
+def cmd_nnet3_latgen_faster(args):
+    """Hybrid nnet3 lattice-generating decode
+    (ref: nnet3bin/nnet3-latgen-faster.cc)."""
+    from kaldi_tpu.io.model_io import (load_gmm_system, load_am_nnet3,
+                                       load_hclg)
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    model = load_gmm_system(args.model)
+    am = load_am_nnet3(args.nnet)
+    packed = load_hclg(args.graph)
+    items = list(open_rspecifier(args.rspecifier))
+    B = len(items)
+    T = max(f.shape[0] for (_k, f) in items)
+    D = items[0][1].shape[1]
+    feats = np.zeros((B, T, D), np.float32)
+    nf = np.zeros(B, np.int32)
+    for b, (_k, f) in enumerate(items):
+        feats[b, : f.shape[0]] = f
+        nf[b] = f.shape[0]
+    ll = np.array(am.loglikes_np(feats), np.float32)
+    for b in range(B):
+        ll[b, nf[b]:] = -1e10
+    _latgen_from_loglikes(packed, [k for (k, _f) in items], ll, nf,
+                          args, sym=model.lang.words.sym)
 
 
 def cmd_ivector_mean(args):
@@ -3339,6 +3635,129 @@ def cmd_nnet_latgen_faster(args):
         ll[b, nf[b]:] = -1e10
     _latgen_from_loglikes(packed, [k for (k, _f) in items], ll, nf,
                           args, sym=model.lang.words.sym)
+
+
+def cmd_online2_wav_gmm_latgen_faster(args):
+    """Streaming GMM decoding of a wav.scp with mid-utterance fMLLR and
+    per-speaker adaptation state carried across utterances
+    (ref: online2bin/online2-wav-gmm-latgen-faster.cc)."""
+    from kaldi_tpu.io.model_io import load_gmm_system, load_hclg
+    from kaldi_tpu.io.wave import read_wave
+    from kaldi_tpu.online.features import OnlineFeaturePipeline
+    from kaldi_tpu.online.gmm_decoding import (SingleUtteranceGmmDecoder,
+                                               AdaptationPolicy)
+    from kaldi_tpu.decoder.beam_search import (BeamSearchDecoder,
+                                               BeamSearchOpts)
+    from kaldi_tpu.ops import MfccOpts, FrameOpts
+    gmm = load_gmm_system(args.model)
+    packed = load_hclg(args.graph)
+    base_dec = BeamSearchDecoder(packed, BeamSearchOpts(
+        beam=args.beam, max_active=args.max_active,
+        acoustic_scale=args.acoustic_scale))
+    fo = MfccOpts(frame_opts=FrameOpts(samp_freq=args.sample_frequency,
+                                       dither=0.0),
+                  num_ceps=args.num_ceps)
+    utt2spk = _read_utt2spk(args.utt2spk)
+    states: dict = {}
+    out = open(args.transcription_out, "w") if args.transcription_out \
+        else sys.stdout
+    chunk = int(args.chunk_secs * args.sample_frequency)
+    n = 0
+    for utt, path in _read_wav_scp(args.wav_scp):
+        spk = utt2spk.get(utt, utt)
+        wave, _sr = read_wave(path)
+        w = wave[0]
+        pipe = OnlineFeaturePipeline(fo, delta_order=args.delta_order)
+        sud = SingleUtteranceGmmDecoder(
+            gmm.am, gmm.trans_model, base_dec, pipe,
+            adaptation_state=states.get(spk),
+            policy=AdaptationPolicy(
+                adaptation_first_utt_delay=args.adaptation_delay),
+            is_first_utt=spk not in states,
+            fmllr_min_count=args.fmllr_min_count)
+        for lo in range(0, len(w), chunk):
+            pipe.accept_waveform(w[lo: lo + chunk])
+            sud.advance_decoding()
+        sud.finalize_decoding()
+        states[spk] = sud.get_adaptation_state()
+        res = sud.best_path()
+        words = "" if res is None else " ".join(
+            gmm.lang.words.sym(x) for x in res[0])
+        out.write(f"{utt} {words}\n")
+        n += 1
+    if args.transcription_out:
+        out.close()
+    n_adapt = sum(1 for s in states.values() if s.transform is not None)
+    print(f"online2-wav-gmm-latgen-faster: decoded {n} utts, "
+          f"{n_adapt} speakers adapted", file=sys.stderr)
+
+
+def cmd_feat_to_dim(args):
+    """(ref: featbin/feat-to-dim.cc)"""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    for _k, f in open_rspecifier(args.rspecifier):
+        print(f.shape[1])
+        return
+    raise SystemExit("feat-to-dim: empty archive")
+
+
+def cmd_feat_to_len(args):
+    """(ref: featbin/feat-to-len.cc)"""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    for k, f in open_rspecifier(args.rspecifier):
+        print(f"{k} {f.shape[0]}")
+
+
+def cmd_shift_feats(args):
+    """Shift features in time, replicating edges
+    (ref: featbin/shift-feats.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    s = args.shift
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for k, f in open_rspecifier(args.rspecifier):
+            g = np.roll(f, s, axis=0)
+            if s > 0:
+                g[:s] = f[0]
+            elif s < 0:
+                g[s:] = f[-1]
+            out.write(k, g.astype(np.float32))
+            n += 1
+    print(f"shift-feats: {n} utts shifted by {s}", file=sys.stderr)
+
+
+def cmd_wav_to_duration(args):
+    """(ref: featbin/wav-to-duration.cc)"""
+    from kaldi_tpu.io.wave import read_wave
+    for utt, path in _read_wav_scp(args.wav_scp):
+        wave, sr = read_wave(path)
+        print(f"{utt} {wave.shape[1] / sr:.3f}")
+
+
+def cmd_wav_copy(args):
+    """(ref: featbin/wav-copy.cc)"""
+    from kaldi_tpu.io.wave import read_wave, write_wave
+    wave, sr = read_wave(args.wav_in)
+    write_wave(args.wav_out, wave, sr)
+    print(f"wav-copy: {wave.shape[1]} samples @ {sr:.0f} Hz",
+          file=sys.stderr)
+
+
+def cmd_modify_cmvn_stats(args):
+    """Fake the variance stats to disable variance normalization
+    downstream (ref: featbin/modify-cmvn-stats.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for k, st in open_rspecifier(args.rspecifier):
+            st = np.array(st, np.float64)
+            cnt = st[0, -1]
+            mean = st[0, :-1] / max(cnt, 1.0)
+            # x2 stats become (var=1): E[x^2] = 1 + mean^2
+            st[1, :-1] = (1.0 + mean ** 2) * cnt
+            out.write(k, st.astype(np.float32))
+            n += 1
+    print(f"modify-cmvn-stats: {n} entries", file=sys.stderr)
 
 
 def cmd_train_nnet3(args):
@@ -4495,6 +4914,51 @@ def main(argv=None):
     q.add_argument("workdir")
     q.set_defaults(func=cmd_recipe_yesno_files)
 
+    q = sub.add_parser("online2-wav-gmm-latgen-faster")
+    q.add_argument("model")
+    q.add_argument("graph")
+    q.add_argument("wav_scp")
+    q.add_argument("--transcription-out", default="")
+    q.add_argument("--utt2spk", default="")
+    q.add_argument("--sample-frequency", type=float, default=16000.0)
+    q.add_argument("--num-ceps", type=int, default=13)
+    q.add_argument("--delta-order", type=int, default=2)
+    q.add_argument("--beam", type=float, default=16.0)
+    q.add_argument("--max-active", type=int, default=256)
+    q.add_argument("--acoustic-scale", type=float, default=0.1)
+    q.add_argument("--chunk-secs", type=float, default=0.4)
+    q.add_argument("--adaptation-delay", type=float, default=2.0)
+    q.add_argument("--fmllr-min-count", type=float, default=100.0)
+    q.set_defaults(func=cmd_online2_wav_gmm_latgen_faster)
+
+    q = sub.add_parser("feat-to-dim")
+    q.add_argument("rspecifier")
+    q.set_defaults(func=cmd_feat_to_dim)
+
+    q = sub.add_parser("feat-to-len")
+    q.add_argument("rspecifier")
+    q.set_defaults(func=cmd_feat_to_len)
+
+    q = sub.add_parser("shift-feats")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.add_argument("--shift", type=int, default=0)
+    q.set_defaults(func=cmd_shift_feats)
+
+    q = sub.add_parser("wav-to-duration")
+    q.add_argument("wav_scp")
+    q.set_defaults(func=cmd_wav_to_duration)
+
+    q = sub.add_parser("wav-copy")
+    q.add_argument("wav_in")
+    q.add_argument("wav_out")
+    q.set_defaults(func=cmd_wav_copy)
+
+    q = sub.add_parser("modify-cmvn-stats")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.set_defaults(func=cmd_modify_cmvn_stats)
+
     # --- FST tools (text interchange like the fstbin/OpenFst binaries)
     def _fst_io_parser(name):
         qq = sub.add_parser(name)
@@ -4780,6 +5244,60 @@ def main(argv=None):
     q.add_argument("--acoustic-scale", type=float, default=0.1)
     q.set_defaults(func=cmd_sgmm2_latgen_faster)
 
+    q = sub.add_parser("sgmm2-gselect")
+    q.add_argument("model")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.add_argument("--num-gselect", type=int, default=10)
+    q.set_defaults(func=cmd_sgmm2_gselect)
+
+    q = sub.add_parser("sgmm2-acc-stats")
+    q.add_argument("model")
+    q.add_argument("gmm_model")
+    q.add_argument("rspecifier")
+    q.add_argument("post_in")
+    q.add_argument("accs_out")
+    q.set_defaults(func=cmd_sgmm2_acc_stats)
+
+    q = sub.add_parser("sgmm2-sum-accs")
+    q.add_argument("accs_out")
+    q.add_argument("accs_in", nargs="+")
+    q.set_defaults(func=cmd_sgmm2_sum_accs)
+
+    q = sub.add_parser("sgmm2-est")
+    q.add_argument("model")
+    q.add_argument("accs")
+    q.add_argument("model_out")
+    q.add_argument("--update-flags", default="vMwSc")
+    q.add_argument("--split-substates", type=int, default=0)
+    q.set_defaults(func=cmd_sgmm2_est)
+
+    q = sub.add_parser("sgmm2-est-ebw")
+    q.add_argument("model")
+    q.add_argument("num_accs")
+    q.add_argument("den_accs")
+    q.add_argument("model_out")
+    q.add_argument("--update-flags", default="vMc")
+    q.set_defaults(func=cmd_sgmm2_est_ebw)
+
+    q = sub.add_parser("sgmm2-align")
+    q.add_argument("model")
+    q.add_argument("gmm_model")
+    q.add_argument("text")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.add_argument("--acoustic-scale", type=float, default=0.1)
+    q.set_defaults(func=cmd_sgmm2_align)
+
+    q = sub.add_parser("sgmm2-est-spkvecs")
+    q.add_argument("model")
+    q.add_argument("gmm_model")
+    q.add_argument("rspecifier")
+    q.add_argument("post_in")
+    q.add_argument("wspecifier")
+    q.add_argument("--utt2spk", default="")
+    q.set_defaults(func=cmd_sgmm2_est_spkvecs)
+
     q = sub.add_parser("nnet3-info")
     q.add_argument("model")
     q.set_defaults(func=cmd_nnet3_info)
@@ -4797,6 +5315,100 @@ def main(argv=None):
     q.add_argument("--use-priors", action="store_true",
                    help="subtract log-priors (pseudo-loglikes out)")
     q.set_defaults(func=cmd_nnet3_compute)
+
+    q = sub.add_parser("nnet3-init")
+    q.add_argument("config")
+    q.add_argument("nnet_out")
+    q.add_argument("--seed", type=int, default=0)
+    q.set_defaults(func=cmd_nnet3_init)
+
+    q = sub.add_parser("nnet3-train")
+    q.add_argument("nnet_in")
+    q.add_argument("egs_dir")
+    q.add_argument("nnet_out")
+    q.add_argument("--initial-lr", type=float, default=0.04)
+    q.add_argument("--final-lr", type=float, default=0.004)
+    q.add_argument("--num-epochs", type=int, default=4)
+    q.add_argument("--minibatch-size", type=int, default=128)
+    q.add_argument("--momentum", type=float, default=0.9)
+    q.set_defaults(func=cmd_nnet3_train)
+
+    q = sub.add_parser("nnet3-compute-prob")
+    q.add_argument("nnet")
+    q.add_argument("egs_dir")
+    q.set_defaults(func=cmd_nnet3_compute_prob)
+
+    q = sub.add_parser("nnet3-average")
+    q.add_argument("nnet_out")
+    q.add_argument("nnets_in", nargs="+")
+    q.set_defaults(func=cmd_nnet3_average)
+
+    q = sub.add_parser("nnet3-combine")
+    q.add_argument("valid_egs")
+    q.add_argument("nnet_out")
+    q.add_argument("nnets_in", nargs="+")
+    q.add_argument("--num-steps", type=int, default=50)
+    q.set_defaults(func=cmd_nnet3_combine)
+
+    q = sub.add_parser("nnet3-am-adjust-priors")
+    q.add_argument("nnet_in")
+    q.add_argument("rspecifier")
+    q.add_argument("nnet_out")
+    q.set_defaults(func=cmd_nnet3_adjust_priors)
+
+    q = sub.add_parser("nnet3-latgen-faster")
+    q.add_argument("model")
+    q.add_argument("nnet")
+    q.add_argument("graph")
+    q.add_argument("rspecifier")
+    q.add_argument("--lattice-out", default="")
+    q.add_argument("--transcription-out", default="")
+    q.add_argument("--determinize-lattice", action="store_true")
+    q.add_argument("--beam", type=float, default=16.0)
+    q.add_argument("--lattice-beam", type=float, default=8.0)
+    q.add_argument("--max-active", type=int, default=512)
+    q.add_argument("--acoustic-scale", type=float, default=0.1)
+    q.set_defaults(func=cmd_nnet3_latgen_faster)
+
+    # the nnet3 egs binaries share the nnet2 egs-archive implementation
+    # (ref: nnet3bin/nnet3-get-egs.cc, nnet3-shuffle-egs.cc,
+    #  nnet3-merge-egs.cc, nnet3-copy-egs.cc, nnet3-subset-egs.cc)
+    q = sub.add_parser("nnet3-get-egs")
+    q.add_argument("model")
+    q.add_argument("rspecifier")
+    q.add_argument("ali_rspecifier")
+    q.add_argument("egs_dir")
+    q.add_argument("--left-context", type=int, default=13)
+    q.add_argument("--right-context", type=int, default=9)
+    q.add_argument("--chunk", type=int, default=8)
+    q.add_argument("--num-archives", type=int, default=2)
+    q.add_argument("--no-compress", action="store_true")
+    q.add_argument("--seed", type=int, default=0)
+    q.set_defaults(func=cmd_nnet_get_egs)
+
+    for name in ("nnet3-shuffle-egs",):
+        q = sub.add_parser(name)
+        q.add_argument("egs_in")
+        q.add_argument("egs_out")
+        q.add_argument("--num-archives", type=int, default=1)
+        q.add_argument("--seed", type=int, default=0)
+        q.set_defaults(func=cmd_nnet_shuffle_egs)
+
+    for name in ("nnet3-copy-egs", "nnet3-merge-egs"):
+        q = sub.add_parser(name)
+        q.add_argument("egs_in")
+        q.add_argument("egs_out")
+        q.add_argument("--num-archives", type=int, default=1)
+        q.add_argument("--seed", type=int, default=0)
+        q.set_defaults(func=cmd_nnet_copy_egs)
+
+    q = sub.add_parser("nnet3-subset-egs")
+    q.add_argument("egs_in")
+    q.add_argument("egs_out")
+    q.add_argument("--n", type=int, default=1000)
+    q.add_argument("--randomize", action="store_true")
+    q.add_argument("--seed", type=int, default=0)
+    q.set_defaults(func=cmd_nnet_subset_egs)
 
     q = sub.add_parser("ivector-mean")
     q.add_argument("rspecifier")

@@ -417,3 +417,38 @@ def load_sgmm2(path: str):
     sgmm.c = [z[f"c{j}"] for j in range(J)]
     sgmm._update_derived()
     return SgmmAm(sgmm, int(z["num_gselect"]))
+
+
+def save_sgmm2_accs(path: str, accs) -> None:
+    """Save Sgmm2Accs (ref: MleAmSgmm2Accs::Write — per-state ragged
+    gamma/y plus global Y/Q/S stats)."""
+    blobs = {
+        "__version__": np.int64(FORMAT_VERSION),
+        "__kind__": np.frombuffer(b"sgmm2_accs", dtype=np.uint8),
+        "Y": accs.Y, "Q": accs.Q, "S_centered": accs.S_centered,
+        "tot_like": np.float64(accs.tot_like),
+        "tot_frames": np.float64(accs.tot_frames),
+        "num_states": np.int64(len(accs.gamma)),
+    }
+    for j in range(len(accs.gamma)):
+        blobs[f"gamma{j}"] = accs.gamma[j]
+        blobs[f"y{j}"] = accs.y[j]
+    with open(path, "wb") as f:
+        np.savez(f, **blobs)
+
+
+def load_sgmm2_accs(path: str):
+    """-> an Sgmm2Accs-shaped object (no model needed: shapes ride in)."""
+    from kaldi_tpu.sgmm.estimate import Sgmm2Accs
+    z = np.load(path)
+    assert z["__kind__"].tobytes() == b"sgmm2_accs", "not sgmm2 accs"
+    accs = Sgmm2Accs.__new__(Sgmm2Accs)
+    J = int(z["num_states"])
+    accs.gamma = [z[f"gamma{j}"].copy() for j in range(J)]
+    accs.y = [z[f"y{j}"].copy() for j in range(J)]
+    accs.Y = z["Y"].copy()
+    accs.Q = z["Q"].copy()
+    accs.S_centered = z["S_centered"].copy()
+    accs.tot_like = float(z["tot_like"])
+    accs.tot_frames = float(z["tot_frames"])
+    return accs
