@@ -2113,6 +2113,312 @@ def cmd_post_to_weights(args):
     print(f"post-to-weights: {n} utts", file=sys.stderr)
 
 
+def _post_map_cmd(fn, label):
+    """Wrap a per-utterance posterior transform as a subcommand."""
+    def run(args):
+        from kaldi_tpu.hmm.posterior import read_post_ark, write_post_line
+        n = 0
+        with open(args.post_out, "w") as out:
+            for utt, post in read_post_ark(args.post_in):
+                write_post_line(out, utt, fn(args, post))
+                n += 1
+        print(f"{label}: {n} utts", file=sys.stderr)
+    return run
+
+
+def cmd_copy_post(args):
+    """(ref: bin/copy-post.cc; --scale folds in scale-post.cc)"""
+    from kaldi_tpu.hmm.posterior import read_post_ark, write_post_line, \
+        scale_post
+    n = 0
+    with open(args.post_out, "w") as out:
+        for utt, post in read_post_ark(args.post_in):
+            if args.scale != 1.0:
+                post = scale_post(post, args.scale)
+            write_post_line(out, utt, post)
+            n += 1
+    print(f"copy-post: {n} utts", file=sys.stderr)
+
+
+def cmd_weight_post(args):
+    """Per-frame reweighting by a weights-vector archive
+    (ref: bin/weight-post.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.hmm.posterior import (read_post_ark, write_post_line,
+                                         weight_post)
+    w = {k: np.asarray(v, np.float64)
+         for (k, v) in open_rspecifier(args.weights_rspecifier)}
+    n = 0
+    with open(args.post_out, "w") as out:
+        for utt, post in read_post_ark(args.post_in):
+            if utt not in w:
+                continue
+            write_post_line(out, utt, weight_post(post, w[utt]))
+            n += 1
+    print(f"weight-post: {n} utts", file=sys.stderr)
+
+
+def cmd_thresh_post(args):
+    """Drop entries below the threshold (ref: bin/thresh-post.cc)."""
+    def f(a, post):
+        return [[(i, w) for (i, w) in fr if w >= a.threshold]
+                for fr in post]
+    return _post_map_cmd(f, "thresh-post")(args)
+
+
+def cmd_rand_prune_post(args):
+    """Randomized expectation-preserving pruning: an entry with
+    |w| < scale survives with prob |w|/scale at weight ±scale
+    (ref: bin/rand-prune-post.cc, RandPrune in base/kaldi-math.h)."""
+    rng = np.random.RandomState(args.seed)
+    s = args.scale
+
+    def f(a, post):
+        out = []
+        for fr in post:
+            kept = []
+            for (i, w) in fr:
+                if abs(w) >= s or s == 0:
+                    kept.append((i, w))
+                elif rng.rand() < abs(w) / s:
+                    kept.append((i, s if w > 0 else -s))
+            out.append(kept)
+        return out
+    return _post_map_cmd(f, "rand-prune-post")(args)
+
+
+def cmd_post_to_pdf_post(args):
+    """(ref: bin/post-to-pdf-post.cc)"""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    tm = load_gmm_system(args.model).trans_model
+    return _post_map_cmd(
+        lambda a, post: _post_to_pdf_post(post, tm),
+        "post-to-pdf-post")(args)
+
+
+def cmd_post_to_phone_post(args):
+    """(ref: bin/post-to-phone-post.cc)"""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.hmm.posterior import post_to_phone_post
+    tm = load_gmm_system(args.model).trans_model
+    return _post_map_cmd(
+        lambda a, post: post_to_phone_post(post, tm),
+        "post-to-phone-post")(args)
+
+
+def cmd_prob_to_post(args):
+    """Probability (or log-prob) matrices -> sparse posteriors
+    (ref: bin/prob-to-post.cc, bin/logprob-to-post.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.hmm.posterior import write_post_line
+    n = 0
+    with open(args.post_out, "w") as out:
+        for utt, mat in open_rspecifier(args.rspecifier):
+            p = np.asarray(mat, np.float64)
+            if args.log_input:
+                p = np.exp(p)
+            post = [[(int(i), float(p[t, i]))
+                     for i in np.nonzero(p[t] >= args.min_post)[0]]
+                    for t in range(p.shape[0])]
+            write_post_line(out, utt, post)
+            n += 1
+    print(f"prob-to-post: {n} utts", file=sys.stderr)
+
+
+def cmd_get_post_on_ali(args):
+    """Per-frame posterior of the aligned transition-id — the frame
+    confidence used for frame-weighted training
+    (ref: bin/get-post-on-ali.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    from kaldi_tpu.hmm.posterior import read_post_ark
+    ali = {k: np.asarray(v, np.int64)
+           for (k, v) in open_rspecifier(args.ali_rspecifier)}
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for utt, post in read_post_ark(args.post_in):
+            if utt not in ali:
+                continue
+            a = ali[utt]
+            conf = np.zeros(len(post), np.float32)
+            for t, fr in enumerate(post):
+                if t < len(a):
+                    conf[t] = sum(w for (i, w) in fr if i == a[t])
+            out.write(utt, conf)
+            n += 1
+    print(f"get-post-on-ali: {n} utts", file=sys.stderr)
+
+
+def cmd_post_to_tacc(args):
+    """Sum posterior mass per transition-id over the archive
+    (ref: bin/post-to-tacc.cc)."""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.io.kaldi_io import write_ark
+    from kaldi_tpu.hmm.posterior import read_post_ark
+    tm = load_gmm_system(args.model).trans_model
+    acc = np.zeros(tm.num_transition_ids + 1, np.float64)
+    for _utt, post in read_post_ark(args.post_in):
+        for fr in post:
+            for (i, w) in fr:
+                if 0 <= i < len(acc):
+                    acc[i] += w
+    write_ark(args.acc_out, {"tacc": acc.astype(np.float32)})
+    print(f"post-to-tacc: total {acc.sum():.1f}", file=sys.stderr)
+
+
+def cmd_hmm_info(args):
+    """(ref: bin/hmm-info.cc)"""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    model = load_gmm_system(args.model)
+    tm = model.trans_model
+    print(f"number of phones {len(tm.topo.phones)}")
+    print(f"number of pdfs {tm.num_pdfs}")
+    print(f"number of transition-ids {tm.num_transition_ids}")
+    print(f"number of transition-states {len(tm.tuples)}")
+
+
+def cmd_am_info(args):
+    """(ref: bin/am-info.cc)"""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    model = load_gmm_system(args.model)
+    tm, am = model.trans_model, model.am
+    print(f"number of phones {len(tm.topo.phones)}")
+    print(f"number of pdfs {am.num_pdfs}")
+    print(f"number of transition-ids {tm.num_transition_ids}")
+    print(f"number of transition-states {len(tm.tuples)}")
+    print(f"feature dimension {am.dim}")
+    print(f"number of gaussians {am.total_gauss}")
+
+
+def cmd_copy_tree(args):
+    """(ref: bin/copy-tree.cc; also extracts the tree out of a full
+    GMM-system file)."""
+    from kaldi_tpu.io.model_io import (load_tree, save_tree,
+                                       load_gmm_system)
+    try:
+        ctx = load_tree(args.tree)
+    except Exception:
+        ctx = load_gmm_system(args.tree).ctx_dep
+    save_tree(args.tree_out, ctx)
+    print("copy-tree: done", file=sys.stderr)
+
+
+def cmd_show_alignments(args):
+    """Human-readable phone segmentation of alignments
+    (ref: bin/show-alignments.cc)."""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.lat.align import ali_to_phones
+    model = load_gmm_system(args.model)
+    tm = model.trans_model
+    for utt, ali in open_rspecifier(args.ali_rspecifier):
+        segs = ali_to_phones(tm, np.asarray(ali, np.int64))
+        pretty = " ".join(
+            f"{model.lang.phones.sym(ph)}[{int(round(dur / 0.01))}]"
+            for (ph, _start, dur) in segs)
+        print(f"{utt} {pretty}")
+
+
+def cmd_analyze_counts(args):
+    """Count symbol occurrences in int-vector archives (alignment pdf /
+    phone counts; ref: bin/analyze-counts.cc, bin/pdf-to-counts.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, write_ark
+    counts: dict = {}
+    for _utt, v in open_rspecifier(args.rspecifier):
+        for x in np.asarray(v).ravel():
+            counts[int(x)] = counts.get(int(x), 0) + 1
+    n = max(counts) + 1 if counts else 0
+    vec = np.zeros(n, np.float32)
+    for k, c in counts.items():
+        if k >= 0:
+            vec[k] = c
+    write_ark(args.counts_out, {"counts": vec})
+    print(f"analyze-counts: {int(vec.sum())} symbols, {n} bins",
+          file=sys.stderr)
+
+
+def cmd_matrix_dim(args):
+    """(ref: bin/matrix-dim.cc)"""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    for k, m in open_rspecifier(args.rspecifier):
+        print(f"{k} {m.shape[0]} {m.shape[1]}")
+
+
+def cmd_matrix_sum_rows(args):
+    """(ref: bin/matrix-sum-rows.cc)"""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for k, m in open_rspecifier(args.rspecifier):
+            out.write(k, np.asarray(m, np.float64).sum(0)
+                      .astype(np.float32))
+            n += 1
+    print(f"matrix-sum-rows: {n}", file=sys.stderr)
+
+
+def cmd_vector_scale(args):
+    """(ref: bin/vector-scale.cc)"""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for k, v in open_rspecifier(args.rspecifier):
+            out.write(k, (np.asarray(v, np.float64) * args.scale)
+                      .astype(np.float32))
+            n += 1
+    print(f"vector-scale: {n}", file=sys.stderr)
+
+
+def cmd_transform_vec(args):
+    """Apply a linear/affine transform to every vector
+    (ref: bin/transform-vec.cc)."""
+    from kaldi_tpu.io.kaldi_io import (read_ark, open_rspecifier,
+                                       open_wspecifier)
+    mats = dict(read_ark(args.transform))
+    (M,) = mats.values()
+    M = np.asarray(M, np.float64)
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for k, v in open_rspecifier(args.rspecifier):
+            v = np.asarray(v, np.float64)
+            if M.shape[1] == v.size + 1:
+                y = M[:, :-1] @ v + M[:, -1]
+            else:
+                y = M @ v
+            out.write(k, y.astype(np.float32))
+            n += 1
+    print(f"transform-vec: {n}", file=sys.stderr)
+
+
+def cmd_decode_faster_mapped(args):
+    """Best-path decode from precomputed loglike matrices
+    (ref: bin/decode-faster-mapped.cc)."""
+    from kaldi_tpu.io.model_io import load_hclg
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.decoder.dense import make_decoder
+    from kaldi_tpu.decoder.beam_search import BeamSearchOpts
+    packed = load_hclg(args.graph)
+    items = list(open_rspecifier(args.loglikes_rspecifier))
+    dec = make_decoder(packed, BeamSearchOpts(
+        beam=args.beam, max_active=args.max_active,
+        acoustic_scale=args.acoustic_scale))
+    B = len(items)
+    T = max(m.shape[0] for (_k, m) in items)
+    P = items[0][1].shape[1]
+    ll = np.full((B, T, P), -1e10, np.float32)
+    nf = np.zeros(B, np.int32)
+    for b, (_k, m) in enumerate(items):
+        ll[b, : m.shape[0]] = m
+        nf[b] = m.shape[0]
+    results = dec.decode(ll, nf)
+    out = open(args.transcription_out, "w") if args.transcription_out \
+        else sys.stdout
+    for b, (k, _m) in enumerate(items):
+        words = "" if results[b] is None else " ".join(
+            str(w) for w in results[b][0])
+        out.write(f"{k} {words}\n")
+    if args.transcription_out:
+        out.close()
+
+
 def cmd_acc_tree_stats(args):
     """Per-(context, pdf-class) Gaussian stats from alignments — the
     build-tree input (ref: bin/acc-tree-stats.cc, hmm/tree-accu.h:41)."""
@@ -4634,6 +4940,118 @@ def main(argv=None):
     q.add_argument("post_in")
     q.add_argument("wspecifier")
     q.set_defaults(func=cmd_post_to_weights)
+
+    for name in ("copy-post", "scale-post"):
+        q = sub.add_parser(name)
+        q.add_argument("post_in")
+        q.add_argument("post_out")
+        q.add_argument("--scale", type=float, default=1.0)
+        q.set_defaults(func=cmd_copy_post)
+
+    q = sub.add_parser("weight-post")
+    q.add_argument("post_in")
+    q.add_argument("weights_rspecifier")
+    q.add_argument("post_out")
+    q.set_defaults(func=cmd_weight_post)
+
+    q = sub.add_parser("thresh-post")
+    q.add_argument("post_in")
+    q.add_argument("post_out")
+    q.add_argument("--threshold", type=float, default=0.01)
+    q.set_defaults(func=cmd_thresh_post)
+
+    q = sub.add_parser("rand-prune-post")
+    q.add_argument("post_in")
+    q.add_argument("post_out")
+    q.add_argument("--scale", type=float, default=0.1)
+    q.add_argument("--seed", type=int, default=0)
+    q.set_defaults(func=cmd_rand_prune_post)
+
+    q = sub.add_parser("post-to-pdf-post")
+    q.add_argument("model")
+    q.add_argument("post_in")
+    q.add_argument("post_out")
+    q.set_defaults(func=cmd_post_to_pdf_post)
+
+    q = sub.add_parser("post-to-phone-post")
+    q.add_argument("model")
+    q.add_argument("post_in")
+    q.add_argument("post_out")
+    q.set_defaults(func=cmd_post_to_phone_post)
+
+    for name, log_in in (("prob-to-post", False),
+                         ("logprob-to-post", True)):
+        q = sub.add_parser(name)
+        q.add_argument("rspecifier")
+        q.add_argument("post_out")
+        q.add_argument("--min-post", type=float, default=0.01)
+        q.set_defaults(func=cmd_prob_to_post, log_input=log_in)
+
+    q = sub.add_parser("get-post-on-ali")
+    q.add_argument("post_in")
+    q.add_argument("ali_rspecifier")
+    q.add_argument("wspecifier")
+    q.set_defaults(func=cmd_get_post_on_ali)
+
+    q = sub.add_parser("post-to-tacc")
+    q.add_argument("model")
+    q.add_argument("post_in")
+    q.add_argument("acc_out")
+    q.set_defaults(func=cmd_post_to_tacc)
+
+    q = sub.add_parser("hmm-info")
+    q.add_argument("model")
+    q.set_defaults(func=cmd_hmm_info)
+
+    q = sub.add_parser("am-info")
+    q.add_argument("model")
+    q.set_defaults(func=cmd_am_info)
+
+    q = sub.add_parser("copy-tree")
+    q.add_argument("tree")
+    q.add_argument("tree_out")
+    q.set_defaults(func=cmd_copy_tree)
+
+    q = sub.add_parser("show-alignments")
+    q.add_argument("model")
+    q.add_argument("ali_rspecifier")
+    q.set_defaults(func=cmd_show_alignments)
+
+    for name in ("analyze-counts", "pdf-to-counts"):
+        q = sub.add_parser(name)
+        q.add_argument("rspecifier")
+        q.add_argument("counts_out")
+        q.set_defaults(func=cmd_analyze_counts)
+
+    q = sub.add_parser("matrix-dim")
+    q.add_argument("rspecifier")
+    q.set_defaults(func=cmd_matrix_dim)
+
+    q = sub.add_parser("matrix-sum-rows")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.set_defaults(func=cmd_matrix_sum_rows)
+
+    q = sub.add_parser("vector-scale")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.add_argument("--scale", type=float, default=1.0)
+    q.set_defaults(func=cmd_vector_scale)
+
+    q = sub.add_parser("transform-vec")
+    q.add_argument("transform")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.set_defaults(func=cmd_transform_vec)
+
+    q = sub.add_parser("decode-faster-mapped")
+    q.add_argument("graph")
+    q.add_argument("loglikes_rspecifier")
+    q.add_argument("--transcription-out", default="")
+    q.add_argument("--beam", type=float, default=16.0)
+    q.add_argument("--max-active", type=int, default=512)
+    q.add_argument("--acoustic-scale", type=float, default=0.1)
+    q.set_defaults(func=cmd_decode_faster_mapped)
 
     q = sub.add_parser("acc-tree-stats")
     q.add_argument("model")

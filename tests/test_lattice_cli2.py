@@ -14,6 +14,8 @@ MPE/sMBR posteriors).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from kaldi_tpu.cli import main
 from kaldi_tpu.io.model_io import load_gmm_system
 

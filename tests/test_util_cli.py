@@ -193,6 +193,7 @@ def test_sgmm2_cli_end_to_end(tmp_path, capsys):
     assert len(lats) == 16
 
 
+@pytest.mark.slow
 def test_global_gmm_tools_and_est_pca(tmp_path, capsys):
     """gmm-global-{info,acc-stats,est,get-frame-likes} on diag and full
     UBMs: one EM step via the CLI raises the average loglike
@@ -240,6 +241,7 @@ def test_global_gmm_tools_and_est_pca(tmp_path, capsys):
     assert (x[:30, 0] > 0).all() != (x[30:, 0] > 0).all()
 
 
+@pytest.mark.slow
 def test_basis_fmllr_cli(tmp_path):
     """Basis estimated over training speakers; per-speaker coefficients
     beat identity on the fMLLR auxiliary (ref:
