@@ -1013,6 +1013,138 @@ def cmd_lattice_to_ctm_conf(args):
                   f"{dur * args.frame_shift:.2f} {w} {c:.2f}")
 
 
+def cmd_lattice_to_fst(args):
+    """Lattices -> word FSTs (OpenFst text), weights optionally scaled
+    away like the reference default (ref: latbin/lattice-to-fst.cc)."""
+    from kaldi_tpu.lat.io import read_lattice_ark
+    from kaldi_tpu.fst.fst import Fst
+    from kaldi_tpu.fst.text_io import write_fst_text
+    n = 0
+    with open(args.fsts_out, "w") as out:
+        for key, lat in read_lattice_ark(args.lattice_ark):
+            f = Fst()
+            for _ in range(lat.num_states):
+                f.add_state()
+            f.start = lat.start
+            for s in range(lat.num_states):
+                for a in lat.arcs[s]:
+                    w = (args.lm_scale * a.graph_cost
+                         + args.acoustic_scale * a.acoustic_cost)
+                    f.add_arc(s, a.olabel, a.olabel, w, a.nextstate)
+            for s, (g, ac) in lat.finals.items():
+                f.set_final(s, args.lm_scale * g
+                            + args.acoustic_scale * ac)
+            f.connect()
+            out.write(f"{key}\n")
+            write_fst_text(out, f)
+            out.write("\n")
+            n += 1
+    print(f"lattice-to-fst: {n} lattices", file=sys.stderr)
+
+
+def cmd_lattice_project(args):
+    """Project onto output labels (word acceptor lattices)
+    (ref: latbin/lattice-project.cc)."""
+    from kaldi_tpu.lat.io import read_lattice_ark, write_lattice_ark
+    out = {}
+    for key, lat in read_lattice_ark(args.lattice_ark):
+        for s in range(lat.num_states):
+            for a in lat.arcs[s]:
+                a.ilabel = a.olabel
+        out[key] = lat
+    write_lattice_ark(args.out_ark, out)
+    print(f"lattice-project: {len(out)}", file=sys.stderr)
+
+
+def cmd_lattice_depth_per_frame(args):
+    """(ref: latbin/lattice-depth-per-frame.cc)"""
+    from kaldi_tpu.lat.io import read_lattice_ark
+    from kaldi_tpu.lat.posteriors import lattice_state_times
+    for key, lat in read_lattice_ark(args.lattice_ark):
+        times, T = lattice_state_times(lat)
+        depth = np.zeros(T, np.int64)
+        for s in range(lat.num_states):
+            t = int(times[s])
+            for a in lat.arcs[s]:
+                if a.ilabel and t < T:
+                    depth[t] += 1
+        print(f"{key} " + " ".join(map(str, depth)))
+
+
+def cmd_lattice_confidence(args):
+    """Sentence-level confidence: best-path margin over the runner-up
+    word sequence (ref: latbin/lattice-confidence.cc)."""
+    from kaldi_tpu.lat.io import read_lattice_ark
+    from kaldi_tpu.lat.align import lattice_confidence
+    for key, lat in read_lattice_ark(args.lattice_ark):
+        c = lattice_confidence(lat)
+        print(f"{key} {min(c, args.max_confidence):.4f}")
+
+
+def cmd_nbest_to_ctm(args):
+    """Linear (single-path) lattices -> CTM lines with frame times
+    (ref: latbin/nbest-to-ctm.cc)."""
+    from kaldi_tpu.lat.io import read_lattice_ark
+    from kaldi_tpu.lat.functions import best_path_ctm
+    for key, lat in read_lattice_ark(args.lattice_ark):
+        for (w, s0, dur) in best_path_ctm(lat):
+            print(f"{key} 1 {s0 * args.frame_shift:.2f} "
+                  f"{dur * args.frame_shift:.2f} {w}")
+
+
+def cmd_lattice_rescore_mapped(args):
+    """Replace acoustic costs from new loglike matrices
+    (ref: latbin/lattice-rescore-mapped.cc)."""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.lat.io import read_lattice_ark, write_lattice_ark
+    from kaldi_tpu.lat.posteriors import rescore_lattice
+    tm = load_gmm_system(args.model).trans_model
+    likes = {k: np.asarray(v, np.float64)
+             for (k, v) in open_rspecifier(args.loglikes_rspecifier)}
+    out = {}
+    for key, lat in read_lattice_ark(args.lattice_ark):
+        if key not in likes:
+            continue
+        out[key] = rescore_lattice(lat, likes[key], tm,
+                                   acoustic_scale=args.acoustic_scale)
+    write_lattice_ark(args.out_ark, out)
+    print(f"lattice-rescore-mapped: {len(out)}", file=sys.stderr)
+
+
+def cmd_lattice_add_trans_probs(args):
+    """Add transition log-probs into the graph cost
+    (ref: latbin/lattice-add-trans-probs.cc)."""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.lat.io import read_lattice_ark, write_lattice_ark
+    tm = load_gmm_system(args.model).trans_model
+    out = {}
+    for key, lat in read_lattice_ark(args.lattice_ark):
+        for s in range(lat.num_states):
+            for a in lat.arcs[s]:
+                if a.ilabel:
+                    a.graph_cost -= (args.transition_scale
+                                     * float(tm.log_probs[a.ilabel]))
+        out[key] = lat
+    write_lattice_ark(args.out_ark, out)
+    print(f"lattice-add-trans-probs: {len(out)}", file=sys.stderr)
+
+
+def cmd_lattice_compose(args):
+    """Compose lattices with a word acceptor FST
+    (ref: latbin/lattice-compose.cc)."""
+    from kaldi_tpu.lat.io import read_lattice_ark, write_lattice_ark
+    from kaldi_tpu.lat.functions import compose_lattice_with_lm
+    from kaldi_tpu.fst.text_io import load_fst
+    g = load_fst(args.fst)
+    out = {}
+    for key, lat in read_lattice_ark(args.lattice_ark):
+        out[key] = compose_lattice_with_lm(lat, g, backoff_label=-1,
+                                           lm_scale=1.0)
+    write_lattice_ark(args.out_ark, out)
+    print(f"lattice-compose: {len(out)}", file=sys.stderr)
+
+
 def cmd_lattice_1best(args):
     """Viterbi-best path of each lattice, written as a linear lattice
     (ref: latbin/lattice-1best.cc)."""
@@ -3998,6 +4130,273 @@ def cmd_online2_wav_gmm_latgen_faster(args):
           f"{n_adapt} speakers adapted", file=sys.stderr)
 
 
+def _save_fmpe(path, fmpe):
+    np.savez(open(path, "wb"),
+             M=fmpe.M, weights=fmpe.gmm.weights, means=fmpe.gmm.means,
+             vars=fmpe.gmm.vars, dim=np.int64(fmpe.dim),
+             post_scale=np.float64(fmpe.opts.post_scale),
+             learning_rate=np.float64(fmpe.opts.learning_rate),
+             context_windows=np.frombuffer(json.dumps(
+                 [list(w) for w in fmpe.opts.context_windows]).encode(),
+                 dtype=np.uint8))
+
+
+def _load_fmpe(path):
+    from kaldi_tpu.gmm.diag_gmm import DiagGmm
+    from kaldi_tpu.transform.fmpe import Fmpe, FmpeOptions
+    z = np.load(path)
+    opts = FmpeOptions(
+        context_windows=tuple(tuple(w) for w in json.loads(
+            z["context_windows"].tobytes().decode())),
+        post_scale=float(z["post_scale"]),
+        learning_rate=float(z["learning_rate"]))
+    f = Fmpe(DiagGmm(z["weights"], z["means"], z["vars"]),
+             int(z["dim"]), opts)
+    f.M = z["M"].copy()
+    return f
+
+
+def cmd_fmpe_init(args):
+    """Zero-initialised fMPE transform over a diag UBM
+    (ref: featbin/fmpe-init.cc)."""
+    from kaldi_tpu.io.model_io import load_ubm
+    from kaldi_tpu.transform.fmpe import Fmpe, FmpeOptions
+    ubm = load_ubm(args.ubm)
+    f = Fmpe(ubm, ubm.dim, FmpeOptions(
+        post_scale=args.post_scale, learning_rate=args.learning_rate))
+    _save_fmpe(args.fmpe_out, f)
+    print(f"fmpe-init: {ubm.num_gauss} gauss, dim {ubm.dim}",
+          file=sys.stderr)
+
+
+def cmd_fmpe_acc_stats(args):
+    """Accumulate the fMPE differential dF/dM from signed pdf posteriors
+    (ref: featbin/fmpe-acc-stats.cc)."""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.hmm.posterior import read_post_ark
+    model = load_gmm_system(args.model)
+    fmpe = _load_fmpe(args.fmpe)
+    feats = {k: v for (k, v) in open_rspecifier(args.rspecifier)}
+    acc = np.zeros_like(fmpe.M)
+    frames = 0
+    for utt, post in read_post_ark(args.post_in):
+        if utt not in feats:
+            continue
+        x = feats[utt].astype(np.float64)
+        x_out = fmpe.apply(x)
+        pdf_post = _post_to_pdf_post(post, model.trans_model)
+        dF = fmpe.direct_differential(model.am, x_out, pdf_post)
+        acc += dF.T @ fmpe._h(x)
+        frames += len(x)
+    np.savez(open(args.accs_out, "wb"), acc=acc,
+             frames=np.float64(frames))
+    print(f"fmpe-acc-stats: {frames} frames", file=sys.stderr)
+
+
+def cmd_fmpe_sum_accs(args):
+    """(ref: featbin/fmpe-sum-accs.cc)"""
+    acc, frames = None, 0.0
+    for p in args.accs_in:
+        z = np.load(p)
+        acc = z["acc"] if acc is None else acc + z["acc"]
+        frames += float(z["frames"])
+    np.savez(open(args.accs_out, "wb"), acc=acc,
+             frames=np.float64(frames))
+    print(f"fmpe-sum-accs: {len(args.accs_in)} files", file=sys.stderr)
+
+
+def cmd_fmpe_est(args):
+    """SGD step on M from accumulated differentials
+    (ref: featbin/fmpe-est.cc)."""
+    fmpe = _load_fmpe(args.fmpe)
+    z = np.load(args.accs)
+    fmpe.M += (fmpe.opts.learning_rate * z["acc"]
+               / max(float(z["frames"]), 1.0))
+    _save_fmpe(args.fmpe_out, fmpe)
+    print(f"fmpe-est: |M| {np.abs(fmpe.M).max():.4f}", file=sys.stderr)
+
+
+def cmd_fmpe_apply_transform(args):
+    """(ref: featbin/fmpe-apply-transform.cc)"""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    fmpe = _load_fmpe(args.fmpe)
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for k, v in open_rspecifier(args.rspecifier):
+            out.write(k, fmpe.apply(v.astype(np.float64))
+                      .astype(np.float32))
+            n += 1
+    print(f"fmpe-apply-transform: {n} utts", file=sys.stderr)
+
+
+def cmd_append_feats(args):
+    """Concatenate two archives' features in TIME per key
+    (ref: featbin/append-feats.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    a = dict(open_rspecifier(args.rspecifier_a))
+    b = dict(open_rspecifier(args.rspecifier_b))
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for k in sorted(set(a) & set(b)):
+            out.write(k, np.concatenate([a[k], b[k]], axis=0))
+            n += 1
+    print(f"append-feats: {n} utts", file=sys.stderr)
+
+
+def cmd_append_vector_to_feats(args):
+    """Paste a per-utterance vector onto every frame
+    (ref: featbin/append-vector-to-feats.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    vecs = dict(open_rspecifier(args.vec_rspecifier))
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for k, f in open_rspecifier(args.rspecifier):
+            if k not in vecs:
+                continue
+            v = np.broadcast_to(vecs[k][None, :],
+                                (f.shape[0], vecs[k].size))
+            out.write(k, np.concatenate([f, v], axis=1))
+            n += 1
+    print(f"append-vector-to-feats: {n} utts", file=sys.stderr)
+
+
+def cmd_compare_feats(args):
+    """Per-key normalized cross-correlation of two archives; exits
+    nonzero when the mean similarity is under the threshold
+    (ref: featbin/compare-feats.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    a = dict(open_rspecifier(args.rspecifier_a))
+    b = dict(open_rspecifier(args.rspecifier_b))
+    sims = []
+    for k in sorted(set(a) & set(b)):
+        x, y = a[k].astype(np.float64), b[k].astype(np.float64)
+        if x.shape != y.shape:
+            sims.append(0.0)
+            continue
+        num = float((x * y).sum())
+        den = float(np.linalg.norm(x) * np.linalg.norm(y)) or 1.0
+        sims.append(num / den)
+    mean_sim = float(np.mean(sims)) if sims else 0.0
+    print(f"compare-feats: mean similarity {mean_sim:.6f} over "
+          f"{len(sims)} pairs", file=sys.stderr)
+    if mean_sim < args.threshold:
+        sys.exit(1)
+
+
+def cmd_reverse_feats(args):
+    """(ref: featbin/reverse-feats.cc)"""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for k, f in open_rspecifier(args.rspecifier):
+            out.write(k, np.ascontiguousarray(f[::-1]))
+            n += 1
+    print(f"reverse-feats: {n}", file=sys.stderr)
+
+
+def cmd_remove_mean(args):
+    """(ref: featbin/remove-mean.cc)"""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for k, f in open_rspecifier(args.rspecifier):
+            out.write(k, (f - f.mean(axis=0, keepdims=True))
+                      .astype(np.float32))
+            n += 1
+    print(f"remove-mean: {n}", file=sys.stderr)
+
+
+def cmd_extract_feature_segments(args):
+    """Cut feature archives by a segments file (utt base tstart tend)
+    (ref: featbin/extract-feature-segments.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    feats = dict(open_rspecifier(args.rspecifier))
+    shift = args.frame_shift
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        with open(args.segments) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) != 4:
+                    continue
+                utt, base, t0, t1 = (parts[0], parts[1],
+                                     float(parts[2]), float(parts[3]))
+                if base not in feats:
+                    continue
+                lo = int(round(t0 / shift))
+                hi = int(round(t1 / shift))
+                seg = feats[base][lo:hi]
+                if len(seg) == 0:
+                    continue
+                out.write(utt, seg)
+                n += 1
+    print(f"extract-feature-segments: {n} segments", file=sys.stderr)
+
+
+def cmd_copy_feats_to_htk(args):
+    """Write each utterance as an HTK feature file in a directory
+    (ref: featbin/copy-feats-to-htk.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.io.htk import write_htk
+    os.makedirs(args.out_dir, exist_ok=True)
+    n = 0
+    for k, f in open_rspecifier(args.rspecifier):
+        write_htk(os.path.join(args.out_dir, k + args.ext),
+                  np.asarray(f, np.float32),
+                  samp_period=int(args.sample_period))
+        n += 1
+    print(f"copy-feats-to-htk: {n} files", file=sys.stderr)
+
+
+def cmd_process_pitch_feats(args):
+    """(nccf, pitch) -> (pov, norm-log-pitch, delta-pitch)
+    (ref: featbin/process-kaldi-pitch-feats.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    from kaldi_tpu.ops.pitch import process_pitch
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for k, f in open_rspecifier(args.rspecifier):
+            out.write(k, np.asarray(process_pitch(np.asarray(f)),
+                                    np.float32))
+            n += 1
+    print(f"process-pitch-feats: {n}", file=sys.stderr)
+
+
+def cmd_detect_sinusoids(args):
+    """Report dominant sinusoids per utterance
+    (ref: featbin/detect-sinusoids.cc, feat/sinusoid-detection.h)."""
+    from collections import Counter
+    from kaldi_tpu.io.wave import read_wave
+    from kaldi_tpu.ops.sinusoid import detect_tones
+    for utt, path in _read_wav_scp(args.wav_scp):
+        wave, sr = read_wave(path)
+        frames = detect_tones(wave[0], sr)
+        hist: Counter = Counter()
+        for (_t, sins) in frames:
+            for s in sins:
+                hist[round(s.freq / 10.0) * 10] += 1
+        top = ", ".join(f"{f}Hz x{c}"
+                        for f, c in hist.most_common(args.max_out))
+        print(f"{utt} {top}")
+
+
+def cmd_add_deltas_sdc(args):
+    """Shifted-delta-cepstra features (the LID front end)
+    (ref: featbin/add-deltas-sdc.cc, feature-functions.h:229)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    from kaldi_tpu.ops.delta import shifted_delta
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for k, f in open_rspecifier(args.rspecifier):
+            y = shifted_delta(np.asarray(f, np.float32),
+                              window=args.d, block_shift=args.p,
+                              num_blocks=args.k)
+            out.write(k, np.asarray(y, np.float32))
+            n += 1
+    print(f"add-deltas-sdc: {n}", file=sys.stderr)
+
+
 def cmd_feat_to_dim(args):
     """(ref: featbin/feat-to-dim.cc)"""
     from kaldi_tpu.io.kaldi_io import open_rspecifier
@@ -5376,6 +5775,146 @@ def main(argv=None):
     q.add_argument("rspecifier")
     q.add_argument("wspecifier")
     q.set_defaults(func=cmd_modify_cmvn_stats)
+
+    q = sub.add_parser("fmpe-init")
+    q.add_argument("ubm")
+    q.add_argument("fmpe_out")
+    q.add_argument("--post-scale", type=float, default=5.0)
+    q.add_argument("--learning-rate", type=float, default=0.005)
+    q.set_defaults(func=cmd_fmpe_init)
+
+    q = sub.add_parser("fmpe-acc-stats")
+    q.add_argument("model")
+    q.add_argument("fmpe")
+    q.add_argument("rspecifier")
+    q.add_argument("post_in")
+    q.add_argument("accs_out")
+    q.set_defaults(func=cmd_fmpe_acc_stats)
+
+    q = sub.add_parser("fmpe-sum-accs")
+    q.add_argument("accs_out")
+    q.add_argument("accs_in", nargs="+")
+    q.set_defaults(func=cmd_fmpe_sum_accs)
+
+    q = sub.add_parser("fmpe-est")
+    q.add_argument("fmpe")
+    q.add_argument("accs")
+    q.add_argument("fmpe_out")
+    q.set_defaults(func=cmd_fmpe_est)
+
+    q = sub.add_parser("fmpe-apply-transform")
+    q.add_argument("fmpe")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.set_defaults(func=cmd_fmpe_apply_transform)
+
+    q = sub.add_parser("append-feats")
+    q.add_argument("rspecifier_a")
+    q.add_argument("rspecifier_b")
+    q.add_argument("wspecifier")
+    q.set_defaults(func=cmd_append_feats)
+
+    q = sub.add_parser("append-vector-to-feats")
+    q.add_argument("rspecifier")
+    q.add_argument("vec_rspecifier")
+    q.add_argument("wspecifier")
+    q.set_defaults(func=cmd_append_vector_to_feats)
+
+    q = sub.add_parser("compare-feats")
+    q.add_argument("rspecifier_a")
+    q.add_argument("rspecifier_b")
+    q.add_argument("--threshold", type=float, default=0.99)
+    q.set_defaults(func=cmd_compare_feats)
+
+    q = sub.add_parser("reverse-feats")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.set_defaults(func=cmd_reverse_feats)
+
+    q = sub.add_parser("remove-mean")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.set_defaults(func=cmd_remove_mean)
+
+    q = sub.add_parser("extract-feature-segments")
+    q.add_argument("rspecifier")
+    q.add_argument("segments")
+    q.add_argument("wspecifier")
+    q.add_argument("--frame-shift", type=float, default=0.01)
+    q.set_defaults(func=cmd_extract_feature_segments)
+
+    q = sub.add_parser("copy-feats-to-htk")
+    q.add_argument("rspecifier")
+    q.add_argument("out_dir")
+    q.add_argument("--ext", default=".fea")
+    q.add_argument("--sample-period", type=int, default=100000)
+    q.set_defaults(func=cmd_copy_feats_to_htk)
+
+    for name in ("process-pitch-feats", "process-kaldi-pitch-feats"):
+        q = sub.add_parser(name)
+        q.add_argument("rspecifier")
+        q.add_argument("wspecifier")
+        q.set_defaults(func=cmd_process_pitch_feats)
+
+    q = sub.add_parser("detect-sinusoids")
+    q.add_argument("wav_scp")
+    q.add_argument("--max-out", type=int, default=2)
+    q.set_defaults(func=cmd_detect_sinusoids)
+
+    q = sub.add_parser("add-deltas-sdc")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.add_argument("--d", type=int, default=1)
+    q.add_argument("--p", type=int, default=3)
+    q.add_argument("--k", type=int, default=7)
+    q.set_defaults(func=cmd_add_deltas_sdc)
+
+    q = sub.add_parser("lattice-to-fst")
+    q.add_argument("lattice_ark")
+    q.add_argument("fsts_out")
+    q.add_argument("--lm-scale", type=float, default=0.0)
+    q.add_argument("--acoustic-scale", type=float, default=0.0)
+    q.set_defaults(func=cmd_lattice_to_fst)
+
+    q = sub.add_parser("lattice-project")
+    q.add_argument("lattice_ark")
+    q.add_argument("out_ark")
+    q.set_defaults(func=cmd_lattice_project)
+
+    q = sub.add_parser("lattice-depth-per-frame")
+    q.add_argument("lattice_ark")
+    q.set_defaults(func=cmd_lattice_depth_per_frame)
+
+    q = sub.add_parser("lattice-confidence")
+    q.add_argument("lattice_ark")
+    q.add_argument("--max-confidence", type=float, default=1e6)
+    q.set_defaults(func=cmd_lattice_confidence)
+
+    q = sub.add_parser("nbest-to-ctm")
+    q.add_argument("lattice_ark")
+    q.add_argument("--frame-shift", type=float, default=0.01)
+    q.set_defaults(func=cmd_nbest_to_ctm)
+
+    q = sub.add_parser("lattice-rescore-mapped")
+    q.add_argument("model")
+    q.add_argument("lattice_ark")
+    q.add_argument("loglikes_rspecifier")
+    q.add_argument("out_ark")
+    q.add_argument("--acoustic-scale", type=float, default=1.0)
+    q.set_defaults(func=cmd_lattice_rescore_mapped)
+
+    q = sub.add_parser("lattice-add-trans-probs")
+    q.add_argument("model")
+    q.add_argument("lattice_ark")
+    q.add_argument("out_ark")
+    q.add_argument("--transition-scale", type=float, default=1.0)
+    q.set_defaults(func=cmd_lattice_add_trans_probs)
+
+    q = sub.add_parser("lattice-compose")
+    q.add_argument("lattice_ark")
+    q.add_argument("fst")
+    q.add_argument("out_ark")
+    q.set_defaults(func=cmd_lattice_compose)
 
     # --- FST tools (text interchange like the fstbin/OpenFst binaries)
     def _fst_io_parser(name):
