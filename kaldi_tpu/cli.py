@@ -1501,6 +1501,182 @@ def cmd_ivector_extract(args):
     print(f"ivector-extract: {n} i-vectors", file=sys.stderr)
 
 
+def cmd_ivector_extractor_init(args):
+    """Default-init a T-matrix extractor from a UBM
+    (ref: ivectorbin/ivector-extractor-init.cc)."""
+    from kaldi_tpu.io.model_io import load_ubm, save_ivector_extractor
+    from kaldi_tpu.ivector.extractor import IvectorExtractor
+    ubm = load_ubm(args.ubm)
+    ext = IvectorExtractor(ubm, args.ivector_dim,
+                           prior_offset=args.prior_offset,
+                           seed=args.seed)
+    save_ivector_extractor(args.extractor_out, ext)
+    print(f"ivector-extractor-init: dim {args.ivector_dim}, "
+          f"{ext.M.shape[0]} gauss", file=sys.stderr)
+
+
+def cmd_ivector_extractor_acc_stats(args):
+    """(ref: ivectorbin/ivector-extractor-acc-stats.cc)"""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.io.model_io import load_ivector_extractor
+    from kaldi_tpu.ivector.extractor import IvectorStats
+    ext = load_ivector_extractor(args.extractor)
+    st = IvectorStats(ext)
+    for _utt, v in open_rspecifier(args.rspecifier):
+        f = v.astype(np.float64)
+        post = ext.frame_posteriors(f, args.num_gselect)
+        gamma, X = ext.utterance_stats(f, post)
+        st.accumulate(ext, gamma, X)
+    np.savez(open(args.accs_out, "wb"), A=st.A, B=st.B,
+             count=np.float64(st.count))
+    print(f"ivector-extractor-acc-stats: {int(st.count)} utts",
+          file=sys.stderr)
+
+
+def cmd_ivector_extractor_sum_accs(args):
+    """(ref: ivectorbin/ivector-extractor-sum-accs.cc)"""
+    A, B, count = None, None, 0.0
+    for p in args.accs_in:
+        z = np.load(p)
+        A = z["A"] if A is None else A + z["A"]
+        B = z["B"] if B is None else B + z["B"]
+        count += float(z["count"])
+    np.savez(open(args.accs_out, "wb"), A=A, B=B,
+             count=np.float64(count))
+    print(f"ivector-extractor-sum-accs: {len(args.accs_in)} files",
+          file=sys.stderr)
+
+
+def cmd_ivector_extractor_est(args):
+    """M-step (ref: ivectorbin/ivector-extractor-est.cc)."""
+    from kaldi_tpu.io.model_io import (load_ivector_extractor,
+                                       save_ivector_extractor)
+    from kaldi_tpu.ivector.extractor import IvectorStats
+    ext = load_ivector_extractor(args.extractor)
+    z = np.load(args.accs)
+    st = IvectorStats(ext)
+    st.A, st.B, st.count = z["A"], z["B"], float(z["count"])
+    st.update(ext)
+    save_ivector_extractor(args.extractor_out, ext)
+    print(f"ivector-extractor-est: updated from {int(st.count)} utts",
+          file=sys.stderr)
+
+
+def cmd_ivector_compute_lda(args):
+    """LDA projection for i-vectors from speaker labels
+    (ref: ivectorbin/ivector-compute-lda.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, write_ark
+    from kaldi_tpu.transform.lda import LdaStats, estimate_lda
+    utt2spk = _read_utt2spk(args.utt2spk)
+    ivecs = [(utt2spk.get(k, k), np.asarray(v, np.float64))
+             for (k, v) in open_rspecifier(args.rspecifier)]
+    spks = sorted({s for (s, _v) in ivecs})
+    spk_id = {s: i for i, s in enumerate(spks)}
+    dim = ivecs[0][1].size
+    stats = LdaStats(len(spks), dim)
+    for (s, v) in ivecs:
+        stats.accumulate(v[None, :], np.array([spk_id[s]]))
+    M, _evals = estimate_lda(stats, args.dim)
+    write_ark(args.matrix_out, {"lda": np.asarray(M, np.float32)})
+    print(f"ivector-compute-lda: {M.shape[0]}x{M.shape[1]} from "
+          f"{len(spks)} speakers", file=sys.stderr)
+
+
+def cmd_ivector_transform(args):
+    """(ref: ivectorbin/ivector-transform.cc)"""
+    return cmd_transform_vec(args)
+
+
+def cmd_ivector_compute_dot_products(args):
+    """Cosine scoring of trials (ref:
+    ivectorbin/ivector-compute-dot-products.cc; trials lines
+    '<key1> <key2>')."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    vecs = {k: np.asarray(v, np.float64)
+            for (k, v) in open_rspecifier(args.rspecifier)}
+    with open(args.trials) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 2:
+                continue
+            a, b = parts[0], parts[1]
+            if a not in vecs or b not in vecs:
+                continue
+            va, vb = vecs[a], vecs[b]
+            score = float(va @ vb / (np.linalg.norm(va)
+                                     * np.linalg.norm(vb) + 1e-20))
+            print(f"{a} {b} {score:.6f}")
+
+
+def cmd_ivector_adapt_plda(args):
+    """Unsupervised PLDA domain adaptation from unlabeled i-vectors
+    (ref: ivectorbin/ivector-adapt-plda.cc,
+    plda.h PldaUnsupervisedAdaptor)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.io.model_io import load_plda, save_plda
+    from kaldi_tpu.ivector.plda import length_normalize
+    plda = load_plda(args.plda)
+    xs = np.stack([length_normalize(np.asarray(v, np.float64))
+                   for (_k, v) in open_rspecifier(args.rspecifier)])
+    adapted = plda.adapt(
+        xs, mean_diff_scale=args.mean_diff_scale,
+        within_covar_scale=args.within_covar_scale,
+        between_covar_scale=args.between_covar_scale)
+    save_plda(args.plda_out, adapted)
+    print(f"ivector-adapt-plda: {len(xs)} adaptation vectors",
+          file=sys.stderr)
+
+
+def cmd_ivector_copy_plda(args):
+    """(ref: ivectorbin/ivector-copy-plda.cc; --smoothing scales psi)"""
+    from kaldi_tpu.io.model_io import load_plda, save_plda
+    plda = load_plda(args.plda)
+    if args.smoothing > 0:
+        # between-class smoothing: psi <- psi + s * mean(psi)
+        plda.psi = plda.psi + args.smoothing * float(np.mean(plda.psi))
+    save_plda(args.plda_out, plda)
+    print("ivector-copy-plda: done", file=sys.stderr)
+
+
+def cmd_gmm_global_get_post(args):
+    """Top-N UBM component posteriors per frame as a post file
+    (ref: gmmbin/gmm-global-get-post.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.io.model_io import load_ubm
+    from kaldi_tpu.hmm.posterior import write_post_line
+    ubm = load_ubm(args.model)
+    n = 0
+    with open(args.post_out, "w") as out:
+        for utt, feats in open_rspecifier(args.rspecifier):
+            x = feats.astype(np.float64)
+            post = ubm.posteriors(x.astype(np.float32))
+            post = np.asarray(post, np.float64)
+            idx = np.argsort(-post, axis=1)[:, : args.n]
+            lines = []
+            for t in range(len(x)):
+                sel = [(int(i), float(post[t, i])) for i in idx[t]
+                       if post[t, i] >= args.min_post]
+                tot = sum(w for (_i, w) in sel) or 1.0
+                lines.append([(i, w / tot) for (i, w) in sel])
+            write_post_line(out, utt, lines)
+            n += 1
+    print(f"gmm-global-get-post: {n} utts", file=sys.stderr)
+
+
+def cmd_gmm_global_to_fgmm(args):
+    """Diagonal UBM -> full-covariance UBM
+    (ref: gmmbin/gmm-global-to-fgmm.cc)."""
+    from kaldi_tpu.io.model_io import load_ubm, save_ubm
+    from kaldi_tpu.gmm.full_gmm import FullGmm
+    ubm = load_ubm(args.model)
+    D = ubm.dim
+    covars = np.stack([np.diag(v) for v in ubm.vars])
+    f = FullGmm(ubm.weights.copy(), ubm.means.copy(), covars)
+    save_ubm(args.model_out, f)
+    print(f"gmm-global-to-fgmm: {ubm.num_gauss} gauss, dim {D}",
+          file=sys.stderr)
+
+
 def cmd_train_plda(args):
     """(ref: ivectorbin/ivector-compute-plda.cc)"""
     from kaldi_tpu.io.kaldi_io import open_rspecifier
@@ -6081,12 +6257,85 @@ def main(argv=None):
     q.add_argument("--num-gselect", type=int, default=20)
     q.set_defaults(func=cmd_ivector_extract)
 
-    q = sub.add_parser("train-plda")
-    q.add_argument("spk2utt")
+    for name in ("train-plda", "ivector-compute-plda"):
+        q = sub.add_parser(name)
+        q.add_argument("spk2utt")
+        q.add_argument("rspecifier")
+        q.add_argument("plda_out")
+        q.add_argument("--num-iters", type=int, default=10)
+        q.set_defaults(func=cmd_train_plda)
+
+    q = sub.add_parser("ivector-extractor-init")
+    q.add_argument("ubm")
+    q.add_argument("extractor_out")
+    q.add_argument("--ivector-dim", type=int, default=100)
+    q.add_argument("--prior-offset", type=float, default=100.0)
+    q.add_argument("--seed", type=int, default=0)
+    q.set_defaults(func=cmd_ivector_extractor_init)
+
+    q = sub.add_parser("ivector-extractor-acc-stats")
+    q.add_argument("extractor")
+    q.add_argument("rspecifier")
+    q.add_argument("accs_out")
+    q.add_argument("--num-gselect", type=int, default=20)
+    q.set_defaults(func=cmd_ivector_extractor_acc_stats)
+
+    q = sub.add_parser("ivector-extractor-sum-accs")
+    q.add_argument("accs_out")
+    q.add_argument("accs_in", nargs="+")
+    q.set_defaults(func=cmd_ivector_extractor_sum_accs)
+
+    q = sub.add_parser("ivector-extractor-est")
+    q.add_argument("extractor")
+    q.add_argument("accs")
+    q.add_argument("extractor_out")
+    q.set_defaults(func=cmd_ivector_extractor_est)
+
+    q = sub.add_parser("ivector-compute-lda")
+    q.add_argument("rspecifier")
+    q.add_argument("utt2spk")
+    q.add_argument("matrix_out")
+    q.add_argument("--dim", type=int, default=100)
+    q.set_defaults(func=cmd_ivector_compute_lda)
+
+    q = sub.add_parser("ivector-transform")
+    q.add_argument("transform")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.set_defaults(func=cmd_ivector_transform)
+
+    q = sub.add_parser("ivector-compute-dot-products")
+    q.add_argument("trials")
+    q.add_argument("rspecifier")
+    q.set_defaults(func=cmd_ivector_compute_dot_products)
+
+    q = sub.add_parser("ivector-adapt-plda")
+    q.add_argument("plda")
     q.add_argument("rspecifier")
     q.add_argument("plda_out")
-    q.add_argument("--num-iters", type=int, default=10)
-    q.set_defaults(func=cmd_train_plda)
+    q.add_argument("--mean-diff-scale", type=float, default=1.0)
+    q.add_argument("--within-covar-scale", type=float, default=0.3)
+    q.add_argument("--between-covar-scale", type=float, default=0.7)
+    q.set_defaults(func=cmd_ivector_adapt_plda)
+
+    q = sub.add_parser("ivector-copy-plda")
+    q.add_argument("plda")
+    q.add_argument("plda_out")
+    q.add_argument("--smoothing", type=float, default=0.0)
+    q.set_defaults(func=cmd_ivector_copy_plda)
+
+    q = sub.add_parser("gmm-global-get-post")
+    q.add_argument("model")
+    q.add_argument("rspecifier")
+    q.add_argument("post_out")
+    q.add_argument("--n", type=int, default=10)
+    q.add_argument("--min-post", type=float, default=0.0)
+    q.set_defaults(func=cmd_gmm_global_get_post)
+
+    q = sub.add_parser("gmm-global-to-fgmm")
+    q.add_argument("model")
+    q.add_argument("model_out")
+    q.set_defaults(func=cmd_gmm_global_to_fgmm)
 
     q = sub.add_parser("ivector-plda-scoring")
     q.add_argument("plda")

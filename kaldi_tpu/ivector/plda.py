@@ -124,6 +124,51 @@ class Plda:
         sq_no = np.sum(v ** 2 / var_no)
         return float(0.5 * (logdet_no + sq_no - logdet_given - sq_given))
 
+    def adapt(self, adapt_ivectors: np.ndarray,
+              mean_diff_scale: float = 1.0,
+              within_covar_scale: float = 0.3,
+              between_covar_scale: float = 0.7) -> "Plda":
+        """Unsupervised domain adaptation from unlabeled i-vectors
+        (ref: ivector/plda.h PldaUnsupervisedAdaptor::UpdatePlda).
+
+        In the PLDA-transformed space (within = I, between = diag(psi)),
+        directions where the adaptation data's total variance exceeds the
+        model's expected 1 + psi get the excess distributed onto the
+        within/between covariances; the model is then re-diagonalized.
+        """
+        x = np.asarray(adapt_ivectors, np.float64)
+        # transform adaptation data into the diagonalized space
+        y = self.transform_ivector(x)
+        mean_y = y.mean(axis=0)
+        S = np.cov(y.T, bias=True) if len(y) > 1 else np.eye(y.shape[1])
+        s, V = np.linalg.eigh(0.5 * (S + S.T))
+        D = len(self.psi)
+        W_new = np.eye(D)
+        B_new = np.diag(self.psi.copy())
+        for j in range(D):
+            v = V[:, j]
+            expected = float(v @ (np.eye(D) + np.diag(self.psi)) @ v)
+            excess = float(s[j]) - expected
+            if excess > 0:
+                W_new += within_covar_scale * excess * np.outer(v, v)
+                B_new += between_covar_scale * excess * np.outer(v, v)
+        # re-diagonalize (same construction as train())
+        ew, Ew = np.linalg.eigh(W_new)
+        ew = np.maximum(ew, 1e-10)
+        W_half_inv = Ew @ np.diag(ew ** -0.5) @ Ew.T
+        Bt = W_half_inv @ B_new @ W_half_inv.T
+        eb, Eb = np.linalg.eigh(0.5 * (Bt + Bt.T))
+        order = np.argsort(eb)[::-1]
+        psi = np.maximum(eb[order], 0.0)
+        extra = Eb[:, order].T @ W_half_inv      # acts in the old
+        #   transformed space; compose with the old transform
+        new_transform = extra @ self.transform
+        # shift the model mean toward the adaptation mean (in raw space:
+        # mean_y is the offset expressed in the transformed space)
+        new_mean = self.mean + mean_diff_scale * np.linalg.lstsq(
+            self.transform, mean_y, rcond=None)[0]
+        return Plda(mean=new_mean, transform=new_transform, psi=psi)
+
     def score_trials(self, enroll: dict, test: dict,
                      n_enroll: dict | None = None,
                      length_norm: bool = True):
