@@ -3117,6 +3117,282 @@ def cmd_gmm_est_map(args):
           file=sys.stderr)
 
 
+def _save_lvtln(path, lv):
+    np.savez(open(path, "wb"), A=lv.A,
+             warps=np.asarray(lv.warps, np.float64))
+
+
+def _load_lvtln(path):
+    from kaldi_tpu.transform.lvtln import LinearVtln
+    z = np.load(path)
+    lv = LinearVtln(z["A"].shape[1], [float(w) for w in z["warps"]])
+    lv.A = z["A"].copy()
+    return lv
+
+
+def cmd_gmm_init_lvtln(args):
+    """Identity-initialised LVTLN classes, one per warp factor
+    (ref: gmmbin/gmm-init-lvtln.cc)."""
+    from kaldi_tpu.transform.lvtln import LinearVtln
+    warps = [float(w) for w in args.warps.split(":")]
+    _save_lvtln(args.lvtln_out, LinearVtln(args.dim, warps))
+    print(f"gmm-init-lvtln: {len(warps)} classes, dim {args.dim}",
+          file=sys.stderr)
+
+
+def cmd_gmm_train_lvtln_special(args):
+    """Train one LVTLN class from (unwarped, warped) feature pairs
+    (ref: gmmbin/gmm-train-lvtln-special.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    lv = _load_lvtln(args.lvtln)
+    orig = dict(open_rspecifier(args.rspecifier_orig))
+    warp = dict(open_rspecifier(args.rspecifier_warped))
+    keys = sorted(set(orig) & set(warp))
+    X = np.concatenate([orig[k][: len(warp[k])] for k in keys]) \
+        .astype(np.float64)
+    Y = np.concatenate([warp[k][: len(orig[k])] for k in keys]) \
+        .astype(np.float64)
+    lv.train_class(args.class_idx, X, Y)
+    _save_lvtln(args.lvtln_out, lv)
+    print(f"gmm-train-lvtln-special: class {args.class_idx} from "
+          f"{len(X)} frames", file=sys.stderr)
+
+
+def cmd_gmm_est_lvtln_trans(args):
+    """Per-speaker LVTLN class selection + bias; writes transforms and
+    the chosen warp factors (ref: gmmbin/gmm-est-lvtln-trans.cc)."""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.io.kaldi_io import open_wspecifier
+    model = load_gmm_system(args.model)
+    lv = _load_lvtln(args.lvtln)
+    by_spk = _fmllr_stats_by_spk(model, args.rspecifier, args.post_in,
+                                 args.utt2spk)
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for spk, st in sorted(by_spk.items()):
+            c, W, _auxfs = lv.select_class(st)
+            out.write(spk, np.asarray(W, np.float32))
+            print(f"gmm-est-lvtln-trans: {spk} class {c} warp "
+                  f"{lv.warp_of(c)}", file=sys.stderr)
+            n += 1
+    print(f"gmm-est-lvtln-trans: {n} speakers", file=sys.stderr)
+
+
+def cmd_gmm_acc_stats2(args):
+    """Signed posteriors -> separate num (w>0) and den (w<0) accs in one
+    pass (ref: gmmbin/gmm-acc-stats2.cc)."""
+    from kaldi_tpu.io.model_io import load_gmm_system, save_gmm_accs
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.hmm.posterior import read_post_ark
+    from kaldi_tpu.gmm.estimation import AccumAmDiagGmm
+    model = load_gmm_system(args.model)
+    am, tm = model.am, model.trans_model
+    num = AccumAmDiagGmm(am)
+    den = AccumAmDiagGmm(am)
+    feats = {k: v for (k, v) in open_rspecifier(args.rspecifier)}
+    n = 0
+    for utt, post in read_post_ark(args.post_in):
+        if utt not in feats:
+            continue
+        pdf_post = _post_to_pdf_post(post, tm)
+        pos = [[(p, w) for (p, w) in fr if w > 0] for fr in pdf_post]
+        neg = [[(p, -w) for (p, w) in fr if w < 0] for fr in pdf_post]
+        num.accumulate_from_posteriors(am, feats[utt], pos)
+        den.accumulate_from_posteriors(am, feats[utt], neg)
+        n += 1
+    save_gmm_accs(args.num_accs_out, num, None)
+    save_gmm_accs(args.den_accs_out, den, None)
+    print(f"gmm-acc-stats2: {n} utts", file=sys.stderr)
+
+
+def cmd_gmm_ismooth_stats(args):
+    """I-smooth accs toward the model (ref: gmmbin/gmm-ismooth-stats.cc)."""
+    from kaldi_tpu.io.model_io import (load_gmm_system, load_gmm_accs,
+                                       save_gmm_accs)
+    from kaldi_tpu.gmm.ebw import ismooth_stats_diag_gmm
+    model = load_gmm_system(args.model)
+    acc, tc = load_gmm_accs(args.accs)
+    for pdf in range(model.am.num_pdfs):
+        acc.accs[pdf] = ismooth_stats_diag_gmm(
+            acc.accs[pdf], model.am.pdfs[pdf], args.tau)
+    save_gmm_accs(args.accs_out, acc, tc)
+    print(f"gmm-ismooth-stats: tau {args.tau}", file=sys.stderr)
+
+
+def cmd_gmm_scale_accs(args):
+    """(ref: gmmbin/gmm-scale-accs.cc)"""
+    from kaldi_tpu.io.model_io import load_gmm_accs, save_gmm_accs
+    acc, tc = load_gmm_accs(args.accs)
+    s = args.scale
+    for a in acc.accs:
+        a.occ *= s
+        a.mean_acc *= s
+        a.var_acc *= s
+    acc.tot_like *= s
+    acc.tot_frames *= s
+    if tc is not None:
+        tc = tc * s
+    save_gmm_accs(args.accs_out, acc, tc)
+    print(f"gmm-scale-accs: scale {s}", file=sys.stderr)
+
+
+def cmd_gmm_rescore_lattice(args):
+    """Replace lattice acoustic costs with this GMM's likelihoods
+    (ref: gmmbin/gmm-rescore-lattice.cc)."""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.lat.io import read_lattice_ark, write_lattice_ark
+    from kaldi_tpu.lat.posteriors import rescore_lattice
+    model = load_gmm_system(args.model)
+    feats = {k: v for (k, v) in open_rspecifier(args.rspecifier)}
+    out = {}
+    for key, lat in read_lattice_ark(args.lattice_ark):
+        if key not in feats:
+            continue
+        ll = model.am.loglikes_np(
+            feats[key].astype(np.float32)[None])[0]
+        out[key] = rescore_lattice(lat, ll.astype(np.float64),
+                                   model.trans_model,
+                                   acoustic_scale=args.acoustic_scale)
+    write_lattice_ark(args.out_ark, out)
+    print(f"gmm-rescore-lattice: {len(out)}", file=sys.stderr)
+
+
+def cmd_gmm_latgen_biglm_faster(args):
+    """Decode with a small-LM graph, rescore exactly under a big
+    const-arpa LM (decode-then-rescore realisation of the reference's
+    on-the-fly composition; ref: gmmbin/gmm-latgen-biglm-faster.cc,
+    kaldi_tpu/decoder/biglm.py docstring for the semantics bound)."""
+    from kaldi_tpu.io.model_io import (load_gmm_system, load_hclg,
+                                       load_const_arpa)
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.fst.text_io import load_fst
+    from kaldi_tpu.decoder.beam_search import (BeamSearchDecoder,
+                                               BeamSearchOpts)
+    from kaldi_tpu.decoder.biglm import decode_biglm
+    model = load_gmm_system(args.model)
+    packed = load_hclg(args.graph)
+    old_g = load_fst(args.old_g)
+    new_lm = load_const_arpa(args.new_lm)
+    dec = BeamSearchDecoder(packed, BeamSearchOpts(
+        beam=args.beam, max_active=args.max_active,
+        acoustic_scale=args.acoustic_scale))
+    items = list(open_rspecifier(args.rspecifier))
+    B = len(items)
+    T = max(f.shape[0] for (_k, f) in items)
+    D = items[0][1].shape[1]
+    feats = np.zeros((B, T, D), np.float32)
+    nf = np.zeros(B, np.int32)
+    for b, (_k, f) in enumerate(items):
+        feats[b, : f.shape[0]] = f
+        nf[b] = f.shape[0]
+    ll = np.array(model.am.loglikes_np(feats), np.float32)
+    for b in range(B):
+        ll[b, nf[b]:] = -1e10
+    results = decode_biglm(dec, ll, nf, old_g,
+                           backoff_label=args.backoff_symbol,
+                           new_lm=new_lm, lm_scale=args.lm_scale,
+                           lattice_beam=args.lattice_beam)
+    out = open(args.transcription_out, "w") if args.transcription_out \
+        else sys.stdout
+    for (k, _f), res in zip(items, results):
+        words = "" if res is None else " ".join(
+            model.lang.words.sym(w) for w in res[0])
+        out.write(f"{k} {words}\n")
+    if args.transcription_out:
+        out.close()
+
+
+def cmd_gmm_adapt_map(args):
+    """Per-speaker MAP-adapted models written to a directory
+    (ref: gmmbin/gmm-adapt-map.cc)."""
+    from kaldi_tpu.io.model_io import load_gmm_system, save_gmm_system
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.hmm.posterior import read_post_ark
+    from kaldi_tpu.gmm.estimation import (AccumAmDiagGmm,
+                                          map_diag_gmm_update)
+    import copy as _copy
+    model = load_gmm_system(args.model)
+    am, tm = model.am, model.trans_model
+    utt2spk = _read_utt2spk(args.utt2spk)
+    feats = {k: v for (k, v) in open_rspecifier(args.rspecifier)}
+    by_spk: dict = {}
+    for utt, post in read_post_ark(args.post_in):
+        if utt not in feats:
+            continue
+        spk = utt2spk.get(utt, utt)
+        acc = by_spk.setdefault(spk, AccumAmDiagGmm(am))
+        acc.accumulate_from_posteriors(
+            am, feats[utt], _post_to_pdf_post(post, tm))
+    os.makedirs(args.out_dir, exist_ok=True)
+    for spk, acc in sorted(by_spk.items()):
+        m = _copy.deepcopy(model)
+        for pdf in range(am.num_pdfs):
+            m.am.pdfs[pdf] = map_diag_gmm_update(
+                m.am.pdfs[pdf], acc.accs[pdf], mean_tau=args.mean_tau)
+        m.am.invalidate()
+        save_gmm_system(os.path.join(args.out_dir, f"{spk}.npz"), m)
+    print(f"gmm-adapt-map: {len(by_spk)} speakers -> {args.out_dir}",
+          file=sys.stderr)
+
+
+def cmd_gmm_make_regtree(args):
+    """Gaussian regression tree for regtree-(f)MLLR
+    (ref: gmmbin/gmm-make-regtree.cc)."""
+    import pickle
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.transform.regtree import RegressionTree
+    model = load_gmm_system(args.model)
+    tree = RegressionTree(model.am,
+                          num_base_classes=args.max_leaves,
+                          seed=args.seed)
+    blob = pickle.dumps(tree, protocol=pickle.HIGHEST_PROTOCOL)
+    np.savez(open(args.tree_out, "wb"),
+             __host__=np.frombuffer(blob, np.uint8))
+    print(f"gmm-make-regtree: {len(tree.leaves)} base classes",
+          file=sys.stderr)
+
+
+def cmd_gmm_est_regtree_fmllr(args):
+    """Per-speaker regression-tree fMLLR: one transform per base class
+    with occupancy backoff up the tree; writes each speaker's transforms
+    stacked as [num_gauss_total? no — base classes] rows
+    (ref: gmmbin/gmm-est-regtree-fmllr.cc)."""
+    import pickle
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    from kaldi_tpu.hmm.posterior import read_post_ark
+    from kaldi_tpu.transform.regtree import (RegtreeStats,
+                                             estimate_regtree_fmllr)
+    model = load_gmm_system(args.model)
+    tm = model.trans_model
+    tree = pickle.loads(np.load(args.regtree)["__host__"].tobytes())
+    utt2spk = _read_utt2spk(args.utt2spk)
+    feats = {k: v for (k, v) in open_rspecifier(args.rspecifier)}
+    by_spk: dict = {}
+    D = model.am.dim
+    for utt, post in read_post_ark(args.post_in):
+        if utt not in feats:
+            continue
+        spk = utt2spk.get(utt, utt)
+        acc = by_spk.setdefault(spk, RegtreeStats(tree, D))
+        acc.accumulate(model.am, feats[utt].astype(np.float64),
+                       _post_to_pdf_post(post, tm))
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for spk, acc in sorted(by_spk.items()):
+            xf = estimate_regtree_fmllr(acc, min_count=args.min_count)
+            # one transform per distinct leaf, stacked [L*D, D+1]; row
+            # blocks ordered by leaf id (the apply side regroups)
+            leaves = sorted({int(tree.gauss2leaf[g]) for g in xf})
+            stack = np.concatenate(
+                [xf[int(np.flatnonzero(tree.gauss2leaf == lf)[0])]
+                 for lf in leaves], axis=0)
+            out.write(spk, stack.astype(np.float32))
+            n += 1
+    print(f"gmm-est-regtree-fmllr: {n} speakers", file=sys.stderr)
+
+
 def cmd_gmm_global_info(args):
     """(ref: gmmbin/gmm-global-info.cc / fgmmbin/fgmm-global-info.cc)"""
     from kaldi_tpu.io.model_io import load_ubm
@@ -6363,6 +6639,100 @@ def main(argv=None):
     q.add_argument("--ivector-period", type=int, default=10)
     q.add_argument("--num-gselect", type=int, default=5)
     q.set_defaults(func=cmd_ivector_extract_online2)
+
+    q = sub.add_parser("gmm-init-lvtln")
+    q.add_argument("lvtln_out")
+    q.add_argument("--dim", type=int, default=39)
+    q.add_argument("--warps", default="0.9:0.95:1.0:1.05:1.1")
+    q.set_defaults(func=cmd_gmm_init_lvtln)
+
+    q = sub.add_parser("gmm-train-lvtln-special")
+    q.add_argument("class_idx", type=int)
+    q.add_argument("lvtln")
+    q.add_argument("rspecifier_orig")
+    q.add_argument("rspecifier_warped")
+    q.add_argument("lvtln_out")
+    q.set_defaults(func=cmd_gmm_train_lvtln_special)
+
+    q = sub.add_parser("gmm-est-lvtln-trans")
+    q.add_argument("model")
+    q.add_argument("lvtln")
+    q.add_argument("rspecifier")
+    q.add_argument("post_in")
+    q.add_argument("wspecifier")
+    q.add_argument("--utt2spk", default="")
+    q.set_defaults(func=cmd_gmm_est_lvtln_trans)
+
+    q = sub.add_parser("gmm-acc-stats2")
+    q.add_argument("model")
+    q.add_argument("rspecifier")
+    q.add_argument("post_in")
+    q.add_argument("num_accs_out")
+    q.add_argument("den_accs_out")
+    q.set_defaults(func=cmd_gmm_acc_stats2)
+
+    q = sub.add_parser("gmm-ismooth-stats")
+    q.add_argument("model")
+    q.add_argument("accs")
+    q.add_argument("accs_out")
+    q.add_argument("--tau", type=float, default=100.0)
+    q.set_defaults(func=cmd_gmm_ismooth_stats)
+
+    q = sub.add_parser("gmm-scale-accs")
+    q.add_argument("scale", type=float)
+    q.add_argument("accs")
+    q.add_argument("accs_out")
+    q.set_defaults(func=cmd_gmm_scale_accs)
+
+    q = sub.add_parser("gmm-rescore-lattice")
+    q.add_argument("model")
+    q.add_argument("lattice_ark")
+    q.add_argument("rspecifier")
+    q.add_argument("out_ark")
+    q.add_argument("--acoustic-scale", type=float, default=0.1)
+    q.set_defaults(func=cmd_gmm_rescore_lattice)
+
+    for name in ("gmm-latgen-biglm-faster", "gmm-decode-biglm-faster"):
+        q = sub.add_parser(name)
+        q.add_argument("model")
+        q.add_argument("graph")
+        q.add_argument("old_g", help="small G (text FST)")
+        q.add_argument("new_lm", help="const-arpa npz")
+        q.add_argument("rspecifier")
+        q.add_argument("--transcription-out", default="")
+        q.add_argument("--backoff-symbol", type=int, required=True)
+        q.add_argument("--beam", type=float, default=16.0)
+        q.add_argument("--lattice-beam", type=float, default=8.0)
+        q.add_argument("--max-active", type=int, default=512)
+        q.add_argument("--acoustic-scale", type=float, default=0.1)
+        q.add_argument("--lm-scale", type=float, default=1.0)
+        q.set_defaults(func=cmd_gmm_latgen_biglm_faster)
+
+    q = sub.add_parser("gmm-adapt-map")
+    q.add_argument("model")
+    q.add_argument("rspecifier")
+    q.add_argument("post_in")
+    q.add_argument("out_dir")
+    q.add_argument("--utt2spk", default="")
+    q.add_argument("--mean-tau", type=float, default=10.0)
+    q.set_defaults(func=cmd_gmm_adapt_map)
+
+    q = sub.add_parser("gmm-make-regtree")
+    q.add_argument("model")
+    q.add_argument("tree_out")
+    q.add_argument("--max-leaves", type=int, default=4)
+    q.add_argument("--seed", type=int, default=0)
+    q.set_defaults(func=cmd_gmm_make_regtree)
+
+    q = sub.add_parser("gmm-est-regtree-fmllr")
+    q.add_argument("model")
+    q.add_argument("regtree")
+    q.add_argument("rspecifier")
+    q.add_argument("post_in")
+    q.add_argument("wspecifier")
+    q.add_argument("--utt2spk", default="")
+    q.add_argument("--min-count", type=float, default=200.0)
+    q.set_defaults(func=cmd_gmm_est_regtree_fmllr)
 
     for name in ("gmm-global-info", "fgmm-global-info"):
         q = sub.add_parser(name)
