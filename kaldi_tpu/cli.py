@@ -3966,6 +3966,276 @@ def cmd_nnet3_compute(args):
     print(f"nnet3-compute: {n} utts", file=sys.stderr)
 
 
+def cmd_nnet1_initialize(args):
+    """Proto file -> randomly initialised nnet1 component stack
+    (ref: nnetbin/nnet-initialize.cc)."""
+    import jax
+    from kaldi_tpu.nnet1.nnet import Nnet1, save_nnet1
+    with open(args.proto) as f:
+        net = Nnet1.from_proto(f.read())
+    params = net.init(jax.random.PRNGKey(args.seed))
+    save_nnet1(args.nnet_out, net, params)
+    print(f"nnet-initialize: {len(net.components)} components, "
+          f"{net.input_dim}->{net.output_dim}", file=sys.stderr)
+
+
+def cmd_nnet1_info(args):
+    """(ref: nnetbin/nnet-info.cc)"""
+    from kaldi_tpu.nnet1.nnet import load_nnet1
+    net, params = load_nnet1(args.nnet)
+    n_params = sum(int(np.prod(np.shape(v)))
+                   for p in params for v in p.values())
+    print(f"num-components {len(net.components)}")
+    print(f"input-dim {net.input_dim}")
+    print(f"output-dim {net.output_dim}")
+    print(f"num-parameters {n_params}")
+    for c in net.components:
+        print(f"component {c.kind} {c.in_dim}->{c.out_dim}")
+
+
+def cmd_nnet1_copy(args):
+    """(ref: nnetbin/nnet-copy.cc)"""
+    from kaldi_tpu.nnet1.nnet import load_nnet1, save_nnet1
+    net, params = load_nnet1(args.nnet_in)
+    save_nnet1(args.nnet_out, net, params)
+    print("nnet-copy: done", file=sys.stderr)
+
+
+def cmd_nnet1_concat(args):
+    """Stack nets front-to-back (ref: nnetbin/nnet-concat.cc)."""
+    from kaldi_tpu.nnet1.nnet import load_nnet1, save_nnet1
+    net, params = load_nnet1(args.nnets_in[0])
+    for p in args.nnets_in[1:]:
+        n2, p2 = load_nnet1(p)
+        net = net.concat(n2)
+        params = params + p2
+    save_nnet1(args.nnet_out, net, params)
+    print(f"nnet-concat: {len(args.nnets_in)} nets -> "
+          f"{len(net.components)} components", file=sys.stderr)
+
+
+def cmd_nnet1_forward(args):
+    """(ref: nnetbin/nnet-forward.cc; --apply-log keeps the log domain,
+    --class-frame-counts divides by priors)."""
+    from kaldi_tpu.io.kaldi_io import (open_rspecifier, open_wspecifier,
+                                       read_ark)
+    import jax.numpy as jnp
+    from kaldi_tpu.nnet1.nnet import load_nnet1
+    net, params = load_nnet1(args.nnet)
+    log_prior = None
+    if args.class_frame_counts:
+        (cnt,) = [v for _, v in read_ark(args.class_frame_counts)]
+        p = np.asarray(cnt, np.float64) + 0.5
+        log_prior = np.log(p / p.sum())
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for k, f in open_rspecifier(args.rspecifier):
+            y = np.asarray(net.apply(params,
+                                     jnp.asarray(f, jnp.float32)))
+            if log_prior is not None:
+                y = y - log_prior
+            if not args.apply_log:
+                y = np.exp(y)
+            out.write(k, y.astype(np.float32))
+            n += 1
+    print(f"nnet-forward: {n} utts", file=sys.stderr)
+
+
+def cmd_nnet1_train_frmshuff(args):
+    """Frame-shuffled xent SGD over features + pdf alignments
+    (ref: nnetbin/nnet-train-frmshuff.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.nnet1.nnet import (load_nnet1, save_nnet1,
+                                      train_frmshuff)
+    net, params = load_nnet1(args.nnet_in)
+    feats = {k: v for (k, v) in open_rspecifier(args.rspecifier)}
+    X, T = [], []
+    for utt, ali in open_rspecifier(args.targets_rspecifier):
+        if utt not in feats:
+            continue
+        n = min(len(ali), feats[utt].shape[0])
+        X.append(feats[utt][:n])
+        T.append(np.asarray(ali[:n], np.int64))
+    X = np.concatenate(X).astype(np.float32)
+    T = np.concatenate(T)
+    params, hist = train_frmshuff(
+        net, params, X, T, learn_rate=args.learn_rate,
+        minibatch=args.minibatch_size, num_epochs=args.num_epochs,
+        momentum=args.momentum, seed=args.seed)
+    save_nnet1(args.nnet_out, net, params)
+    print(f"nnet-train-frmshuff: {len(X)} frames, final loss "
+          f"{hist[-1][0]:.3f} acc {hist[-1][1]:.3f}", file=sys.stderr)
+
+
+def cmd_rbm_train_cd1_frmshuff(args):
+    """CD-1 RBM pretraining over pooled frames
+    (ref: nnetbin/rbm-train-cd1-frmshuff.cc)."""
+    import jax
+    import jax.numpy as jnp
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.nnet1.rbm import Rbm, RbmConfig
+    from kaldi_tpu.nnet1.train import FrameShuffler
+    X = np.concatenate([v for (_k, v) in
+                        open_rspecifier(args.rspecifier)]) \
+        .astype(np.float32)
+    rbm = Rbm(RbmConfig(visible_dim=X.shape[1],
+                        hidden_dim=args.hidden_dim,
+                        learning_rate=args.learn_rate), seed=args.seed)
+    key = jax.random.PRNGKey(args.seed)
+    mse = 0.0
+    for ep in range(args.num_epochs):
+        shuf = FrameShuffler(X, np.zeros(len(X), np.int32),
+                             args.minibatch_size, seed=args.seed + ep)
+        for x, _t in shuf:
+            key, sub = jax.random.split(key)
+            mse = rbm.cd1_step(jnp.asarray(x), sub)
+    np.savez(open(args.rbm_out, "wb"), W=np.asarray(rbm.W),
+             vis_bias=np.asarray(rbm.vis_bias),
+             hid_bias=np.asarray(rbm.hid_bias))
+    print(f"rbm-train-cd1-frmshuff: final mse {mse:.4f}",
+          file=sys.stderr)
+
+
+def cmd_rbm_convert_to_nnet(args):
+    """RBM -> AffineTransform+Sigmoid stack
+    (ref: nnetbin/rbm-convert-to-nnet.cc)."""
+    import jax.numpy as jnp
+    from kaldi_tpu.nnet1.nnet import Nnet1, Component, save_nnet1
+    z = np.load(args.rbm)
+    W, b = z["W"], z["hid_bias"]
+    H, V = W.shape
+    net = Nnet1([Component("AffineTransform", V, H),
+                 Component("Sigmoid", H, H)])
+    params = [{"w": jnp.asarray(W), "b": jnp.asarray(b)}, {}]
+    save_nnet1(args.nnet_out, net, params)
+    print(f"rbm-convert-to-nnet: {V}->{H}", file=sys.stderr)
+
+
+def cmd_cmvn_to_nnet(args):
+    """Global CMVN stats -> AddShift+Rescale front components
+    (ref: nnetbin/cmvn-to-nnet.cc)."""
+    import jax.numpy as jnp
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.nnet1.nnet import Nnet1, Component, save_nnet1
+    # sum all stats entries (per-spk or global)
+    total = None
+    for _k, st in open_rspecifier(args.cmvn_rspecifier):
+        total = st if total is None else total + st
+    st = np.asarray(total, np.float64)
+    cnt = st[0, -1]
+    mean = st[0, :-1] / cnt
+    var = st[1, :-1] / cnt - mean ** 2
+    D = len(mean)
+    net = Nnet1([Component("AddShift", D, D),
+                 Component("Rescale", D, D)])
+    params = [{"b": jnp.asarray(-mean, jnp.float32)},
+              {"s": jnp.asarray(1.0 / np.sqrt(np.maximum(var, 1e-10)),
+                                jnp.float32)}]
+    save_nnet1(args.nnet_out, net, params)
+    print(f"cmvn-to-nnet: dim {D}", file=sys.stderr)
+
+
+def cmd_transf_to_nnet(args):
+    """Linear/affine transform matrix -> AffineTransform component
+    (ref: nnetbin/transf-to-nnet.cc)."""
+    import jax.numpy as jnp
+    from kaldi_tpu.io.kaldi_io import read_ark
+    from kaldi_tpu.nnet1.nnet import Nnet1, Component, save_nnet1
+    (M,) = [v for _, v in read_ark(args.transform)]
+    M = np.asarray(M, np.float64)
+    out_dim, in_cols = M.shape
+    if args.affine or in_cols == out_dim + 1:
+        W, b = M[:, :-1], M[:, -1]
+    else:
+        W, b = M, np.zeros(out_dim)
+    net = Nnet1([Component("AffineTransform", W.shape[1], out_dim)])
+    params = [{"w": jnp.asarray(W, jnp.float32),
+               "b": jnp.asarray(b, jnp.float32)}]
+    save_nnet1(args.nnet_out, net, params)
+    print(f"transf-to-nnet: {W.shape[1]}->{out_dim}", file=sys.stderr)
+
+
+def cmd_feat_to_post(args):
+    """Feature rows -> posterior entries (the KL-HMM input path)
+    (ref: nnetbin/feat-to-post.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.hmm.posterior import write_post_line
+    n = 0
+    with open(args.post_out, "w") as out:
+        for utt, f in open_rspecifier(args.rspecifier):
+            post = [[(int(d), float(v)) for d, v in enumerate(row)
+                     if abs(v) > args.min_value]
+                    for row in np.asarray(f)]
+            write_post_line(out, utt, post)
+            n += 1
+    print(f"feat-to-post: {n} utts", file=sys.stderr)
+
+
+def cmd_paste_post(args):
+    """Merge two posterior streams with the 2nd's ids offset by the
+    first stream's dim (ref: nnetbin/paste-post.cc)."""
+    from kaldi_tpu.hmm.posterior import read_post_ark, write_post_line
+    a = {k: p for (k, p) in read_post_ark(args.post_a)}
+    b = {k: p for (k, p) in read_post_ark(args.post_b)}
+    n = 0
+    with open(args.post_out, "w") as out:
+        for k in sorted(set(a) & set(b)):
+            pa, pb = a[k], b[k]
+            merged = [fa + [(i + args.dim_a, w) for (i, w) in fb]
+                      for fa, fb in zip(pa, pb)]
+            write_post_line(out, k, merged)
+            n += 1
+    print(f"paste-post: {n} utts", file=sys.stderr)
+
+
+def cmd_train_transitions(args):
+    """Re-estimate transition probabilities from alignments
+    (ref: nnetbin/train-transitions.cc)."""
+    from kaldi_tpu.io.model_io import load_gmm_system, save_gmm_system
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    model = load_gmm_system(args.model)
+    tm = model.trans_model
+    counts = np.zeros(tm.num_transition_ids + 1, np.float64)
+    for _utt, ali in open_rspecifier(args.ali_rspecifier):
+        np.add.at(counts, np.asarray(ali, np.int64), 1.0)
+    tm.mle_update(counts)
+    save_gmm_system(args.model_out, model)
+    print(f"train-transitions: {int(counts.sum())} frames",
+          file=sys.stderr)
+
+
+def cmd_nnet_kl_hmm_acc(args):
+    """Accumulate KL-HMM state distributions from posterior features +
+    state alignments (ref: nnetbin/nnet-kl-hmm-acc.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.nnet1.kl_hmm import KlHmm
+    feats = {k: v for (k, v) in open_rspecifier(args.rspecifier)}
+    kl = None
+    for utt, ali in open_rspecifier(args.ali_rspecifier):
+        if utt not in feats:
+            continue
+        f = np.asarray(feats[utt], np.float64)
+        a = np.asarray(ali, np.int64)
+        n = min(len(f), len(a))
+        if kl is None:
+            kl = KlHmm(f.shape[1], args.num_states)
+        kl.accumulate(f[:n], a[:n])
+    np.savez(open(args.accs_out, "wb"), counts=kl.counts)
+    print(f"nnet-kl-hmm-acc: {int(kl.counts.sum())} total mass",
+          file=sys.stderr)
+
+
+def cmd_nnet_kl_hmm_sum_accs(args):
+    """(ref: nnetbin/nnet-kl-hmm-sum-accs.cc)"""
+    total = None
+    for p in args.accs_in:
+        c = np.load(p)["counts"]
+        total = c if total is None else total + c
+    np.savez(open(args.accs_out, "wb"), counts=total)
+    print(f"nnet-kl-hmm-sum-accs: {len(args.accs_in)} files",
+          file=sys.stderr)
+
+
 def cmd_nnet3_init(args):
     """Random-init an nnet3 model from a config file
     (ref: nnet3bin/nnet3-init.cc + steps/nnet3/make_tdnn_configs.py)."""
@@ -6891,6 +7161,103 @@ def main(argv=None):
     q.add_argument("--use-priors", action="store_true",
                    help="subtract log-priors (pseudo-loglikes out)")
     q.set_defaults(func=cmd_nnet3_compute)
+
+    q = sub.add_parser("nnet-initialize")
+    q.add_argument("proto")
+    q.add_argument("nnet_out")
+    q.add_argument("--seed", type=int, default=0)
+    q.set_defaults(func=cmd_nnet1_initialize)
+
+    q = sub.add_parser("nnet-info")
+    q.add_argument("nnet")
+    q.set_defaults(func=cmd_nnet1_info)
+
+    q = sub.add_parser("nnet-copy")
+    q.add_argument("nnet_in")
+    q.add_argument("nnet_out")
+    q.set_defaults(func=cmd_nnet1_copy)
+
+    q = sub.add_parser("nnet-concat")
+    q.add_argument("nnet_out")
+    q.add_argument("nnets_in", nargs="+")
+    q.set_defaults(func=cmd_nnet1_concat)
+
+    q = sub.add_parser("nnet-forward")
+    q.add_argument("nnet")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.add_argument("--apply-log", action="store_true")
+    q.add_argument("--class-frame-counts", default="")
+    q.set_defaults(func=cmd_nnet1_forward)
+
+    q = sub.add_parser("nnet-train-frmshuff")
+    q.add_argument("nnet_in")
+    q.add_argument("rspecifier")
+    q.add_argument("targets_rspecifier", help="pdf alignments ark")
+    q.add_argument("nnet_out")
+    q.add_argument("--learn-rate", type=float, default=0.008)
+    q.add_argument("--minibatch-size", type=int, default=256)
+    q.add_argument("--num-epochs", type=int, default=1)
+    q.add_argument("--momentum", type=float, default=0.0)
+    q.add_argument("--seed", type=int, default=0)
+    q.set_defaults(func=cmd_nnet1_train_frmshuff)
+
+    q = sub.add_parser("rbm-train-cd1-frmshuff")
+    q.add_argument("rspecifier")
+    q.add_argument("rbm_out")
+    q.add_argument("--hidden-dim", type=int, default=128)
+    q.add_argument("--learn-rate", type=float, default=0.01)
+    q.add_argument("--minibatch-size", type=int, default=256)
+    q.add_argument("--num-epochs", type=int, default=2)
+    q.add_argument("--seed", type=int, default=0)
+    q.set_defaults(func=cmd_rbm_train_cd1_frmshuff)
+
+    q = sub.add_parser("rbm-convert-to-nnet")
+    q.add_argument("rbm")
+    q.add_argument("nnet_out")
+    q.set_defaults(func=cmd_rbm_convert_to_nnet)
+
+    q = sub.add_parser("cmvn-to-nnet")
+    q.add_argument("cmvn_rspecifier")
+    q.add_argument("nnet_out")
+    q.set_defaults(func=cmd_cmvn_to_nnet)
+
+    q = sub.add_parser("transf-to-nnet")
+    q.add_argument("transform")
+    q.add_argument("nnet_out")
+    q.add_argument("--affine", action="store_true")
+    q.set_defaults(func=cmd_transf_to_nnet)
+
+    q = sub.add_parser("feat-to-post")
+    q.add_argument("rspecifier")
+    q.add_argument("post_out")
+    q.add_argument("--min-value", type=float, default=0.0)
+    q.set_defaults(func=cmd_feat_to_post)
+
+    q = sub.add_parser("paste-post")
+    q.add_argument("post_a")
+    q.add_argument("dim_a", type=int)
+    q.add_argument("post_b")
+    q.add_argument("post_out")
+    q.set_defaults(func=cmd_paste_post)
+
+    q = sub.add_parser("train-transitions")
+    q.add_argument("model")
+    q.add_argument("ali_rspecifier")
+    q.add_argument("model_out")
+    q.set_defaults(func=cmd_train_transitions)
+
+    q = sub.add_parser("nnet-kl-hmm-acc")
+    q.add_argument("rspecifier", help="posterior-feature matrices")
+    q.add_argument("ali_rspecifier")
+    q.add_argument("accs_out")
+    q.add_argument("--num-states", type=int, required=True)
+    q.set_defaults(func=cmd_nnet_kl_hmm_acc)
+
+    q = sub.add_parser("nnet-kl-hmm-sum-accs")
+    q.add_argument("accs_out")
+    q.add_argument("accs_in", nargs="+")
+    q.set_defaults(func=cmd_nnet_kl_hmm_sum_accs)
 
     q = sub.add_parser("nnet3-init")
     q.add_argument("config")
