@@ -2976,6 +2976,139 @@ def cmd_gmm_est_fmllr(args):
     print(f"gmm-est-fmllr: wrote {n} transforms", file=sys.stderr)
 
 
+def cmd_sum_lda_accs(args):
+    """(ref: bin/sum-lda-accs.cc)"""
+    z0 = None
+    for p in args.accs_in:
+        z = {k: v for k, v in np.load(p).items()}
+        if z0 is None:
+            z0 = z
+        else:
+            for k in z:
+                z0[k] = z0[k] + z[k]
+    np.savez(open(args.accs_out, "wb"), **z0)
+    print(f"sum-lda-accs: {len(args.accs_in)} files", file=sys.stderr)
+
+
+def cmd_sum_mllt_accs(args):
+    """(ref: bin/sum-mllt-accs.cc)"""
+    G, beta = None, 0.0
+    for p in args.accs_in:
+        z = np.load(p)
+        G = z["G"] if G is None else G + z["G"]
+        beta += float(z["beta"])
+    np.savez(open(args.accs_out, "wb"), G=G, beta=np.float64(beta))
+    print(f"sum-mllt-accs: {len(args.accs_in)} files", file=sys.stderr)
+
+
+def cmd_fst_phi_compose(args):
+    """Compose with phi (failure) transitions on the right FST
+    (ref: fstbin/fstphicompose.cc)."""
+    from kaldi_tpu.fst.text_io import load_fst, save_fst
+    from kaldi_tpu.fst.special import phi_compose
+    a = load_fst(args.a)
+    b = load_fst(args.b)
+    out = phi_compose(a, b, args.phi_label)
+    save_fst(args.fst_out, out)
+    print(f"fst-phi-compose: {out.num_states} states, "
+          f"{out.num_arcs} arcs", file=sys.stderr)
+
+
+def cmd_align_mapped(args):
+    """Forced alignment from precomputed loglike matrices
+    (ref: bin/align-mapped.cc)."""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    from kaldi_tpu.fst.graph import TrainingGraphCompiler
+    from kaldi_tpu.decoder.graph_pack import pack_graphs
+    from kaldi_tpu.decoder.viterbi import viterbi_align
+    model = load_gmm_system(args.model)
+    text = _read_text_file(args.text)
+    items = [(k, m) for (k, m) in
+             open_rspecifier(args.loglikes_rspecifier) if k in text]
+    if not items:
+        raise SystemExit("align-mapped: no utterances joined")
+    compiler = TrainingGraphCompiler(model.lang, model.trans_model,
+                                     model.ctx_dep)
+    cache: dict = {}
+    graphs = []
+    for (k, _m) in items:
+        key = tuple(text[k])
+        if key not in cache:
+            cache[key] = compiler.compile_transcript(list(key))
+        graphs.append(cache[key])
+    B = len(items)
+    T = max(m.shape[0] for (_k, m) in items)
+    P = items[0][1].shape[1]
+    ll = np.full((B, T, P), -1e10, np.float32)
+    nf = np.zeros(B, np.int32)
+    for b, (_k, m) in enumerate(items):
+        ll[b, : m.shape[0]] = m
+        nf[b] = m.shape[0]
+    batch = pack_graphs(graphs, model.trans_model.id2pdf_array)
+    results = viterbi_align(batch, ll, nf, args.acoustic_scale)
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for (k, _m), res in zip(items, results):
+            if res is None:
+                print(f"align-mapped: failed for {k}", file=sys.stderr)
+                continue
+            out.write(k, np.asarray(res[0], np.int32))
+            n += 1
+    print(f"align-mapped: {n}/{len(items)}", file=sys.stderr)
+
+
+def cmd_make_pdf_to_tid_transducer(args):
+    """One-state transducer mapping pdf-id+1 -> transition-ids
+    (ref: bin/make-pdf-to-tid-transducer.cc)."""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.fst.fst import Fst
+    from kaldi_tpu.fst.text_io import save_fst
+    tm = load_gmm_system(args.model).trans_model
+    f = Fst()
+    s = f.add_state()
+    f.start = s
+    f.set_final(s, 0.0)
+    for tid in range(1, tm.num_transition_ids + 1):
+        pdf = tm.transition_id_to_pdf(tid)
+        f.add_arc(s, pdf + 1, tid, 0.0, s)
+    save_fst(args.fst_out, f)
+    print(f"make-pdf-to-tid-transducer: {f.num_arcs} arcs",
+          file=sys.stderr)
+
+
+def cmd_build_tree_two_level(args):
+    """Two-level tree: fine leaves sharing coarse codebooks
+    (ref: bin/build-tree-two-level.cc, tree/build-tree.h:145)."""
+    from kaldi_tpu.io.model_io import (load_gmm_system, load_tree_stats,
+                                       save_tree)
+    from kaldi_tpu.tree.build_tree import build_tree_two_level, Questions
+    model = load_gmm_system(args.model)
+    stats, N, Pc = load_tree_stats(args.tree_stats)
+    qsets = []
+    with open(args.questions) as f:
+        for line in f:
+            toks = line.split()
+            if toks:
+                qsets.append([int(t) for t in toks])
+    phones = sorted({ph for (ph, _s, _p) in model.trans_model.tuples})
+    phone_sets = [[p] for p in phones]
+    ph2cls = {p: model.lang.topo.num_pdf_classes(p) for p in phones}
+    questions = Questions(qsets, num_pdf_classes=max(ph2cls.values()),
+                          N=N, P=Pc)
+    fine, n_fine, coarse, n_coarse, f2c = build_tree_two_level(
+        stats, questions, phone_sets, ph2cls,
+        max_leaves_first=args.max_leaves_first,
+        max_leaves_second=args.max_leaves_second, P=Pc)
+    from kaldi_tpu.tree.context_dep import TreeContextDependency
+    save_tree(args.tree_out, TreeContextDependency(N, Pc, fine, n_fine))
+    with open(args.map_out, "w") as f:
+        for leaf, c in enumerate(f2c):
+            f.write(f"{leaf} {c}\n")
+    print(f"build-tree-two-level: {n_fine} fine leaves over "
+          f"{n_coarse} coarse", file=sys.stderr)
+
+
 def cmd_acc_lda(args):
     """LDA class stats (class = pdf) from weighted posteriors
     (ref: bin/acc-lda.cc, transform/lda-estimate.h:57)."""
@@ -6758,6 +6891,51 @@ def main(argv=None):
     q = sub.add_parser("tree-info")
     q.add_argument("model", help="tree file or GMM system npz")
     q.set_defaults(func=cmd_tree_info)
+
+    q = sub.add_parser("sum-lda-accs")
+    q.add_argument("accs_out")
+    q.add_argument("accs_in", nargs="+")
+    q.set_defaults(func=cmd_sum_lda_accs)
+
+    q = sub.add_parser("sum-mllt-accs")
+    q.add_argument("accs_out")
+    q.add_argument("accs_in", nargs="+")
+    q.set_defaults(func=cmd_sum_mllt_accs)
+
+    q = sub.add_parser("fst-phi-compose")
+    q.add_argument("phi_label", type=int)
+    q.add_argument("a")
+    q.add_argument("b")
+    q.add_argument("fst_out")
+    q.set_defaults(func=cmd_fst_phi_compose)
+
+    q = sub.add_parser("align-mapped")
+    q.add_argument("model")
+    q.add_argument("text")
+    q.add_argument("loglikes_rspecifier")
+    q.add_argument("wspecifier")
+    q.add_argument("--acoustic-scale", type=float, default=0.1)
+    q.set_defaults(func=cmd_align_mapped)
+
+    q = sub.add_parser("make-pdf-to-tid-transducer")
+    q.add_argument("model")
+    q.add_argument("fst_out")
+    q.set_defaults(func=cmd_make_pdf_to_tid_transducer)
+
+    q = sub.add_parser("build-tree-two-level")
+    q.add_argument("model")
+    q.add_argument("tree_stats")
+    q.add_argument("questions")
+    q.add_argument("tree_out")
+    q.add_argument("map_out")
+    q.add_argument("--max-leaves-first", type=int, default=100)
+    q.add_argument("--max-leaves-second", type=int, default=400)
+    q.set_defaults(func=cmd_build_tree_two_level)
+
+    q = sub.add_parser("copy-transition-model")
+    q.add_argument("model")
+    q.add_argument("model_out")
+    q.set_defaults(func=cmd_gmm_copy)
 
     q = sub.add_parser("show-transitions")
     q.add_argument("model")
