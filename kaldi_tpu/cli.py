@@ -2976,6 +2976,333 @@ def cmd_gmm_est_fmllr(args):
     print(f"gmm-est-fmllr: wrote {n} transforms", file=sys.stderr)
 
 
+def cmd_fst_copy(args):
+    """(ref: fstbin/fstcopy.cc)"""
+    from kaldi_tpu.fst.text_io import load_fst, save_fst
+    f = load_fst(args.fst_in)
+    save_fst(args.fst_out, f)
+    print(f"fstcopy: {f.num_states} states", file=sys.stderr)
+
+
+def cmd_fst_is_stochastic(args):
+    """Check per-state outgoing weight sums in the log semiring
+    (ref: fstbin/fstisstochastic.cc). Prints min/max residual; exit 1
+    when outside --delta."""
+    import math
+    from kaldi_tpu.fst.text_io import load_fst
+    f = load_fst(args.fst_in)
+    INF = float("inf")
+    lo, hi = INF, -INF
+    for s in range(f.num_states):
+        acc = None
+        for (_i, _o, w, _d) in f.arcs[s]:
+            acc = -w if acc is None else \
+                max(acc, -w) + math.log1p(math.exp(-abs(acc - (-w))))
+        fw = f.final(s)
+        if fw < INF:
+            acc = -fw if acc is None else \
+                max(acc, -fw) + math.log1p(math.exp(-abs(acc - (-fw))))
+        if acc is None:
+            continue
+        lo, hi = min(lo, acc), max(hi, acc)
+    print(f"{lo:.6f} {hi:.6f}")
+    if not (abs(lo) <= args.delta and abs(hi) <= args.delta):
+        sys.exit(1)
+
+
+def cmd_fsts_to_transcripts(args):
+    """Per-key FSTs (the lattice-to-fst/compile-train-graphs-fsts text
+    format) -> shortest-path output-label transcripts
+    (ref: fstbin/fsts-to-transcripts.cc)."""
+    from kaldi_tpu.fst.text_io import read_fst_text
+    import io as _io
+    with open(args.fsts_in) as f:
+        blocks = f.read().split("\n\n")
+    for block in blocks:
+        lines = [l for l in block.splitlines() if l.strip()]
+        if not lines:
+            continue
+        key = lines[0].strip()
+        fst = read_fst_text(_io.StringIO("\n".join(lines[1:])))
+        res = fst.shortest_path()
+        words = " ".join(str(w) for w in res[1]) if res else ""
+        print(f"{key} {words}")
+
+
+def cmd_copy_gselect(args):
+    """(ref: bin/copy-gselect.cc)"""
+    n = 0
+    with open(args.gselect_out, "w") as out:
+        with open(args.gselect_in) as f:
+            for line in f:
+                out.write(line)
+                n += 1
+    print(f"copy-gselect: {n} utts", file=sys.stderr)
+
+
+def cmd_gmm_global_copy(args):
+    """(ref: gmmbin/gmm-global-copy.cc / fgmmbin/fgmm-global-copy.cc)"""
+    from kaldi_tpu.io.model_io import load_ubm, save_ubm
+    save_ubm(args.model_out, load_ubm(args.model))
+    print("gmm-global-copy: done", file=sys.stderr)
+
+
+def cmd_fgmm_global_to_gmm(args):
+    """Full-covariance UBM -> diagonal (keep the covar diagonal)
+    (ref: fgmmbin/fgmm-global-to-gmm.cc)."""
+    from kaldi_tpu.io.model_io import load_ubm, save_ubm
+    from kaldi_tpu.gmm.full_gmm import FullGmm
+    from kaldi_tpu.gmm.diag_gmm import DiagGmm
+    ubm = load_ubm(args.model)
+    assert isinstance(ubm, FullGmm), "input must be a full-cov UBM"
+    variances = np.stack([np.diag(c) for c in ubm.covars])
+    save_ubm(args.model_out,
+             DiagGmm(ubm.weights.copy(), ubm.means.copy(), variances))
+    print(f"fgmm-global-to-gmm: {ubm.num_gauss} gauss", file=sys.stderr)
+
+
+def cmd_fgmm_global_acc_stats_post(args):
+    """UBM stats weighted by precomputed component posteriors
+    (ref: fgmmbin/fgmm-global-acc-stats-post.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.io.model_io import load_ubm
+    from kaldi_tpu.hmm.posterior import read_post_ark
+    from kaldi_tpu.gmm.full_gmm import FullGmm, AccumFullGmm
+    from kaldi_tpu.gmm.estimation import AccumDiagGmm
+    ubm = load_ubm(args.model)
+    full = isinstance(ubm, FullGmm)
+    acc = (AccumFullGmm if full else AccumDiagGmm)(ubm.num_gauss,
+                                                   ubm.dim)
+    feats = {k: v for (k, v) in open_rspecifier(args.rspecifier)}
+    n = 0
+    for utt, post in read_post_ark(args.post_in):
+        if utt not in feats:
+            continue
+        x = feats[utt].astype(np.float64)
+        P = np.zeros((len(x), ubm.num_gauss))
+        for t, fr in enumerate(post):
+            for (i, w) in fr:
+                if t < len(x):
+                    P[t, i] = w
+        acc.accumulate_from_posteriors(x, P)
+        n += 1
+    blobs = {"occ": acc.occ, "mean_acc": acc.mean_acc,
+             "full": np.int64(full), "tot_like": np.float64(0.0),
+             "tot_frames": np.float64(acc.occ.sum())}
+    blobs["cov_acc" if full else "var_acc"] = \
+        acc.cov_acc if full else acc.var_acc
+    np.savez(open(args.accs_out, "wb"), **blobs)
+    print(f"fgmm-global-acc-stats-post: {n} utts", file=sys.stderr)
+
+
+def cmd_lattice_reverse(args):
+    """Time-reverse lattices (ref: latbin/lattice-reverse.cc)."""
+    from kaldi_tpu.lat.io import read_lattice_ark, write_lattice_ark
+    from kaldi_tpu.lat.lattice import Lattice
+    out = {}
+    for key, lat in read_lattice_ark(args.lattice_ark):
+        rev = Lattice()
+        for _ in range(lat.num_states + 1):
+            rev.add_state()
+        # state 0 is the new super-start (the text format reads the
+        # first state as the start); old state s becomes s + 1
+        rev.start = 0
+        for s in range(lat.num_states):
+            for a in lat.arcs[s]:
+                rev.add_arc(a.nextstate + 1, a.ilabel, a.olabel,
+                            a.graph_cost, a.acoustic_cost, s + 1)
+        for s, (g, ac) in lat.finals.items():
+            rev.add_arc(0, 0, 0, g, ac, s + 1)
+        rev.set_final(lat.start + 1, 0.0, 0.0)
+        out[key] = rev
+    write_lattice_ark(args.out_ark, out)
+    print(f"lattice-reverse: {len(out)}", file=sys.stderr)
+
+
+def cmd_lattice_combine(args):
+    """Union lattices across N archives per key
+    (ref: latbin/lattice-combine.cc)."""
+    from kaldi_tpu.lat.io import read_lattice_ark, write_lattice_ark
+    from kaldi_tpu.lat.align import lattice_union
+    merged: dict = {}
+    for p in args.arks_in:
+        for key, lat in read_lattice_ark(p):
+            merged[key] = (lattice_union(merged[key], lat)
+                           if key in merged else lat)
+    write_lattice_ark(args.out_ark, merged)
+    print(f"lattice-combine: {len(merged)} keys from "
+          f"{len(args.arks_in)} archives", file=sys.stderr)
+
+
+def cmd_nbest_to_lattice(args):
+    """Re-merge 'utt-N' n-best path lattices into one lattice per utt
+    (ref: latbin/nbest-to-lattice.cc)."""
+    from kaldi_tpu.lat.io import read_lattice_ark, write_lattice_ark
+    from kaldi_tpu.lat.align import lattice_union
+    merged: dict = {}
+    for key, lat in read_lattice_ark(args.nbest_ark):
+        base = key.rsplit("-", 1)[0]
+        merged[base] = (lattice_union(merged[base], lat)
+                        if base in merged else lat)
+    write_lattice_ark(args.out_ark, merged)
+    print(f"nbest-to-lattice: {len(merged)} utts", file=sys.stderr)
+
+
+def cmd_extend_wav_with_silence(args):
+    """Append silence to each wav (ref:
+    online2bin/extend-wav-with-silence.cc; zeros, the degenerate case)."""
+    from kaldi_tpu.io.wave import read_wave, write_wave
+    os.makedirs(args.out_dir, exist_ok=True)
+    n = 0
+    with open(os.path.join(args.out_dir, "wav.scp"), "w") as scp:
+        for utt, path in _read_wav_scp(args.wav_scp):
+            wave, sr = read_wave(path)
+            pad = np.zeros((wave.shape[0], int(args.extend_secs * sr)),
+                           wave.dtype)
+            out_path = os.path.join(args.out_dir, f"{utt}.wav")
+            write_wave(out_path, np.concatenate([wave, pad], axis=1), sr)
+            scp.write(f"{utt} {out_path}\n")
+            n += 1
+    print(f"extend-wav-with-silence: {n} utts", file=sys.stderr)
+
+
+def cmd_online2_wav_dump_features(args):
+    """Stream wavs through the online feature pipeline and dump the
+    features (ref: online2bin/online2-wav-dump-features.cc)."""
+    from kaldi_tpu.io.wave import read_wave
+    from kaldi_tpu.io.kaldi_io import open_wspecifier
+    from kaldi_tpu.online.features import OnlineFeaturePipeline
+    from kaldi_tpu.ops import MfccOpts, FrameOpts
+    fo = MfccOpts(frame_opts=FrameOpts(samp_freq=args.sample_frequency,
+                                       dither=0.0),
+                  num_ceps=args.num_ceps)
+    chunk = int(args.chunk_secs * args.sample_frequency)
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for utt, path in _read_wav_scp(args.wav_scp):
+            wave, _sr = read_wave(path)
+            pipe = OnlineFeaturePipeline(fo, delta_order=args.delta_order)
+            w = wave[0]
+            for lo in range(0, len(w), chunk):
+                pipe.accept_waveform(w[lo: lo + chunk])
+            pipe.input_finished()
+            out.write(utt, np.asarray(pipe.get_features(), np.float32))
+            n += 1
+    print(f"online2-wav-dump-features: {n} utts", file=sys.stderr)
+
+
+def cmd_interpolate_pitch(args):
+    """Linearly interpolate pitch through unvoiced regions
+    (ref: featbin/interpolate-pitch.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for k, f in open_rspecifier(args.rspecifier):
+            f = np.array(f, np.float64)
+            nccf, pitch = f[:, 0], f[:, 1].copy()
+            voiced = nccf > args.pov_threshold
+            if voiced.any():
+                idx = np.flatnonzero(voiced)
+                pitch = np.interp(np.arange(len(pitch)), idx,
+                                  pitch[idx])
+            f[:, 1] = pitch
+            out.write(k, f.astype(np.float32))
+            n += 1
+    print(f"interpolate-pitch: {n}", file=sys.stderr)
+
+
+def cmd_extract_rows(args):
+    """Row ranges from matrices, driven by a ranges file
+    ('out_key in_key start end'; ref: featbin/extract-rows.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    feats = dict(open_rspecifier(args.rspecifier))
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        with open(args.ranges) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) != 4:
+                    continue
+                ok, ik, lo, hi = (parts[0], parts[1], int(parts[2]),
+                                  int(parts[3]))
+                if ik not in feats:
+                    continue
+                out.write(ok, feats[ik][lo:hi])
+                n += 1
+    print(f"extract-rows: {n} segments", file=sys.stderr)
+
+
+def cmd_extend_transform_dim(args):
+    """Pad a transform to a larger dim with identity rows/cols
+    (ref: featbin/extend-transform-dim.cc)."""
+    from kaldi_tpu.io.kaldi_io import read_ark, write_ark
+    (M,) = [v for _, v in read_ark(args.transform)]
+    M = np.asarray(M, np.float64)
+    out_d, in_c = M.shape
+    affine = in_c == out_d + 1
+    in_d = in_c - 1 if affine else in_c
+    new_d = args.new_dimension
+    out = np.zeros((new_d, new_d + 1 if affine else new_d))
+    out[:out_d, :in_d] = M[:, :in_d]
+    for d in range(out_d, new_d):
+        out[d, d] = 1.0
+    if affine:
+        out[:out_d, -1] = M[:, -1]
+    write_ark(args.transform_out, {"t": out.astype(np.float32)})
+    print(f"extend-transform-dim: {out_d} -> {new_d}", file=sys.stderr)
+
+
+def cmd_fmpe_copy(args):
+    """(ref: featbin/fmpe-copy.cc)"""
+    _save_fmpe(args.fmpe_out, _load_fmpe(args.fmpe))
+    print("fmpe-copy: done", file=sys.stderr)
+
+
+def cmd_logistic_regression_copy(args):
+    """(ref: ivectorbin/logistic-regression-copy.cc; --scale-priors
+    multiplies the bias by log-prior offsets)"""
+    z = dict(np.load(args.model).items())
+    np.savez(open(args.model_out, "wb"), **z)
+    print("logistic-regression-copy: done", file=sys.stderr)
+
+
+def cmd_copy_feats_to_sphinx(args):
+    """Per-utterance Sphinx .mfc feature files: int32 count header +
+    float32 data, big-endian (ref: featbin/copy-feats-to-sphinx.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    import struct
+    os.makedirs(args.out_dir, exist_ok=True)
+    n = 0
+    for k, f in open_rspecifier(args.rspecifier):
+        data = np.asarray(f, ">f4")
+        with open(os.path.join(args.out_dir, k + ".mfc"), "wb") as out:
+            out.write(struct.pack(">i", data.size))
+            out.write(data.tobytes())
+        n += 1
+    print(f"copy-feats-to-sphinx: {n} files", file=sys.stderr)
+
+
+def cmd_compute_and_process_pitch(args):
+    """Fused pitch extraction + post-processing: wav -> [T, 3]
+    (pov_feature, norm_log_pitch, delta_pitch) in one pass
+    (ref: featbin/compute-and-process-kaldi-pitch-feats.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_wspecifier
+    from kaldi_tpu.io.wave import read_wave
+    from kaldi_tpu.ops.pitch import (PitchOpts, compute_kaldi_pitch,
+                                     process_pitch)
+    popts = PitchOpts(samp_freq=args.sample_frequency,
+                      frame_length_ms=args.frame_length,
+                      frame_shift_ms=args.frame_shift)
+    n = 0
+    with open_wspecifier(args.wspecifier) as out:
+        for utt, path in _read_wav_scp(args.wav_scp):
+            wave, _sr = read_wave(path)
+            raw = compute_kaldi_pitch(np.asarray(wave[0]), popts)
+            out.write(utt, np.asarray(process_pitch(raw), np.float32))
+            n += 1
+    print(f"compute-and-process-kaldi-pitch-feats: {n}", file=sys.stderr)
+
+
 def cmd_sum_lda_accs(args):
     """(ref: bin/sum-lda-accs.cc)"""
     z0 = None
@@ -5572,8 +5899,65 @@ def cmd_recipe_yesno(args):
         sys.exit(1)
 
 
+# Reference binary names that resolve to a canonical subcommand (and,
+# where the reference binary is a variant, extra default flags). Options
+# after the alias pass straight through to the canonical command.
+# (ref: SURVEY.md §2.9 — the *-parallel variants collapse into the
+# batched decoders; *-compiled/-mapped naming folds into the fused
+# commands; docs/CLI_COVERAGE.md has the full binary-by-binary map.)
+_ALIASES: dict = {
+    # fstbin (OpenFst-style names)
+    "fsttablecompose": ["fst-compose", "--table"],
+    "fstdeterminizestar": ["fst-determinize-star"],
+    "fstdeterminizelog": ["fst-determinize-star", "--use-log"],
+    "fstminimizeencoded": ["fst-minimize-encoded"],
+    "fstpushspecial": ["fst-push-special"],
+    "fstrmepslocal": ["fst-rmepslocal"],
+    "fstrmsymbols": ["fst-rmsymbols"],
+    "fstphicompose": ["fst-phi-compose"],
+    "fstcomposecontext": ["fst-compose-context"],
+    "fstaddselfloops": ["add-self-loops"],
+    # featbin
+    "compute-kaldi-pitch-feats": ["compute-pitch-feats"],
+    # alignment / decode variants
+    "gmm-align-compiled": ["gmm-align"],
+    "align-equal-compiled": ["align-equal"],
+    "align-compiled-mapped": ["align-mapped"],
+    "gmm-decode-faster": ["decode-faster"],
+    "gmm-latgen-faster-parallel": ["gmm-latgen-faster"],
+    "latgen-faster-mapped-parallel": ["latgen-faster-mapped"],
+    "nnet-latgen-faster-parallel": ["nnet-latgen-faster"],
+    "sgmm2-latgen-faster-parallel": ["sgmm2-latgen-faster"],
+    "sgmm2-align-compiled": ["sgmm2-align"],
+    "gmm-transform-means-global": ["gmm-transform-means"],
+    "gmm-est-fmllr-gpost": ["gmm-est-fmllr"],
+    "gmm-est-basis-fmllr-gpost": ["gmm-est-basis-fmllr"],
+    "sgmm2-est-spkvecs-gpost": ["sgmm2-est-spkvecs"],
+    # latbin
+    "lattice-determinize-pruned": ["lattice-determinize"],
+    "lattice-determinize-pruned-parallel": ["lattice-determinize"],
+    "lattice-determinize-phone-pruned": ["lattice-determinize"],
+    "lattice-determinize-phone-pruned-parallel": ["lattice-determinize"],
+    "lattice-word-align": ["lattice-align-words"],
+    "lattice-align-words-lexicon": ["lattice-align-words"],
+    "sum-matrices": ["matrix-sum"],
+    # ivector / online
+    "ivector-extract-online": ["ivector-extract-online2"],
+    "online-wav-gmm-decode-faster": ["online2-wav-gmm-latgen-faster"],
+    # nnet2 / nnet3 am-wrappers
+    "nnet-init": ["nnet-am-init"],
+    "nnet-train-transitions": ["train-transitions"],
+    "nnet3-am-copy": ["nnet3-copy"],
+    "nnet3-am-info": ["nnet3-info"],
+    "nnet3-am-init": ["nnet3-init"],
+    "nnet3-am-train-transitions": ["train-transitions"],
+}
+
+
 def main(argv=None):
     argv = _expand_config_args(argv if argv is not None else sys.argv[1:])
+    if argv and argv[0] in _ALIASES:
+        argv = _ALIASES[argv[0]] + argv[1:]
     p = argparse.ArgumentParser(prog="kaldi_tpu",
                                 description=__doc__.splitlines()[0])
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -6896,6 +7280,116 @@ def main(argv=None):
     q.add_argument("accs_out")
     q.add_argument("accs_in", nargs="+")
     q.set_defaults(func=cmd_sum_lda_accs)
+
+    q = sub.add_parser("fstcopy")
+    q.add_argument("fst_in")
+    q.add_argument("fst_out")
+    q.set_defaults(func=cmd_fst_copy)
+
+    q = sub.add_parser("fstisstochastic")
+    q.add_argument("fst_in")
+    q.add_argument("--delta", type=float, default=0.01)
+    q.set_defaults(func=cmd_fst_is_stochastic)
+
+    q = sub.add_parser("fsts-to-transcripts")
+    q.add_argument("fsts_in")
+    q.set_defaults(func=cmd_fsts_to_transcripts)
+
+    q = sub.add_parser("copy-gselect")
+    q.add_argument("gselect_in")
+    q.add_argument("gselect_out")
+    q.set_defaults(func=cmd_copy_gselect)
+
+    for name in ("gmm-global-copy", "fgmm-global-copy"):
+        q = sub.add_parser(name)
+        q.add_argument("model")
+        q.add_argument("model_out")
+        q.set_defaults(func=cmd_gmm_global_copy)
+
+    q = sub.add_parser("fgmm-global-to-gmm")
+    q.add_argument("model")
+    q.add_argument("model_out")
+    q.set_defaults(func=cmd_fgmm_global_to_gmm)
+
+    for name in ("fgmm-global-acc-stats-post",
+                 "gmm-global-acc-stats-post"):
+        q = sub.add_parser(name)
+        q.add_argument("model")
+        q.add_argument("rspecifier")
+        q.add_argument("post_in")
+        q.add_argument("accs_out")
+        q.set_defaults(func=cmd_fgmm_global_acc_stats_post)
+
+    q = sub.add_parser("lattice-reverse")
+    q.add_argument("lattice_ark")
+    q.add_argument("out_ark")
+    q.set_defaults(func=cmd_lattice_reverse)
+
+    q = sub.add_parser("lattice-combine")
+    q.add_argument("out_ark")
+    q.add_argument("arks_in", nargs="+")
+    q.set_defaults(func=cmd_lattice_combine)
+
+    q = sub.add_parser("nbest-to-lattice")
+    q.add_argument("nbest_ark")
+    q.add_argument("out_ark")
+    q.set_defaults(func=cmd_nbest_to_lattice)
+
+    q = sub.add_parser("extend-wav-with-silence")
+    q.add_argument("wav_scp")
+    q.add_argument("out_dir")
+    q.add_argument("--extend-secs", type=float, default=0.5)
+    q.set_defaults(func=cmd_extend_wav_with_silence)
+
+    q = sub.add_parser("online2-wav-dump-features")
+    q.add_argument("wav_scp")
+    q.add_argument("wspecifier")
+    q.add_argument("--sample-frequency", type=float, default=16000.0)
+    q.add_argument("--num-ceps", type=int, default=13)
+    q.add_argument("--delta-order", type=int, default=2)
+    q.add_argument("--chunk-secs", type=float, default=0.4)
+    q.set_defaults(func=cmd_online2_wav_dump_features)
+
+    q = sub.add_parser("interpolate-pitch")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.add_argument("--pov-threshold", type=float, default=0.2)
+    q.set_defaults(func=cmd_interpolate_pitch)
+
+    q = sub.add_parser("extract-rows")
+    q.add_argument("ranges")
+    q.add_argument("rspecifier")
+    q.add_argument("wspecifier")
+    q.set_defaults(func=cmd_extract_rows)
+
+    q = sub.add_parser("extend-transform-dim")
+    q.add_argument("transform")
+    q.add_argument("transform_out")
+    q.add_argument("--new-dimension", type=int, required=True)
+    q.set_defaults(func=cmd_extend_transform_dim)
+
+    q = sub.add_parser("fmpe-copy")
+    q.add_argument("fmpe")
+    q.add_argument("fmpe_out")
+    q.set_defaults(func=cmd_fmpe_copy)
+
+    q = sub.add_parser("logistic-regression-copy")
+    q.add_argument("model")
+    q.add_argument("model_out")
+    q.set_defaults(func=cmd_logistic_regression_copy)
+
+    q = sub.add_parser("copy-feats-to-sphinx")
+    q.add_argument("rspecifier")
+    q.add_argument("out_dir")
+    q.set_defaults(func=cmd_copy_feats_to_sphinx)
+
+    q = sub.add_parser("compute-and-process-kaldi-pitch-feats")
+    q.add_argument("wav_scp")
+    q.add_argument("wspecifier")
+    q.add_argument("--sample-frequency", type=float, default=16000.0)
+    q.add_argument("--frame-length", type=float, default=25.0)
+    q.add_argument("--frame-shift", type=float, default=10.0)
+    q.set_defaults(func=cmd_compute_and_process_pitch)
 
     q = sub.add_parser("sum-mllt-accs")
     q.add_argument("accs_out")

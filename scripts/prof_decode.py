@@ -1,0 +1,169 @@
+"""Microbenchmark the CsrBeamDecoder frame-step components on the TPU.
+
+Times each candidate op inside a lax.scan with real data deps and a
+final fetch (the axon tunnel ignores block_until_ready), per the
+measured-cost methodology in docs/perf notes.
+"""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def timeit(name, fn, *args, iters=50):
+    f = jax.jit(fn)
+    out = f(*args)
+    np.asarray(jax.tree.leaves(out)[0])  # compile + fetch
+    t0 = time.perf_counter()
+    out = f(*args)
+    for _ in range(iters - 1):
+        out = f(*args)
+    np.asarray(jax.tree.leaves(out)[0])
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{name:50s} {dt*1e3:8.3f} ms")
+    return dt
+
+
+def scan_time(name, body, init, xs_len=20, iters=3):
+    """Time body inside a scan (amortizes the ~40ms tunnel cost)."""
+    def wrapped(c, _):
+        return body(c), ()
+    @jax.jit
+    def run(c0):
+        c, _ = jax.lax.scan(wrapped, c0, None, length=xs_len)
+        return c
+    out = run(init)
+    np.asarray(jax.tree.leaves(out)[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run(init)
+    np.asarray(jax.tree.leaves(out)[0])
+    dt = (time.perf_counter() - t0) / (iters * xs_len)
+    print(f"{name:50s} {dt*1e3:8.3f} ms/iter")
+    return dt
+
+
+def main():
+    B, K, CB, S, P = 8, 7000, 32768, 1_050_000, 2048
+    C = 2 * K + CB + K   # tierA + tierB + hub candidates
+    AH = 60000
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+
+    print(f"devices: {jax.devices()}  B={B} K={K} CB={CB} C={C}")
+
+    # --- top_k over merged candidates -> K
+    sel = jnp.asarray(rng.rand(B, C).astype(np.float32))
+    def tk(c):
+        v, i = jax.lax.top_k(c, K)
+        return v + 1e-6
+    scan_time(f"top_k [B,{C}] -> {K}", tk, sel)
+
+    def tk_hub(c):
+        v, i = jax.lax.top_k(c, K)
+        return jnp.pad(v + 1e-6, ((0, 0), (0, AH - K)))
+    hubsc = jnp.asarray(rng.rand(B, AH).astype(np.float32))
+    scan_time(f"top_k hub [B,{AH}] -> {K}", tk_hub, hubsc)
+
+    # --- approx_max_k comparison
+    def atk(c):
+        v, i = jax.lax.approx_max_k(c, K, recall_target=0.99)
+        return jnp.pad(v + 1e-6, ((0, 0), (0, C - K)))
+    scan_time(f"approx_max_k [B,{C}] -> {K} r=.99", atk, sel)
+
+    # --- sort-based: full sort of C
+    def srt(c):
+        return jax.lax.sort(c) + 1e-6
+    scan_time(f"sort [B,{C}]", srt, sel)
+
+    # --- threshold+compact: histogram cutoff + cumsum scatter
+    def thresh_compact(c):
+        best = jnp.min(c, axis=1, keepdims=True)
+        nbins = 512
+        qb = jnp.clip(((c - best) * (nbins / 13.0)), 0, nbins - 1) \
+            .astype(jnp.int32)
+        hist = jnp.zeros((B, nbins), jnp.int32).at[
+            jnp.arange(B)[:, None], qb].add(1)
+        cum = jnp.cumsum(hist, axis=1)
+        cut = jnp.argmax(cum >= K, axis=1)                  # [B]
+        keep = qb <= cut[:, None]
+        pos = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+        tgt = jnp.where(keep & (pos < K), pos, K)
+        out = jnp.full((B, K + 1), 1e10, jnp.float32).at[
+            jnp.arange(B)[:, None], tgt].min(c, mode="drop")
+        return jnp.pad(out[:, :K] * 0.999 + 1e-6,
+                       ((0, 0), (0, C - K)))
+    scan_time(f"hist-threshold+compact [B,{C}] -> {K}", thresh_compact,
+              sel)
+
+    # --- srow gather [B,K] from [S,16]
+    srow = jnp.asarray(rng.randint(0, 100, (S, 16)).astype(np.int32))
+    st = jnp.asarray(rng.randint(0, S, (B, K)).astype(np.int32))
+    def g16(s):
+        r = srow[s]
+        return (s + r[..., 1]) % S
+    scan_time(f"srow gather [B,{K}] rows of 16", g16, st)
+
+    # --- brow gather [B,CB] from [AB,8]
+    AB = 3_000_000
+    brow = jnp.asarray(rng.randint(0, 100, (AB, 8)).astype(np.int32))
+    aj = jnp.asarray(rng.randint(0, AB, (B, CB)).astype(np.int32))
+    def g8(a):
+        r = brow[a]
+        return (a + r[..., 1]) % AB
+    scan_time(f"brow gather [B,{CB}] rows of 8", g8, aj)
+
+    # --- dedup scatter-min + winner gather over [B*S]
+    cst = jnp.asarray(rng.randint(0, S, (B, C)).astype(np.int32))
+    csc = jnp.asarray((rng.rand(B, C) * 100).astype(np.int32))
+    def dedup(carry):
+        db, cs = carry
+        boff = (jnp.arange(B, dtype=jnp.int32) * S)[:, None]
+        flat = (cst + boff).reshape(-1)
+        fdb = db.at[flat].min(cs.reshape(-1))
+        won = fdb[flat].reshape(B, C) == cs
+        return (fdb, cs + won.astype(jnp.int32))
+    db0 = jnp.full(B * S, 2**31 - 1, jnp.int32)
+    scan_time(f"dedup scatter+gather [B,{C}] over [B*{S}]", dedup,
+              (db0, csc))
+
+    # --- segment_map (cumsum + scatter-max + cummax over [B,CB])
+    deg = jnp.asarray(rng.randint(0, 10, (B, K)).astype(np.int32))
+    def seg(d):
+        coff = jnp.cumsum(d, axis=1) - d
+        total = coff[:, -1] + d[:, -1]
+        boff = (jnp.arange(B, dtype=jnp.int32) * CB)[:, None]
+        flat_idx = jnp.where(coff < CB, coff + boff, B * CB).reshape(-1)
+        vals = jnp.broadcast_to(
+            jnp.where(d > 0, jnp.arange(K, dtype=jnp.int32)[None, :], 0),
+            (B, K)).reshape(-1)
+        ids = jnp.zeros(B * CB, jnp.int32).at[flat_idx].max(
+            vals, mode="drop")
+        tj = jax.lax.cummax(ids.reshape(B, CB), axis=1)
+        return (d + tj[:, :K]) % 17
+    scan_time(f"segment_map [B,{K}] -> [B,{CB}]", seg, deg)
+
+    # --- take_ll gathers [B, C] from [B, P]
+    ll_t = jnp.asarray(rng.rand(B, P).astype(np.float32))
+    pdf = jnp.asarray(rng.randint(0, P, (B, C)).astype(np.int32))
+    def tll(p):
+        v = jnp.take_along_axis(ll_t, p, axis=1)
+        return (p + v.astype(jnp.int32)) % P
+    scan_time(f"take_ll [B,{C}] from [B,{P}]", tll, pdf)
+
+    # --- hub einsum [AH,128] x [B,128]
+    onehot = jnp.asarray(rng.rand(AH, 128).astype(np.float32))
+    amg = jnp.asarray(rng.rand(B, 128).astype(np.float32))
+    def ein(a):
+        r = jnp.einsum("ag,bg->ba", onehot, a,
+                       preferred_element_type=jnp.float32)
+        return a + r[:, :128] * 1e-6
+    scan_time(f"hub einsum [{AH},128]x[B,128]", ein, amg)
+
+
+if __name__ == "__main__":
+    main()
