@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from kaldi_tpu.decoder.csr_beam import (BIG, INT32_MAX, _bits_to_f32,
+from kaldi_tpu.decoder.csr_beam import (BIG, _bits_to_f32,
                                         _segment_map, CsrBeamDecoder)
 
 
@@ -43,36 +43,30 @@ def _make_fs_decode(dec: CsrBeamDecoder, mesh: Mesh, axis: str,
     n_eps = o.eps_expansions
     beam = float(o.beam)
     start = int(dec.csr.start)
-    S = t.final.shape[0]
     kbits = max((K - 1).bit_length(), 1)
-    rounds_total = T * (1 + n_eps) + n_eps + 1
-    ebits = max(rounds_total.bit_length(), 2)
-    qbits = 31 - ebits
     H = len(t.hub_bounds) - 1
     AH = t.hub_rows.shape[0]
     hub_state_arr = dec._hub_state_arr
     hub_bounds = t.hub_bounds
 
-    def dedup_topk(cst, csc, cpv, col, cil, db, epoch):
+    def dedup_topk(cst, csc, cpv, col, cil):
+        # sort-based FindOrAddToken, mirroring csr_beam._dedup_topk:
+        # stable sort by (state, score), run heads win, masked top_k
         C = cst.shape[0]
-        alive = csc < BIG * 0.5
-        best = jnp.min(csc)
-        span = min(beam, 50.0)
-        qmax = (1 << qbits) - 1
-        q = jnp.clip((csc - best) * (qmax / span), 0, qmax).astype(jnp.int32)
-        key = jnp.where(alive, (epoch << qbits) | q, INT32_MAX)
-        db = db.at[cst].min(key)
-        won = (db[cst] == key) & alive
-        sel = jnp.where(won, csc, BIG)
-        negv, idx = jax.lax.top_k(-sel, K)
+        j = jnp.arange(C, dtype=jnp.int32)
+        ss, ssc, sj = jax.lax.sort((cst, csc, j), dimension=0, num_keys=2)
+        first = jnp.concatenate([jnp.ones((1,), bool), ss[1:] != ss[:-1]])
+        sel = jnp.where(first, ssc, BIG)
+        negv, kidx = jax.lax.top_k(-sel, K)
+        idx = sj[kidx]
         return (cst[idx], jnp.minimum(-negv, BIG), cpv[idx], col[idx],
-                cil[idx], db)
+                cil[idx])
 
     def local_slice(x):
         lo = jax.lax.axis_index(axis) * Kl
         return jax.lax.dynamic_slice_in_dim(x, lo, Kl)
 
-    def emit_round(tok_state, tok_score, ll_t, db, epoch):
+    def emit_round(tok_state, tok_score, ll_t):
         # --- sharded expansion: this device's K/D token slice only
         ts, sc = local_slice(tok_state), local_slice(tok_score)
         lo = jax.lax.axis_index(axis) * Kl
@@ -131,10 +125,10 @@ def _make_fs_decode(dec: CsrBeamDecoder, mesh: Mesh, axis: str,
         cst, csc, cpv, col, cil = cl
         best = jnp.min(csc)
         csc = jnp.where(csc > best + beam, BIG, csc)
-        out = dedup_topk(cst, csc, cpv, col, cil, db, epoch)
+        out = dedup_topk(cst, csc, cpv, col, cil)
         return out + (ovf_b[0],)
 
-    def eps_round(tok_state, tok_score, db, epoch):
+    def eps_round(tok_state, tok_score):
         ts, sc = local_slice(tok_state), local_slice(tok_score)
         lo = jax.lax.axis_index(axis) * Kl
         row = t.zrow[ts]
@@ -166,7 +160,7 @@ def _make_fs_decode(dec: CsrBeamDecoder, mesh: Mesh, axis: str,
         cst, csc, cpv, col, cil = cl
         best = jnp.min(csc)
         csc = jnp.where(csc > best + beam, BIG, csc)
-        out = dedup_topk(cst, csc, cpv, col, cil, db, epoch)
+        out = dedup_topk(cst, csc, cpv, col, cil)
         return out + (ovf,)
 
     def pack(pv, ol):
@@ -177,14 +171,11 @@ def _make_fs_decode(dec: CsrBeamDecoder, mesh: Mesh, axis: str,
         for the sharded expansion; outputs are replicated."""
         tok_state = jnp.zeros(K, jnp.int32).at[0].set(start)
         tok_score = jnp.full(K, BIG).at[0].set(0.0)
-        db = jnp.full(S, INT32_MAX, jnp.int32)
-        epoch = jnp.int32(rounds_total)
         init_recs = []
         st, sc = tok_state, tok_score
         ovf0 = jnp.int32(0)
         for _ in range(n_eps):
-            st, sc, pv, ol, _il, db, ovf_z = eps_round(st, sc, db, epoch)
-            epoch = epoch - 1
+            st, sc, pv, ol, _il, ovf_z = eps_round(st, sc)
             ovf0 = ovf0 + ovf_z
             init_recs.append(pack(pv, ol))
         init_recs = (jnp.stack(init_recs) if init_recs
@@ -192,29 +183,25 @@ def _make_fs_decode(dec: CsrBeamDecoder, mesh: Mesh, axis: str,
         self_rec = jnp.arange(K, dtype=jnp.int32)
 
         def frame_step(carry, inputs):
-            st, sc, db, epoch, ovf = carry
+            st, sc, ovf = carry
             ll_t, m = inputs
-            nst, nsc, pv, ol, il, db, ovf_e = emit_round(st, sc, ll_t, db,
-                                                         epoch)
-            epoch = epoch - 1
+            nst, nsc, pv, ol, il, ovf_e = emit_round(st, sc, ll_t)
             ovf_f = ovf_e
             recs = [pack(pv, ol)]
             il_emit = il
             for _ in range(n_eps):
-                nst, nsc, pv, ol, _il, db, ovf_z = eps_round(nst, nsc, db,
-                                                             epoch)
-                epoch = epoch - 1
+                nst, nsc, pv, ol, _il, ovf_z = eps_round(nst, nsc)
                 ovf_f = ovf_f + ovf_z
                 recs.append(pack(pv, ol))
             out_st = jnp.where(m, nst, st)
             out_sc = jnp.where(m, nsc, sc)
             recs = jnp.stack([jnp.where(m, r, self_rec) for r in recs])
             ovf = ovf + jnp.where(m, ovf_f, 0)
-            return (out_st, out_sc, db, epoch, ovf), \
+            return (out_st, out_sc, ovf), \
                 (recs, jnp.where(m, il_emit, 0))
 
-        (fs, fsc, db, epoch, ovf), (recs, il_emit) = jax.lax.scan(
-            frame_step, (st, sc, db, epoch, ovf0), (ll, mask))
+        (fs, fsc, ovf), (recs, il_emit) = jax.lax.scan(
+            frame_step, (st, sc, ovf0), (ll, mask))
         # overflow counts are per-device (each expands its own slice):
         # sum over the axis so every device reports the global count
         ovf = jax.lax.psum(ovf, axis)

@@ -60,7 +60,7 @@ def main():
     sel = jnp.asarray(rng.rand(B, C).astype(np.float32))
     def tk(c):
         v, i = jax.lax.top_k(c, K)
-        return v + 1e-6
+        return jnp.pad(v + 1e-6, ((0, 0), (0, C - K)))
     scan_time(f"top_k [B,{C}] -> {K}", tk, sel)
 
     def tk_hub(c):
