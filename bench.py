@@ -112,7 +112,10 @@ def main():
 
     # ---------------- production-scale beam search -----------------
     graph, _ = make_big_hclg(BigGraphConfig())
-    K, CB = 7000, 32768
+    # expand_budget: measured tier-B demand on this workload stays under
+    # 4096 every frame (overflow==0 asserted below at 2x margin); the
+    # graph's eps arcs fold away at pack time so no eps rounds run
+    K, CB = 7000, 8192
     dec = CsrBeamDecoder(graph, CsrBeamOpts(
         beam=13.0, max_active=K, acoustic_scale=0.1,
         expand_budget=CB, eps_budget=2048))
@@ -141,9 +144,11 @@ def main():
         f"headline number would be from a degraded search; raise "
         f"expand_budget")
     # arc-candidate visits per frame per utt: tier A (2K) + tier B
-    # budget (CB) + hub fan-out actually scored (AH) + eps merge (~3K)
+    # budget (CB) + hub fan-out actually scored (AH); eps arcs fold
+    # into the graph at pack time so no eps rounds run
     AH = dec.tabs.hub_rows.shape[0]
-    visits = B * T * (2 * K + CB + AH + 3 * K)
+    n_eps = dec.opts.eps_expansions
+    visits = B * T * (2 * K + CB + AH + n_eps * 3 * K)
     visits_per_s = visits / dt_big
 
     # AM TFLOP/s (matmul flops only, 2*params per frame per utt)

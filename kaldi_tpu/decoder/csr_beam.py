@@ -75,6 +75,9 @@ class CsrBeamOpts:
     exact_dedup: bool = False   # retained for API compat: dedup is now
                                 # always bit-exact (stable-sort winner per
                                 # state, candidate-index tie-break)
+    fold_eps: bool = True       # eps-remove the graph at pack time when
+                                # exactly representable (fold_epsilons),
+                                # eliminating all per-frame eps rounds
 
 
 @dataclasses.dataclass
@@ -240,11 +243,22 @@ def _bits_to_f32(x):
     return jax.lax.bitcast_convert_type(x, jnp.float32)
 
 
-def _segment_map(off, deg, C: int, K: int, B: int):
+def _segment_map(off, deg, C: int, K: int, B: int, base=None):
     """Load-balanced slot->token mapping for the budgeted tier: slot j of
     utterance b belongs to the token whose [off, off+deg) range contains
     j. Batched explicitly (scatter into a flat [B*C] buffer — vmapped
-    scatters lower ~2x slower on TPU)."""
+    scatters lower ~2x slower on TPU).
+
+    Returns (tj, pos, valid, overflow) where pos[b, j] is the flat arc
+    index `base[b, tj] + (j - off[b, tj])` (or just the within-segment
+    offset when base is None). pos is built WITHOUT gathering off/base
+    through tj: token ranges tile [0, total) contiguously, so scattering
+    per-token value DELTAS at each run start and prefix-summing
+    reconstructs base[tj] - off[tj] at every slot exactly (int32 math) —
+    random element gathers profile ~8 ns each on this chip while dense
+    scans are near-free, so two scatters + two scans beat five gathers.
+    Contiguity also makes `valid = j < total` sufficient (a slot inside
+    the tiled region always satisfies within < deg of its owner)."""
     total = off[:, -1] + deg[:, -1]                       # [B]
     boff = (jnp.arange(B, dtype=jnp.int32) * C)[:, None]
     flat_idx = jnp.where(off < C, off + boff, B * C).reshape(-1)
@@ -254,40 +268,45 @@ def _segment_map(off, deg, C: int, K: int, B: int):
     ids = jnp.zeros(B * C, jnp.int32).at[flat_idx].max(vals, mode="drop")
     tj = jax.lax.cummax(ids.reshape(B, C), axis=1)        # [B, C]
     j = jnp.arange(C, dtype=jnp.int32)[None, :]
-    off_t = jnp.take_along_axis(off, tj, axis=1)
-    deg_t = jnp.take_along_axis(deg, tj, axis=1)
-    within = j - off_t
-    valid = (j < total[:, None]) & (within < deg_t)
+    val = (base - off) if base is not None else (-off)    # [B, K] per token
+    delta = jnp.concatenate([val[:, :1], val[:, 1:] - val[:, :-1]], axis=1)
+    dsum = jnp.zeros(B * C, jnp.int32).at[flat_idx].add(
+        delta.reshape(-1), mode="drop")
+    pos = j + jnp.cumsum(dsum.reshape(B, C), axis=1)      # [B, C]
+    valid = j < total[:, None]
     overflow = jnp.maximum(total - C, 0)
-    return tj, within, valid, overflow
+    return tj, pos, valid, overflow
 
 
-def _dedup_topk(c_state, c_score, c_prev, c_ol, c_il, K: int):
+def _dedup_topk(c_state, c_score, c_rec, c_il, K: int):
     """Best token per state, then best K overall, score-sorted.
 
     The hash-free FindOrAddToken (ref: lattice-faster-decoder.cc:232):
-    one stable variadic sort by (state, score) groups each target
-    state's candidates with its best first; a neighbor-compare marks the
-    run heads (single winner per state, ties broken by candidate index
-    via sort stability — bit-exact semantics); masked top_k keeps the K
-    best winners. Dedup is purely within the candidate set, so no
-    persistent table is carried and the cost is O(C log C) dense sorting
-    — measured ~8x faster on TPU than a scatter-min over a flat [B*S]
+    one variadic sort by (state, score, candidate-index) groups each
+    target state's candidates with its best first; a neighbor-compare
+    marks the run heads (single winner per state, candidate-index
+    tie-break — bit-exact semantics); masked top_k keeps the K best
+    winners. Dedup is purely within the candidate set, so no persistent
+    table is carried and the cost is O(C log C) dense sorting —
+    measured ~8x faster on TPU than a scatter-min over a flat [B*S]
     table (random HBM scatters dominate; sorts are near-free).
+    The non-key fields ride the sort as passengers (variadic sorts are
+    near-free; each avoided take_along_axis is ~8 ns/element of random
+    HBM traffic), so the only element gathers are the final
+    [B, C] -> [B, K] takes through the top_k indices. c_rec is the
+    pre-packed backpointer record `prev_slot | olabel << kbits`.
     All arrays are [B, C]."""
     B, C = c_state.shape
     j = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
-    ss, ssc, sj = jax.lax.sort((c_state, c_score, j), dimension=1,
-                               num_keys=2)
+    ss, ssc, _sj, srec, sil = jax.lax.sort(
+        (c_state, c_score, j, c_rec, c_il), dimension=1, num_keys=3)
     first = jnp.concatenate(
         [jnp.ones((B, 1), bool), ss[:, 1:] != ss[:, :-1]], axis=1)
     sel = jnp.where(first, ssc, BIG)                      # dead sort last
     negv, kidx = jax.lax.top_k(-sel, K)                   # [B, K]
     new_score = jnp.minimum(-negv, BIG)
-    idx = jnp.take_along_axis(sj, kidx, axis=1)
-    take = functools.partial(jnp.take_along_axis, indices=idx, axis=1)
-    return (take(c_state), new_score, take(c_prev), take(c_ol),
-            take(c_il))
+    take = functools.partial(jnp.take_along_axis, indices=kidx, axis=1)
+    return (take(ss), new_score, take(srec), take(sil))
 
 
 @functools.partial(
@@ -322,32 +341,28 @@ def _csr_decode(
         return cost, nxt, row[..., base + 2]
 
     def take_ll(ll_t, pdf):
-        """Batched acoustic lookup: ll_t [B, P], pdf [B, N] -> [B, N]."""
-        return jnp.take_along_axis(ll_t, pdf.reshape(B, -1),
-                                   axis=1).reshape(pdf.shape)
+        """Batched acoustic lookup: ll_t [B, P], pdf [B, N] -> [B, N].
+        On TPU this is a Pallas kernel holding the small [B, P] table in
+        VMEM (XLA's element gathers go to HBM at ~8 ns each; the chunked
+        in-VMEM dynamic_gather measures ~3x faster)."""
+        from kaldi_tpu.ops.table_gather import batched_table_gather
+        return batched_table_gather(ll_t, pdf.reshape(B, -1)) \
+            .reshape(pdf.shape)
 
-    def tier_a_emit(tok_score, row, ll_t):
-        outs = []
-        for j in (0, 1):
-            cost, nxt, pdf, tid, ol = unpack_arc(row, 5 * j)
-            am = -take_ll(ll_t, pdf)
-            sc = jnp.where(cost < BIG * 0.5, tok_score + cost + am, BIG)
-            outs.append((nxt, sc, self_prev, ol, tid))
-        return outs
-
-    def tier_b_emit(tok_score, row, ll_t):
+    def tier_b_emit(tok_score, row):
+        """Returns the gathered arc rows + per-slot token info; the
+        acoustic lookup happens in the caller's fused batch."""
         off_all = row[..., 10]
         deg = jnp.where(tok_score < BIG * 0.5, row[..., 11], 0)
         coff = jnp.cumsum(deg, axis=1) - deg
-        tj, within, valid, ovf = _segment_map(coff, deg, CB, K, B)
-        a0 = jnp.take_along_axis(off_all, tj, axis=1)
+        tj, aj, valid, ovf = _segment_map(coff, deg, CB, K, B,
+                                          base=off_all)
         base_sc = jnp.take_along_axis(tok_score, tj, axis=1)
-        aj = jnp.where(valid, a0 + within, 0)
+        aj = jnp.where(valid, aj, 0)
         arc = brow[aj]                      # [B, CB, 8] one row gather
         cost = _bits_to_f32(arc[..., 0])
-        am = -take_ll(ll_t, arc[..., 2])
-        sc = jnp.where(valid, base_sc + cost + am, BIG)
-        return (arc[..., 1], sc, tj, arc[..., 4], arc[..., 3]), ovf
+        partial = jnp.where(valid, base_sc + cost, BIG)
+        return (arc, partial, tj), ovf
 
     def hub_emit(tok_state, tok_score, ll_t):
         """Dense per-hub expansion; returns K best hub candidates per b."""
@@ -375,72 +390,82 @@ def _csr_decode(
         rows = hub_rows[idx]                              # [B, K, 8]
         sc = jnp.minimum(-negv, BIG)
         prev = jnp.take_along_axis(slot_flat, idx, axis=1)
-        return (rows[..., 1], sc, prev, rows[..., 4], rows[..., 3])
+        return (rows[..., 1], sc, prev | (rows[..., 4] << kbits),
+                rows[..., 3])
 
     def merge(cands):
         cst = jnp.concatenate([c[0] for c in cands], axis=1)
         csc = jnp.concatenate([c[1] for c in cands], axis=1)
-        cpv = jnp.concatenate([c[2] for c in cands], axis=1)
-        col = jnp.concatenate([c[3] for c in cands], axis=1)
-        cil = jnp.concatenate([c[4] for c in cands], axis=1)
+        crec = jnp.concatenate([c[2] for c in cands], axis=1)
+        cil = jnp.concatenate([c[3] for c in cands], axis=1)
         best = jnp.min(csc, axis=1, keepdims=True)
         csc = jnp.where(csc > best + beam, BIG, csc)
-        return cst, csc, cpv, col, cil
+        return cst, csc, crec, cil
 
     def emit_round(tok_state, tok_score, ll_t):
         row = srow[tok_state]                             # [B, K, 16]
-        cands = tier_a_emit(tok_score, row, ll_t)
+        pdfs = [row[..., 2], row[..., 7]]                 # tier-A arc pdfs
         if have_b:
-            bc, ovf = tier_b_emit(tok_score, row, ll_t)
-            cands.append(bc)
+            (arc_b, partial_b, tj_b), ovf = tier_b_emit(tok_score, row)
+            pdfs.append(arc_b[..., 2])
         else:
             ovf = jnp.zeros(B, jnp.int32)
+        # ONE fused acoustic lookup for every tier-A/B candidate
+        am_cat = -take_ll(ll_t, jnp.concatenate(pdfs, axis=1))
+        cands = []
+        for j in (0, 1):
+            cost, nxt, pdf, tid, ol = unpack_arc(row, 5 * j)
+            am = am_cat[:, j * K:(j + 1) * K]
+            sc = jnp.where(cost < BIG * 0.5, tok_score + cost + am, BIG)
+            cands.append((nxt, sc, self_prev | (ol << kbits), tid))
+        if have_b:
+            am_b = am_cat[:, 2 * K:]
+            sc_b = jnp.where(partial_b < BIG * 0.5, partial_b + am_b, BIG)
+            cands.append((arc_b[..., 1], sc_b,
+                          tj_b | (arc_b[..., 4] << kbits), arc_b[..., 3]))
         if H:
             cands.append(hub_emit(tok_state, tok_score, ll_t))
-        cst, csc, cpv, col, cil = merge(cands)
-        st, sc, pv, ol, il = _dedup_topk(cst, csc, cpv, col, cil, K)
-        return st, sc, pv, ol, il, ovf
+        cst, csc, crec, cil = merge(cands)
+        st, sc, rec, il = _dedup_topk(cst, csc, crec, cil, K)
+        return st, sc, rec, il, ovf
 
     def eps_round(tok_state, tok_score):
         row = zrow[tok_state]                             # [B, K, 8]
-        cands = [(tok_state, tok_score, self_prev, zeros_bk, zeros_bk)]
+        cands = [(tok_state, tok_score, self_prev, zeros_bk)]
         for j in (0, 1):
             cost, nxt, ol = unpack_arc(row, 3 * j, with_pdf=False)
             sc = jnp.where(cost < BIG * 0.5, tok_score + cost, BIG)
-            cands.append((nxt, sc, self_prev, ol, zeros_bk))
+            cands.append((nxt, sc, self_prev | (ol << kbits), zeros_bk))
         if have_zb:   # tier-B eps (rare: eps fan-out > 2)
             off_all = row[..., 6]
             deg = jnp.where(tok_score < BIG * 0.5, row[..., 7], 0)
             coff = jnp.cumsum(deg, axis=1) - deg
-            tj, within, valid, ovf = _segment_map(coff, deg, CZ, K, B)
-            a0 = jnp.take_along_axis(off_all, tj, axis=1)
+            tj, aj, valid, ovf = _segment_map(coff, deg, CZ, K, B,
+                                              base=off_all)
             base_sc = jnp.take_along_axis(tok_score, tj, axis=1)
-            aj = jnp.where(valid, a0 + within, 0)
+            aj = jnp.where(valid, aj, 0)
             arc = zbrow[aj]
             cost = _bits_to_f32(arc[..., 0])
             sc = jnp.where(valid, base_sc + cost, BIG)
-            cands.append((arc[..., 1], sc, tj, arc[..., 2],
-                          jnp.zeros_like(tj)))
+            cands.append((arc[..., 1], sc,
+                          tj | (arc[..., 2] << kbits), jnp.zeros_like(tj)))
         else:
             ovf = jnp.zeros(B, jnp.int32)
-        cst, csc, cpv, col, cil = merge(cands)
-        st, sc, pv, ol, il = _dedup_topk(cst, csc, cpv, col, cil, K)
-        return st, sc, pv, ol, il, ovf
-
-    def pack(pv, ol):
-        return pv | (ol << kbits)
+        cst, csc, crec, cil = merge(cands)
+        st, sc, rec, il = _dedup_topk(cst, csc, crec, cil, K)
+        return st, sc, rec, il, ovf
 
     def frame_step(carry, inputs):
         tok_state, tok_score = carry
         ll_t, mask_t = inputs                  # [B, P], [B]
         m = mask_t[:, None]
-        st, sc, pv, ol, il, ovf = emit_round(tok_state, tok_score, ll_t)
-        recs = [pack(pv, ol)]
+        st, sc, rec, il, ovf = emit_round(tok_state, tok_score, ll_t)
+        recs = [rec]
         il_emit = il
         full = [(st, sc)]
         for _ in range(n_eps):
-            st, sc, pv, ol, _il, ovf_z = eps_round(st, sc)
-            recs.append(pack(pv, ol))
+            st, sc, rec, _il, ovf_z = eps_round(st, sc)
+            recs.append(rec)
             full.append((st, sc))
             ovf = ovf + ovf_z
         out_state = jnp.where(m, st, tok_state)
@@ -465,8 +490,8 @@ def _csr_decode(
     init_full = []
     st, sc = tok_state, tok_score
     for _ in range(n_eps):
-        st, sc, pv, ol, _il, _ovf = eps_round(st, sc)
-        init_recs.append(pack(pv, ol))
+        st, sc, rec, _il, _ovf = eps_round(st, sc)
+        init_recs.append(rec)
         init_full.append((st, sc))
     init_recs = (jnp.stack(init_recs, axis=1) if init_recs
                  else jnp.zeros((B, 0, K), jnp.int32))
@@ -561,9 +586,14 @@ class CsrBeamDecoder:
 
     def __init__(self, graph: PackedGraph, opts: CsrBeamOpts = CsrBeamOpts()):
         from kaldi_tpu.decoder.beam_search import resolve_eps_rounds
+        from kaldi_tpu.decoder.graph_pack import fold_epsilons
         assert graph.pdf is not None, (
             "PackedGraph has no tid->pdf mapping: pack_graph() must be "
             "given tid_to_pdf for decoding")
+        if opts.fold_eps:
+            folded = fold_epsilons(graph)
+            if folded is not None:
+                graph = folded     # eps rounds resolve to 0 below
         self.graph = graph
         opts = dataclasses.replace(
             opts,

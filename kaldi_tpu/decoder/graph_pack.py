@@ -169,6 +169,156 @@ def eps_depth(graph: PackedGraph, cap: int = 8) -> int | None:
     return None
 
 
+def fold_epsilons(graph: PackedGraph,
+                  max_growth: float = 2.0) -> PackedGraph | None:
+    """Eps-remove a PackedGraph by composing emitting arcs with the eps
+    closure of their target states (and closing final weights), so the
+    decoder needs NO ProcessNonemitting rounds at all.
+
+    The per-frame eps round costs a frontier-sized row gather plus a
+    full dedup+top_k — for typical HCLG the only eps arcs are LM
+    backoff arcs (olabel 0, chain depth 1), so the closure fold is
+    exact and nearly free in arcs: each arc into a backoff-capable
+    state gains one composed twin. Viterbi semantics are preserved
+    exactly: a token reaching X could continue through X's eps arcs
+    with the same accumulated cost, which is precisely the composed
+    arc; per-(X,Y) min-cost closure matches the decoder's best-per-
+    state dedup. (ref: ProcessNonemitting fixpoint,
+    decoder/lattice-faster-decoder.cc:750; classic eps-removal,
+    fstrmepsilon semantics restricted to input-eps arcs.)
+
+    Returns None (caller keeps eps rounds) when the fold is not
+    exactly representable or not worth it:
+      - eps cycles / depth > 8 (eps_depth returns None),
+      - an eps path would stack two nonzero olabels on one arc,
+      - a nonzero-olabel eps arc reaches a final state (the word would
+        be lost on the final hop),
+      - the start state has eps arcs (initial tokens would need
+        multi-record seeding),
+      - arc growth would exceed `max_growth` x the original count.
+    """
+    il = np.asarray(graph.ilabel)
+    S = graph.num_states
+    z = il == 0
+    nz = int(z.sum())
+    if nz == 0:
+        return graph
+    if eps_depth(graph) is None:
+        return None
+    deg = np.diff(graph.arc_start).astype(np.int64)
+    src = np.repeat(np.arange(S, dtype=np.int64), deg)
+    zsrc = src[z]
+    znxt = np.asarray(graph.nextstate)[z].astype(np.int64)
+    zcost = np.asarray(graph.cost)[z].astype(np.float32)
+    zol = np.asarray(graph.olabel)[z].astype(np.int32)
+    if int(np.searchsorted(np.sort(zsrc), graph.start + 1)
+           - np.searchsorted(np.sort(zsrc), graph.start)) > 0:
+        return None                              # start state has eps arcs
+    # eps-arc CSR (zsrc is nondecreasing: arcs are CSR-ordered by source)
+    order = np.argsort(zsrc, kind="stable")
+    zsrc, znxt, zcost, zol = (zsrc[order], znxt[order], zcost[order],
+                              zol[order])
+    zs = np.searchsorted(zsrc, np.arange(S + 1))
+    zdeg = np.diff(zs)
+
+    # --- closure: all eps paths (x -> y, cost, olabel), then min per (x,y)
+    cx, cy, cc, col = zsrc, znxt, zcost, zol
+    parts = [(cx, cy, cc, col)]
+    cur = (cx, cy, cc, col)
+    while True:
+        fx, fy, fc, fo = cur
+        ext = zdeg[fy] > 0
+        if not ext.any():
+            break
+        fx, fy, fc, fo = fx[ext], fy[ext], fc[ext], fo[ext]
+        rep = zdeg[fy]
+        nx = np.repeat(fx, rep)
+        base = np.repeat(zs[fy], rep)
+        within = np.arange(len(base)) - np.repeat(
+            np.concatenate([[0], np.cumsum(rep)[:-1]]), rep)
+        ai = base + within
+        ny, nc = znxt[ai], np.repeat(fc, rep) + zcost[ai]
+        po, ao = np.repeat(fo, rep), zol[ai]
+        if np.any((po != 0) & (ao != 0)):
+            return None                          # two words on one eps path
+        no = np.where(po != 0, po, ao)
+        cur = (nx, ny, nc.astype(np.float32), no)
+        parts.append(cur)
+        if sum(len(p[0]) for p in parts) > max_growth * graph.num_arcs:
+            return None
+    cx = np.concatenate([p[0] for p in parts])
+    cy = np.concatenate([p[1] for p in parts])
+    cc = np.concatenate([p[2] for p in parts])
+    col = np.concatenate([p[3] for p in parts])
+    # min-cost entry per (x, y) — matches best-per-state dedup semantics
+    key = np.lexsort((cc, cy, cx))
+    cx, cy, cc, col = cx[key], cy[key], cc[key], col[key]
+    keep = np.concatenate([[True], (cx[1:] != cx[:-1]) | (cy[1:] != cy[:-1])])
+    cx, cy, cc, col = cx[keep], cy[keep], cc[keep], col[keep]
+    cstart = np.searchsorted(cx, np.arange(S + 1))
+    cdeg = np.diff(cstart)
+
+    # --- closed final weights
+    final = np.asarray(graph.final).astype(np.float32).copy()
+    fy_final = np.isfinite(final[cy])
+    if np.any(fy_final & (col != 0)):
+        return None                 # word-bearing eps hop into a final state
+    np.minimum.at(final, cx[fy_final], cc[fy_final] + final[cy[fy_final]])
+
+    # --- compose each emitting arc with its target's closure
+    e = ~z
+    e_src = src[e]
+    e_il = il[e]
+    e_ol = np.asarray(graph.olabel)[e].astype(np.int32)
+    e_cost = np.asarray(graph.cost)[e].astype(np.float32)
+    e_nxt = np.asarray(graph.nextstate)[e].astype(np.int64)
+    e_pdf = (np.asarray(graph.pdf)[e].astype(np.int32)
+             if graph.pdf is not None else None)
+    rep = cdeg[e_nxt]
+    j = np.flatnonzero(rep > 0)
+    repj = rep[j]
+    base = np.repeat(cstart[e_nxt[j]], repj)
+    within = np.arange(len(base)) - np.repeat(
+        np.concatenate([[0], np.cumsum(repj)[:-1]]), repj)
+    ci = base + within
+    n_ol = col[ci]
+    p_ol = np.repeat(e_ol[j], repj)
+    if np.any((p_ol != 0) & (n_ol != 0)):
+        return None
+    new_src = np.repeat(e_src[j], repj)
+    new_il = np.repeat(e_il[j], repj)
+    new_ol = np.where(p_ol != 0, p_ol, n_ol).astype(np.int32)
+    new_cost = (np.repeat(e_cost[j], repj) + cc[ci]).astype(np.float32)
+    new_nxt = cy[ci]
+    new_pdf = np.repeat(e_pdf[j], repj) if e_pdf is not None else None
+    A_new = len(e_src) + len(new_src)
+    if A_new > max_growth * graph.num_arcs:
+        return None
+
+    # --- rebuild CSR: original emitting arcs, then composed arcs, grouped
+    # by source (stable sort keeps originals first within each state)
+    all_src = np.concatenate([e_src, new_src])
+    order = np.argsort(all_src, kind="stable")
+    all_src = all_src[order]
+
+    def _cat(a, b):
+        return np.concatenate([a, b])[order]
+
+    arc_start = np.searchsorted(all_src, np.arange(S + 1)).astype(np.int32)
+    pdf = (_cat(e_pdf, new_pdf).astype(np.int32)
+           if e_pdf is not None else None)
+    return PackedGraph(
+        arc_start=arc_start,
+        ilabel=_cat(e_il, new_il).astype(np.int32),
+        olabel=_cat(e_ol, new_ol).astype(np.int32),
+        cost=_cat(e_cost, new_cost).astype(np.float32),
+        nextstate=_cat(e_nxt, new_nxt).astype(np.int32),
+        final=final,
+        start=int(graph.start),
+        pdf=pdf,
+    )
+
+
 @dataclasses.dataclass
 class PackedGraphBatch:
     """A batch of graphs padded to common [S, A] so one jit program serves all.

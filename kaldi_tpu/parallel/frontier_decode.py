@@ -49,18 +49,18 @@ def _make_fs_decode(dec: CsrBeamDecoder, mesh: Mesh, axis: str,
     hub_state_arr = dec._hub_state_arr
     hub_bounds = t.hub_bounds
 
-    def dedup_topk(cst, csc, cpv, col, cil):
+    def dedup_topk(cst, csc, crec, cil):
         # sort-based FindOrAddToken, mirroring csr_beam._dedup_topk:
-        # stable sort by (state, score), run heads win, masked top_k
+        # sort by (state, score, candidate index), run heads win,
+        # masked top_k; non-key fields ride as passengers
         C = cst.shape[0]
         j = jnp.arange(C, dtype=jnp.int32)
-        ss, ssc, sj = jax.lax.sort((cst, csc, j), dimension=0, num_keys=2)
+        ss, ssc, _sj, srec, sil = jax.lax.sort((cst, csc, j, crec, cil),
+                                               dimension=0, num_keys=3)
         first = jnp.concatenate([jnp.ones((1,), bool), ss[1:] != ss[:-1]])
         sel = jnp.where(first, ssc, BIG)
         negv, kidx = jax.lax.top_k(-sel, K)
-        idx = sj[kidx]
-        return (cst[idx], jnp.minimum(-negv, BIG), cpv[idx], col[idx],
-                cil[idx])
+        return (ss[kidx], jnp.minimum(-negv, BIG), srec[kidx], sil[kidx])
 
     def local_slice(x):
         lo = jax.lax.axis_index(axis) * Kl
@@ -78,20 +78,23 @@ def _make_fs_decode(dec: CsrBeamDecoder, mesh: Mesh, axis: str,
             am = -ll_t[row[:, base + 2]]
             csc = jnp.where(cost < BIG * 0.5, sc + cost + am, BIG)
             cands.append((row[:, base + 1], csc,
-                          lo + jnp.arange(Kl, dtype=jnp.int32),
-                          row[:, base + 4], row[:, base + 3]))
+                          (lo + jnp.arange(Kl, dtype=jnp.int32))
+                          | (row[:, base + 4] << kbits),
+                          row[:, base + 3]))
         # tier B (budgeted) on the local slice
         deg = jnp.where(sc < BIG * 0.5, row[:, 11], 0)
         coff = jnp.cumsum(deg) - deg
-        tj, within, valid, ovf_b = _segment_map(
-            coff[None, :], deg[None, :], CB, Kl, 1)
-        tj, within, valid = tj[0], within[0], valid[0]
-        aj = jnp.where(valid, row[:, 10][tj] + within, 0)
+        tj, aj, valid, ovf_b = _segment_map(
+            coff[None, :], deg[None, :], CB, Kl, 1,
+            base=row[None, :, 10])
+        tj, aj, valid = tj[0], aj[0], valid[0]
+        aj = jnp.where(valid, aj, 0)
         arc = t.brow[aj]
         cost = _bits_to_f32(arc[:, 0])
         am = -ll_t[arc[:, 2]]
         csc = jnp.where(valid, sc[tj] + cost + am, BIG)
-        cands.append((arc[:, 1], csc, lo + tj, arc[:, 4], arc[:, 3]))
+        cands.append((arc[:, 1], csc, (lo + tj) | (arc[:, 4] << kbits),
+                      arc[:, 3]))
         # hubs: scoring is replicated over the FULL frontier (cheap dense
         # work); each device emits its rank slice [d*Kl, (d+1)*Kl) of the
         # global hub top-K, so the all_gathered union equals the
@@ -118,14 +121,15 @@ def _make_fs_decode(dec: CsrBeamDecoder, mesh: Mesh, axis: str,
             idx = jax.lax.dynamic_slice_in_dim(idx, lo, Kl)
             rows = t.hub_rows[idx]
             cands.append((rows[:, 1], jnp.minimum(-negv, BIG),
-                          slot_flat[idx], rows[:, 4], rows[:, 3]))
-        cl = [jnp.concatenate([c[i] for c in cands]) for i in range(5)]
+                          slot_flat[idx] | (rows[:, 4] << kbits),
+                          rows[:, 3]))
+        cl = [jnp.concatenate([c[i] for c in cands]) for i in range(4)]
         # --- frontier exchange: ALL devices' candidates over ICI
         cl = [jax.lax.all_gather(x, axis, tiled=True) for x in cl]
-        cst, csc, cpv, col, cil = cl
+        cst, csc, crec, cil = cl
         best = jnp.min(csc)
         csc = jnp.where(csc > best + beam, BIG, csc)
-        out = dedup_topk(cst, csc, cpv, col, cil)
+        out = dedup_topk(cst, csc, crec, cil)
         return out + (ovf_b[0],)
 
     def eps_round(tok_state, tok_score):
@@ -133,38 +137,37 @@ def _make_fs_decode(dec: CsrBeamDecoder, mesh: Mesh, axis: str,
         lo = jax.lax.axis_index(axis) * Kl
         row = t.zrow[ts]
         cands = [(ts, sc, lo + jnp.arange(Kl, dtype=jnp.int32),
-                  jnp.zeros(Kl, jnp.int32), jnp.zeros(Kl, jnp.int32))]
+                  jnp.zeros(Kl, jnp.int32))]
         for j in (0, 1):
             base = 3 * j
             cost = _bits_to_f32(row[:, base + 0])
             csc = jnp.where(cost < BIG * 0.5, sc + cost, BIG)
             cands.append((row[:, base + 1], csc,
-                          lo + jnp.arange(Kl, dtype=jnp.int32),
-                          row[:, base + 2], jnp.zeros(Kl, jnp.int32)))
+                          (lo + jnp.arange(Kl, dtype=jnp.int32))
+                          | (row[:, base + 2] << kbits),
+                          jnp.zeros(Kl, jnp.int32)))
         ovf = jnp.int32(0)
         if t.zbrow.shape[0] > 1:    # tier-B eps (eps fan-out > 2)
             deg = jnp.where(sc < BIG * 0.5, row[:, 7], 0)
             coff = jnp.cumsum(deg) - deg
-            tj, within, valid, ovf_z = _segment_map(
-                coff[None, :], deg[None, :], CZ, Kl, 1)
-            tj, within, valid = tj[0], within[0], valid[0]
-            aj = jnp.where(valid, row[:, 6][tj] + within, 0)
+            tj, aj, valid, ovf_z = _segment_map(
+                coff[None, :], deg[None, :], CZ, Kl, 1,
+                base=row[None, :, 6])
+            tj, aj, valid = tj[0], aj[0], valid[0]
+            aj = jnp.where(valid, aj, 0)
             arc = t.zbrow[aj]
             cost = _bits_to_f32(arc[:, 0])
             csc = jnp.where(valid, sc[tj] + cost, BIG)
-            cands.append((arc[:, 1], csc, lo + tj, arc[:, 2],
+            cands.append((arc[:, 1], csc, (lo + tj) | (arc[:, 2] << kbits),
                           jnp.zeros_like(tj)))
             ovf = ovf + ovf_z[0]
-        cl = [jnp.concatenate([c[i] for c in cands]) for i in range(5)]
+        cl = [jnp.concatenate([c[i] for c in cands]) for i in range(4)]
         cl = [jax.lax.all_gather(x, axis, tiled=True) for x in cl]
-        cst, csc, cpv, col, cil = cl
+        cst, csc, crec, cil = cl
         best = jnp.min(csc)
         csc = jnp.where(csc > best + beam, BIG, csc)
-        out = dedup_topk(cst, csc, cpv, col, cil)
+        out = dedup_topk(cst, csc, crec, cil)
         return out + (ovf,)
-
-    def pack(pv, ol):
-        return pv | (ol << kbits)
 
     def decode(ll, mask):
         """ll [T, P], mask [T] — runs identically on every device except
@@ -175,9 +178,9 @@ def _make_fs_decode(dec: CsrBeamDecoder, mesh: Mesh, axis: str,
         st, sc = tok_state, tok_score
         ovf0 = jnp.int32(0)
         for _ in range(n_eps):
-            st, sc, pv, ol, _il, ovf_z = eps_round(st, sc)
+            st, sc, rec, _il, ovf_z = eps_round(st, sc)
             ovf0 = ovf0 + ovf_z
-            init_recs.append(pack(pv, ol))
+            init_recs.append(rec)
         init_recs = (jnp.stack(init_recs) if init_recs
                      else jnp.zeros((0, K), jnp.int32))
         self_rec = jnp.arange(K, dtype=jnp.int32)
@@ -185,14 +188,14 @@ def _make_fs_decode(dec: CsrBeamDecoder, mesh: Mesh, axis: str,
         def frame_step(carry, inputs):
             st, sc, ovf = carry
             ll_t, m = inputs
-            nst, nsc, pv, ol, il, ovf_e = emit_round(st, sc, ll_t)
+            nst, nsc, rec, il, ovf_e = emit_round(st, sc, ll_t)
             ovf_f = ovf_e
-            recs = [pack(pv, ol)]
+            recs = [rec]
             il_emit = il
             for _ in range(n_eps):
-                nst, nsc, pv, ol, _il, ovf_z = eps_round(nst, nsc)
+                nst, nsc, rec, _il, ovf_z = eps_round(nst, nsc)
                 ovf_f = ovf_f + ovf_z
-                recs.append(pack(pv, ol))
+                recs.append(rec)
             out_st = jnp.where(m, nst, st)
             out_sc = jnp.where(m, nsc, sc)
             recs = jnp.stack([jnp.where(m, r, self_rec) for r in recs])

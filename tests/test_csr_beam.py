@@ -242,7 +242,9 @@ def test_tier_tables_verify(small_big_graph):
     g = small_big_graph
     dec = CsrBeamDecoder(g, CsrBeamOpts(max_active=64, expand_budget=256,
                                         hub_threshold=64))
-    check_tier_tables(g, dec.tabs, 64)
+    # dec.graph, not g: the decoder may have eps-folded the graph, and the
+    # checker verifies tables against the graph they were built from
+    check_tier_tables(dec.graph, dec.tabs, 64)
     # corrupt a LIVE tier-A arc's nextstate -> must be caught
     srow = np.asarray(dec.tabs.srow).copy()
     BIG_BITS = int(np.array(1e10, np.float32).view(np.int32))
@@ -251,7 +253,7 @@ def test_tier_tables_verify(small_big_graph):
     import dataclasses as dc
     bad = dc.replace(dec.tabs, srow=jnp.asarray(srow))
     with pytest.raises(ValueError, match="tier-A"):
-        check_tier_tables(g, bad, 64)
+        check_tier_tables(dec.graph, bad, 64)
 
 
 def test_tier_tables_verify_covers_all_fields(small_big_graph):
@@ -271,14 +273,14 @@ def test_tier_tables_verify_covers_all_fields(small_big_graph):
         srow[live[0], col] += 1
         bad = dc.replace(dec.tabs, srow=jnp.asarray(srow))
         with pytest.raises(ValueError, match=what):
-            check_tier_tables(g, bad, 64)
+            check_tier_tables(dec.graph, bad, 64)
     brow0 = np.asarray(dec.tabs.brow)
     if brow0.shape[0] > 1:
         brow = brow0.copy()
         brow[0, 1] += 1
         bad = dc.replace(dec.tabs, brow=jnp.asarray(brow))
         with pytest.raises(ValueError, match="tier-B rows"):
-            check_tier_tables(g, bad, 64)
+            check_tier_tables(dec.graph, bad, 64)
 
 
 def test_adaptive_decoder_matches_full(small_big_graph):
