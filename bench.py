@@ -160,13 +160,15 @@ def main():
     lat_dec = CsrBeamDecoder(graph, CsrBeamOpts(
         beam=13.0, max_active=1024, acoustic_scale=0.1,
         expand_budget=8192, eps_budget=2048))
-    Bl, secs_l = 2, 2.0
+    Bl, secs_l = 8, 10.0
     am_l, waves_l, Tl = am_scores_factory(Bl, secs_l)
     nfl = np.full(Bl, Tl, np.int32)
     ll_l = np.asarray(am_l(waves_l))
-    decode_to_lattices(lat_dec, ll_l, nfl, lattice_beam=8.0)  # warmup
+    decode_to_lattices(lat_dec, ll_l, nfl, lattice_beam=8.0,
+                       num_threads=8)  # warmup
     t0 = time.perf_counter()
-    lats = decode_to_lattices(lat_dec, ll_l, nfl, lattice_beam=8.0)
+    lats = decode_to_lattices(lat_dec, ll_l, nfl, lattice_beam=8.0,
+                              num_threads=8)
     dt_lat = time.perf_counter() - t0
     lat_audio_per_sec = Bl * secs_l / dt_lat
     n_lat_arcs = sum(l.num_arcs for l in lats if l is not None)

@@ -470,18 +470,23 @@ def _csr_decode(
             ovf = ovf + ovf_z
         out_state = jnp.where(m, st, tok_state)
         out_score = jnp.where(m, sc, tok_score)
-        recs = jnp.stack([jnp.where(m, r, self_prev) for r in recs])
-        il_emit = jnp.where(m, il_emit, 0)
         # frontier saturation: the worst slot alive means max_active
         # bound the search this frame (frontier is score-sorted)
         sat = mask_t & (sc[:, -1] < BIG * 0.5)
-        ys = (recs, il_emit, jnp.where(mask_t, ovf, 0), sat)
         if record_full:
+            # lattice extraction re-derives links from the frontier
+            # snapshots, so backpointer records are neither produced nor
+            # shipped (the tunneled device->host link runs ~25 MB/s;
+            # 65 MB of unused recs would dominate latgen wall time)
             fst = jnp.stack([jnp.where(m, s, tok_state)
                              for (s, _c) in full])
             fsc = jnp.stack([jnp.where(m, c, tok_score)
                              for (_s, c) in full])
-            ys = ys + (fst, fsc)
+            ys = (jnp.where(mask_t, ovf, 0), sat, fst, fsc)
+        else:
+            recs = jnp.stack([jnp.where(m, r, self_prev) for r in recs])
+            il_emit = jnp.where(m, il_emit, 0)
+            ys = (recs, il_emit, jnp.where(mask_t, ovf, 0), sat)
         return (out_state, out_score), ys
 
     tok_state = jnp.zeros((B, K), jnp.int32).at[:, 0].set(start)
@@ -498,9 +503,12 @@ def _csr_decode(
     (fs, fsc), ys = jax.lax.scan(
         frame_step, (st, sc),
         (jnp.moveaxis(ll, 1, 0), jnp.moveaxis(frame_mask, 1, 0)))
-    recs, il_emit, ovf, sat = ys[:4]            # [T,R,B,K],[T,B,K],[T,B]
-    recs = jnp.moveaxis(recs, 2, 0)             # [B, T, R, K]
-    il_emit = jnp.moveaxis(il_emit, 1, 0)       # [B, T, K]
+    if record_full:
+        ovf, sat = ys[0], ys[1]
+    else:
+        recs, il_emit, ovf, sat = ys            # [T,R,B,K],[T,B,K],[T,B]
+        recs = jnp.moveaxis(recs, 2, 0)         # [B, T, R, K]
+        il_emit = jnp.moveaxis(il_emit, 1, 0)   # [B, T, K]
     total = fsc + final[fs]
     best_final_slot = jnp.argmin(total, axis=1)
     best_final_cost = jnp.take_along_axis(
@@ -512,17 +520,17 @@ def _csr_decode(
     best_slot = jnp.where(reached_final, best_final_slot,
                           best_any_slot).astype(jnp.int32)
     best_cost = jnp.where(reached_final, best_final_cost, best_any_cost)
-    out = (init_recs, recs, il_emit, fs, fsc, best_slot, best_cost,
-           jnp.sum(ovf, axis=0), jnp.any(sat, axis=0))
     if record_full:
         ist = (jnp.stack([s for (s, _c) in init_full], axis=1)
                if init_full else jnp.zeros((B, 0, K), jnp.int32))
         isc = (jnp.stack([c for (_s, c) in init_full], axis=1)
                if init_full else jnp.zeros((B, 0, K), jnp.float32))
-        fst = jnp.moveaxis(ys[4], 2, 0)         # [B, T, R, K]
-        fsc_r = jnp.moveaxis(ys[5], 2, 0)
-        out = out + (ist, isc, fst, fsc_r)
-    return out
+        fst = jnp.moveaxis(ys[2], 2, 0)         # [B, T, R, K]
+        fsc_r = jnp.moveaxis(ys[3], 2, 0)
+        return (fs, fsc, best_slot, best_cost, jnp.sum(ovf, axis=0),
+                jnp.any(sat, axis=0), ist, isc, fst, fsc_r)
+    return (init_recs, recs, il_emit, fs, fsc, best_slot, best_cost,
+            jnp.sum(ovf, axis=0), jnp.any(sat, axis=0))
 
 
 @functools.partial(
@@ -668,8 +676,8 @@ class CsrBeamDecoder:
         # round trip costs ~40ms over the tunneled link; naive per-array
         # fetching pays it 13x)
         from kaldi_tpu.decoder.hostpack import fetch_tree
-        (init_recs, recs, il_emit, fs, fsc, best_slot, best_cost, ovf,
-         sat, ist, isc, fst, fsc_r) = fetch_tree(out)
+        (fs, fsc, best_slot, best_cost, ovf, sat, ist, isc, fst,
+         fsc_r) = fetch_tree(out)
         self.last_overflow = ovf
         self.last_saturated = sat
         return dict(

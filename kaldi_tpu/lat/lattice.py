@@ -14,13 +14,14 @@ import dataclasses
 import numpy as np
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(slots=True)
 class LatticeArc:
     ilabel: int        # transition-id (0 = eps)
     olabel: int        # word id (0 = eps)
     graph_cost: float
     acoustic_cost: float
     nextstate: int
+    tids: tuple = ()   # CompactLattice tid string (determinized word arcs)
 
     @property
     def cost(self) -> float:
@@ -28,36 +29,59 @@ class LatticeArc:
 
 
 class Lattice:
+    """Arc-list lattice. `from_arrays` keeps the flat arc arrays and
+    materializes the Python arc lists LAZILY on first `.arcs` access —
+    production latgen produces hundreds of thousands of arcs per batch
+    and the per-arc object construction (~2s for 400k arcs) must not sit
+    on the decode path; consumers that only count/serialize/forward the
+    lattice never pay it."""
+
     def __init__(self):
-        self.arcs: list[list[LatticeArc]] = []
+        self._arcs: list[list[LatticeArc]] = []
+        self._arrays = None    # (n_states, src, il, ol, gc, ac, dst)
         self.finals: dict[int, tuple[float, float]] = {}  # (graph, acoustic)
         self.start = -1
 
+    @property
+    def arcs(self) -> list[list[LatticeArc]]:
+        if self._arrays is not None:
+            self._materialize()
+        return self._arcs
+
+    @arcs.setter
+    def arcs(self, value):
+        self._arrays = None
+        self._arcs = value
+
+    def _materialize(self):
+        n_states, src, il, ol, gc, ac, dst = self._arrays
+        self._arrays = None
+        arcs = [[] for _ in range(n_states)]
+        for s, i, o, g, a, d in zip(src.tolist(), il.tolist(), ol.tolist(),
+                                    gc.tolist(), ac.tolist(), dst.tolist()):
+            arcs[s].append(LatticeArc(i, o, g, a, d))
+        self._arcs = arcs
+
     def add_state(self) -> int:
         self.arcs.append([])
-        return len(self.arcs) - 1
+        return len(self._arcs) - 1
 
     @classmethod
     def from_arrays(cls, n_states: int, src, il, ol, gc, ac, dst,
                     start: int, finals: dict) -> "Lattice":
         """Bulk construction from flat arc arrays (the fast path for
-        decoder lattice extraction — one pass, no per-arc add_arc calls
-        with Python-level bounds churn)."""
+        decoder lattice extraction — arrays are stored as-is; arc lists
+        materialize only if a consumer walks them)."""
         lat = cls()
-        lat.arcs = [[] for _ in range(n_states)]
         lat.start = start
         order = np.argsort(np.asarray(src), kind="stable")
-        src = np.asarray(src)[order]
-        il = np.asarray(il)[order]
-        ol = np.asarray(ol)[order]
-        gc = np.asarray(gc, np.float64)[order]
-        ac = np.asarray(ac, np.float64)[order]
-        dst = np.asarray(dst)[order]
-        arcs = lat.arcs
-        for i in range(len(src)):
-            arcs[src[i]].append(LatticeArc(
-                int(il[i]), int(ol[i]), float(gc[i]), float(ac[i]),
-                int(dst[i])))
+        lat._arrays = (int(n_states),
+                       np.asarray(src)[order],
+                       np.asarray(il)[order],
+                       np.asarray(ol)[order],
+                       np.asarray(gc, np.float64)[order],
+                       np.asarray(ac, np.float64)[order],
+                       np.asarray(dst)[order])
         lat.finals = {int(s): (float(g), float(a))
                       for s, (g, a) in finals.items()}
         return lat
@@ -72,11 +96,15 @@ class Lattice:
 
     @property
     def num_states(self):
-        return len(self.arcs)
+        if self._arrays is not None:
+            return self._arrays[0]
+        return len(self._arcs)
 
     @property
     def num_arcs(self):
-        return sum(len(a) for a in self.arcs)
+        if self._arrays is not None:
+            return len(self._arrays[1])
+        return sum(len(a) for a in self._arcs)
 
     def final_cost(self, s) -> float:
         f = self.finals.get(s)

@@ -62,9 +62,11 @@ void* latgen_extract(
   std::vector<int64_t> cur_state(K);
   std::vector<double> cur_score(K);
   std::vector<int32_t> cur_node(K);
-  // best slot per target state for the current round
-  std::unordered_map<int64_t, int32_t> slot_of;
-  slot_of.reserve(2 * K);
+  // best slot per target state for the current round: version-stamped
+  // flat arrays (a hub state expands vocab-size arcs per frame, so the
+  // per-arc lookup must be a plain load, not a hash probe)
+  std::vector<int32_t> slot_arr(num_states, -1);
+  std::vector<int32_t> slot_stamp(num_states, -1);
 
   const int32_t n_rounds = R0 + Tb * R;
   for (int32_t ri = 0; ri < n_rounds; ++ri) {
@@ -87,12 +89,13 @@ void* latgen_extract(
       cur_score[k] = sc_row[k];
       cur_node[k] = -1;
     }
-    slot_of.clear();
     for (int32_t k = 0; k < K; ++k) {
       if (cur_score[k] >= kBig * 0.5) continue;
-      auto it = slot_of.find(cur_state[k]);
-      if (it == slot_of.end() || cur_score[k] < cur_score[it->second])
-        slot_of[cur_state[k]] = k;
+      const int64_t s = cur_state[k];
+      if (slot_stamp[s] != ri || cur_score[k] < cur_score[slot_arr[s]]) {
+        slot_arr[s] = k;
+        slot_stamp[s] = ri;
+      }
     }
     const float* ll_t = emitting ? ll + (int64_t)t * P : nullptr;
 
@@ -102,9 +105,8 @@ void* latgen_extract(
     };
     auto try_link = [&](int32_t pnode, double cand, int64_t target,
                         int32_t ilab, int32_t olab, float g, float a) {
-      auto it = slot_of.find(target);
-      if (it == slot_of.end()) return;
-      int32_t slot = it->second;
+      if (slot_stamp[target] != ri) return;
+      int32_t slot = slot_arr[target];
       if (cand > cur_score[slot] + tol) return;
       out->src.push_back(pnode);
       out->il.push_back(ilab);
@@ -121,6 +123,9 @@ void* latgen_extract(
       const int32_t pnode = prev_node[k];
       if (emitting) {
         for (int32_t a = estart[s]; a < estart[s + 1]; ++a) {
+          // stamp check first: for hub states (vocab-size fan-out) most
+          // targets are not in the frontier, so skip before touching ll
+          if (slot_stamp[e_nxt[a]] != ri) continue;
           float am = -ll_t[e_pdf[a]];
           try_link(pnode, base + e_cost[a] + am, e_nxt[a], e_tid[a],
                    e_ol[a], e_cost[a], am);
