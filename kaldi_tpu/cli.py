@@ -5945,6 +5945,11 @@ _ALIASES: dict = {
     "ivector-extract-online": ["ivector-extract-online2"],
     "online-wav-gmm-decode-faster": ["online2-wav-gmm-latgen-faster"],
     # nnet2 / nnet3 am-wrappers
+    "nnet-logprob-parallel": ["nnet-logprob"],
+    "nnet-logprob2-parallel": ["nnet-logprob2"],
+    "nnet-combine": ["nnet-combine-fast"],
+    "nnet-combine-a": ["nnet-combine-fast"],
+    "nnet-am-combine": ["nnet-combine-fast"],
     "nnet-init": ["nnet-am-init"],
     "nnet-train-transitions": ["train-transitions"],
     "nnet3-am-copy": ["nnet3-copy"],
@@ -8098,6 +8103,9 @@ def main(argv=None):
     q.add_argument("--minibatch-size", type=int, default=64)
     q.add_argument("--momentum", type=float, default=0.9)
     q.set_defaults(func=cmd_train_nnet3)
+
+    from kaldi_tpu import cli_nnet
+    cli_nnet.register(sub)
 
     args = p.parse_args(argv)
     args.func(args)

@@ -114,6 +114,14 @@ def save_am_nnet(path: str, am) -> None:
         "final_b": np.asarray(am.params["final"]["b"]),
         "n_layers": np.int64(len(am.params["layers"])),
     }
+    if getattr(am, "group_ids", None) is not None:
+        blobs["group_ids"] = np.asarray(am.group_ids, np.int32)
+    if getattr(am, "lr_scales", None):
+        blobs["lr_scales_json"] = np.frombuffer(
+            json.dumps(am.lr_scales).encode(), dtype=np.uint8)
+    if getattr(am, "meta", None):
+        blobs["meta_json"] = np.frombuffer(
+            json.dumps(am.meta).encode(), dtype=np.uint8)
     for i, layer in enumerate(am.params["layers"]):
         for k, v in layer.items():
             blobs[f"layer{i}.{k}"] = np.asarray(v)
@@ -139,7 +147,53 @@ def load_am_nnet(path: str):
             for i in range(n)
         ],
     }
-    return AmNnet(model, params, z["priors"])
+    gid = z["group_ids"] if "group_ids" in z.files else None
+    lr = (json.loads(z["lr_scales_json"].tobytes().decode())
+          if "lr_scales_json" in z.files else None)
+    am = AmNnet(model, params, z["priors"], group_ids=gid, lr_scales=lr)
+    if "meta_json" in z.files:
+        am.meta = json.loads(z["meta_json"].tobytes().decode())
+    return am
+
+
+def save_raw_nnet(path: str, model, params) -> None:
+    """Save a raw nnet (Tdnn + params, no priors / transition info)
+    (ref: nnet2bin/nnet-to-raw-nnet.cc — the 'raw' representation used
+    for feature-transform stacks and layer transplants)."""
+    import dataclasses as _dc
+    blobs = {
+        "__version__": np.int64(FORMAT_VERSION),
+        "__kind__": np.frombuffer(b"raw_nnet2", dtype=np.uint8),
+        "config_json": np.frombuffer(
+            json.dumps(_dc.asdict(model.config)).encode(), dtype=np.uint8),
+        "final_w": np.asarray(params["final"]["w"]),
+        "final_b": np.asarray(params["final"]["b"]),
+        "n_layers": np.int64(len(params["layers"])),
+    }
+    for i, layer in enumerate(params["layers"]):
+        for k, v in layer.items():
+            blobs[f"layer{i}.{k}"] = np.asarray(v)
+    with open(path, "wb") as f:
+        np.savez(f, **blobs)
+
+
+def load_raw_nnet(path: str):
+    """-> (Tdnn, params)."""
+    from kaldi_tpu.nnet.tdnn import Tdnn, TdnnConfig
+    z = np.load(path)
+    assert int(z["__version__"]) == FORMAT_VERSION
+    cfg = json.loads(z["config_json"].tobytes().decode())
+    cfg["splice_indexes"] = tuple(tuple(x) for x in cfg["splice_indexes"])
+    n = int(z["n_layers"])
+    params = {
+        "final": {"w": z["final_w"], "b": z["final_b"]},
+        "layers": [
+            {k.split(".", 1)[1]: z[k] for k in z.files
+             if k.startswith(f"layer{i}.")}
+            for i in range(n)
+        ],
+    }
+    return Tdnn(TdnnConfig(**cfg)), params
 
 
 def save_am_nnet3(path: str, am) -> None:

@@ -87,3 +87,17 @@ def test_nnet2_primitive_training_loop(tmp_path, capsys):
         main(["compute-wer", P("text"), P("hyp.txt"), "--max-wer", "0"])
     except SystemExit as e:
         assert e.code in (0, None)
+
+    # gmm-system-dependent surgery wrappers
+    # (ref: nnet2bin/nnet-am-reinitialize.cc, nnet2-boost-silence.cc)
+    from kaldi_tpu.io.model_io import load_am_nnet, load_gmm_system
+    main(["nnet-am-reinitialize", P("nn_final.npz"), P("mono.npz"),
+          P("nn_reinit.npz")])
+    reinit = load_am_nnet(P("nn_reinit.npz"))
+    assert reinit.num_pdfs == load_gmm_system(P("mono.npz")).am.num_pdfs
+    sil_phone = load_gmm_system(P("mono.npz")).lang.phones["SIL"]
+    main(["nnet2-boost-silence", str(sil_phone), P("mono.npz"),
+          P("nn_final.npz"), P("nn_boost.npz")])
+    boosted = load_am_nnet(P("nn_boost.npz"))
+    assert not np.allclose(boosted.priors, load_am_nnet(
+        P("nn_final.npz")).priors)
