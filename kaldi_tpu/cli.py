@@ -5013,22 +5013,28 @@ def cmd_train_tdnn(args):
 
 
 def _read_egs_dir(egs_dir):
-    """-> egs dict {feats, targets, weights} concatenated over archives."""
+    """-> egs dict {feats, targets, weights} concatenated over archives
+    (weights.<a>.ark read when present, else all-ones)."""
     import glob as _glob
     from kaldi_tpu.io.kaldi_io import read_ark
-    feats, targets = [], []
+    feats, targets, weights = [], [], []
     for p in sorted(_glob.glob(os.path.join(egs_dir, "egs.*.ark"))):
         a = p.rsplit("egs.", 1)[1].split(".ark")[0]
         targ = dict(read_ark(os.path.join(egs_dir, f"targets.{a}.ark")))
+        wpath = os.path.join(egs_dir, f"weights.{a}.ark")
+        wts = dict(read_ark(wpath)) if os.path.exists(wpath) else {}
         for k, x in read_ark(p):
             feats.append(x)
             targets.append(targ[k].astype(np.int32))
+            weights.append(np.asarray(wts[k], np.float32).reshape(-1)
+                           if k in wts else None)
     if not feats:
         raise SystemExit(f"no egs archives under {egs_dir}")
     f = np.stack(feats)
     t = np.stack(targets)
-    return {"feats": f, "targets": t,
-            "weights": np.ones(t.shape, np.float32)}
+    w = np.stack([np.ones(t.shape[1], np.float32) if x is None else x
+                  for x in weights])
+    return {"feats": f, "targets": t, "weights": w}
 
 
 def cmd_nnet_get_egs(args):
@@ -5040,16 +5046,18 @@ def cmd_nnet_get_egs(args):
     model = load_gmm_system(args.model)
     tm = model.trans_model
     feats = {k: v for (k, v) in open_rspecifier(args.rspecifier)}
-    aligned = []
+    aligned, utt_names = [], []
     for utt, ali in open_rspecifier(args.ali_rspecifier):
         if utt in feats:
             tids = np.asarray(ali, np.int64)
             aligned.append((feats[utt].astype(np.float32),
                             tm.id2pdf_array[tids]))
+            utt_names.append(utt)
     n = dump_egs(aligned, args.left_context, args.right_context,
                  args.chunk, args.egs_dir,
                  num_archives=args.num_archives,
-                 compress=not args.no_compress, seed=args.seed)
+                 compress=not args.no_compress, seed=args.seed,
+                 utt_names=utt_names)
     print(f"nnet-get-egs: {len(aligned)} utts -> {n} archives",
           file=sys.stderr)
 
@@ -5062,11 +5070,15 @@ def _rewrite_egs(in_dir, out_dir, transform, num_archives, seed):
     from kaldi_tpu.io.kaldi_io import read_ark, write_ark
     rng = np.random.RandomState(seed)
     examples = []
+    have_weights = False
     for p in sorted(_glob.glob(os.path.join(in_dir, "egs.*.ark"))):
         a = p.rsplit("egs.", 1)[1].split(".ark")[0]
         targ = dict(read_ark(os.path.join(in_dir, f"targets.{a}.ark")))
+        wpath = os.path.join(in_dir, f"weights.{a}.ark")
+        wts = dict(read_ark(wpath)) if os.path.exists(wpath) else {}
+        have_weights = have_weights or bool(wts)
         for k, x in read_ark(p):
-            examples.append((k, x, targ[k]))
+            examples.append((k, x, targ[k], wts.get(k)))
     examples = transform(examples, rng)
     os.makedirs(out_dir, exist_ok=True)
     buckets = [[] for _ in range(num_archives)]
@@ -5074,9 +5086,13 @@ def _rewrite_egs(in_dir, out_dir, transform, num_archives, seed):
         buckets[i % num_archives].append(ex)
     for a, items in enumerate(buckets):
         write_ark(os.path.join(out_dir, f"egs.{a}.ark"),
-                  {k: x for (k, x, _y) in items})
+                  {k: x for (k, x, _y, _w) in items})
         write_ark(os.path.join(out_dir, f"targets.{a}.ark"),
-                  {k: y for (k, _x, y) in items})
+                  {k: y for (k, _x, y, _w) in items})
+        if have_weights:
+            write_ark(os.path.join(out_dir, f"weights.{a}.ark"),
+                      {k: w for (k, _x, _y, w) in items
+                       if w is not None})
     return len(examples)
 
 
@@ -5945,6 +5961,13 @@ _ALIASES: dict = {
     "ivector-extract-online": ["ivector-extract-online2"],
     "online-wav-gmm-decode-faster": ["online2-wav-gmm-latgen-faster"],
     # nnet2 / nnet3 am-wrappers
+    "nnet-train-parallel": ["nnet-train-simple"],
+    "nnet-train-perutt": ["nnet-train-simple"],
+    "nnet-train-parallel-perturbed": ["nnet-train-simple-perturbed"],
+    "nnet-train-discriminative-parallel":
+        ["nnet-train-discriminative-simple"],
+    "nnet-perturb-egs-fmllr": ["nnet-perturb-egs"],
+    "nnet-get-feature-transform-multi": ["nnet-get-feature-transform"],
     "nnet-logprob-parallel": ["nnet-logprob"],
     "nnet-logprob2-parallel": ["nnet-logprob2"],
     "nnet-combine": ["nnet-combine-fast"],

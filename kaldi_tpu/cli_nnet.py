@@ -659,6 +659,379 @@ def cmd_nnet_gradient(args):
     print(f"nnet-gradient: over {n} examples", file=sys.stderr)
 
 
+# ------------------------------------------------------------- egs tools
+
+def cmd_nnet_select_egs(args):
+    """Keep examples where index % n == k
+    (ref: nnet2bin/nnet-select-egs.cc)."""
+    from kaldi_tpu.cli import _rewrite_egs
+    n = _rewrite_egs(
+        args.egs_in, args.egs_out,
+        lambda ex, rng: [e for i, e in enumerate(ex)
+                         if i % args.n == args.k],
+        args.num_archives, 0)
+    print(f"nnet-select-egs: kept {n}", file=sys.stderr)
+
+
+def cmd_nnet_relabel_egs(args):
+    """Replace egs targets from a new pdf alignment; example keys carry
+    '<utt>:<offset>' (ref: nnet2bin/nnet-relabel-egs.cc)."""
+    from kaldi_tpu.cli import _rewrite_egs
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    ali = {k: np.asarray(v, np.int64).reshape(-1)
+           for (k, v) in open_rspecifier(args.ali_rspecifier)}
+
+    missed = [0]
+
+    def relabel(ex, rng):
+        out = []
+        for (k, x, y, w) in ex:
+            utt, _sep, off = k.rpartition(":")
+            if utt in ali and off.isdigit():
+                lo = int(off)
+                chunk = len(np.asarray(y).reshape(-1))
+                y = ali[utt][lo: lo + chunk].astype(np.float32)
+            else:
+                missed[0] += 1
+            out.append((k, x, y, w))
+        return out
+
+    n = _rewrite_egs(args.egs_in, args.egs_out, relabel,
+                     args.num_archives, 0)
+    print(f"nnet-relabel-egs: {n} examples, {missed[0]} without "
+          f"alignment", file=sys.stderr)
+
+
+def cmd_nnet_get_weighted_egs(args):
+    """Egs with per-frame weights from a posterior+weight pair
+    (ref: nnet2bin/nnet-get-weighted-egs.cc — target = best pdf of the
+    frame posterior, weight = posterior mass * external frame weight)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.hmm.posterior import read_post_ark
+    from kaldi_tpu.steps.egs import dump_egs
+    feats = {k: v for (k, v) in open_rspecifier(args.rspecifier)}
+    wts = ({k: np.asarray(v, np.float32).reshape(-1)
+            for (k, v) in open_rspecifier(args.weights_rspecifier)}
+           if args.weights_rspecifier else {})
+    aligned, utt_names, frame_weights = [], [], []
+    for utt, post in read_post_ark(args.post_rspecifier):
+        if utt not in feats:
+            continue
+        T = len(post)
+        pdfs = np.zeros(T, np.int64)
+        w = np.zeros(T, np.float32)
+        for t, frame in enumerate(post):
+            if frame:
+                best = max(frame, key=lambda pw: pw[1])
+                pdfs[t] = int(best[0])
+                w[t] = sum(pw[1] for pw in frame)
+        if utt in wts:
+            w = w * wts[utt][:T]
+        aligned.append((feats[utt].astype(np.float32), pdfs))
+        utt_names.append(utt)
+        frame_weights.append(w)
+    n = dump_egs(aligned, args.left_context, args.right_context,
+                 args.chunk, args.egs_dir,
+                 num_archives=args.num_archives, seed=args.seed,
+                 utt_names=utt_names, frame_weights=frame_weights)
+    print(f"nnet-get-weighted-egs: {len(aligned)} utts -> {n} archives",
+          file=sys.stderr)
+
+
+def cmd_nnet_perturb_egs(args):
+    """Add cholesky-shaped noise to egs features
+    (ref: nnet2bin/nnet-perturb-egs.cc: x += noise_factor * L z,
+    z ~ N(0, I); the -fmllr variant perturbs in the same way along the
+    fMLLR-normalized axes)."""
+    from kaldi_tpu.cli import _rewrite_egs
+    from kaldi_tpu.io.kaldi_io import read_ark
+    L = np.asarray(next(iter(read_ark(args.cholesky)))[1], np.float64)
+    rng0 = np.random.RandomState(args.seed)
+
+    def perturb(ex, _rng):
+        out = []
+        for (k, x, y, w) in ex:
+            z = rng0.randn(x.shape[0], L.shape[0])
+            out.append((k, (np.asarray(x, np.float64)
+                            + args.noise_factor * z @ L.T)
+                        .astype(np.float32), y, w))
+        return out
+
+    n = _rewrite_egs(args.egs_in, args.egs_out, perturb,
+                     args.num_archives, 0)
+    print(f"nnet-perturb-egs: {n} examples, noise "
+          f"{args.noise_factor}", file=sys.stderr)
+
+
+def cmd_nnet_get_feature_transform(args):
+    """Estimate the nnet input feature transform from LDA stats: full-dim
+    LDA basis with the within-class variance scaled by
+    --within-class-factor (ref: nnet2bin/nnet-get-feature-transform.cc +
+    nnet2/get-feature-transform.h FeatureTransformEstimate)."""
+    from kaldi_tpu.transform.lda import LdaStats, estimate_lda
+    from kaldi_tpu.io.kaldi_io import write_ark
+    stats = None
+    for path in args.lda_accs:
+        z = np.load(path)
+        if stats is None:
+            stats = LdaStats(z["zero_acc"].shape[0],
+                             z["first_acc"].shape[1])
+        stats.zero_acc = stats.zero_acc + z["zero_acc"]
+        stats.first_acc = stats.first_acc + z["first_acc"]
+        stats.total_second = stats.total_second + z["total_second"]
+    dim = args.dim if args.dim > 0 else stats.first_acc.shape[1]
+    W, evals = estimate_lda(stats, dim,
+                            within_class_factor=args.within_class_factor)
+    write_ark(args.matrix_out, {"transform": np.asarray(W, np.float32)})
+    print(f"nnet-get-feature-transform: {W.shape[0]}x{W.shape[1]}",
+          file=sys.stderr)
+
+
+# ------------------------------------------------- training variants
+
+def cmd_nnet_train_simple_perturbed(args):
+    """nnet-train-simple with on-the-fly feature perturbation
+    (ref: nnet2bin/nnet-train-simple-perturbed.cc — the cholesky is
+    estimated from the egs' own feature covariance, then noise-factor
+    scaled noise is added per minibatch)."""
+    from kaldi_tpu.nnet.train import NnetTrainOpts, train_epochs
+    am = _load_am(args.nnet_in)
+    egs = _read_egs(args.egs_dir)
+    flat = egs["feats"].reshape(-1, egs["feats"].shape[-1])
+    cov = np.cov(flat[: 100000].T)
+    L = np.linalg.cholesky(cov + 1e-6 * np.eye(cov.shape[0]))
+    rng = np.random.RandomState(args.seed)
+    noisy = dict(egs)
+    noisy["feats"] = (egs["feats"] + args.noise_factor
+                      * rng.randn(*egs["feats"].shape) @ L.T
+                      ).astype(np.float32)
+    params, history = train_epochs(
+        am.model, am.params, noisy,
+        NnetTrainOpts(initial_lr=args.initial_lr, final_lr=args.final_lr,
+                      num_epochs=args.num_epochs,
+                      minibatch_size=args.minibatch_size))
+    _save_am(args.nnet_out, am.replace_params(params))
+    if history:
+        print(f"nnet-train-simple-perturbed: final loss "
+              f"{history[-1][2]:.3f}", file=sys.stderr)
+
+
+def cmd_nnet_train_ensemble(args):
+    """Train N models on the same egs with distinct shuffles; the
+    ensemble members stay diverse for later nnet-am-average / combine
+    (ref: nnet2bin/nnet-train-ensemble.cc; the reference additionally
+    interpolates each member's target with the ensemble mean posterior —
+    here diversity comes from the shuffle, documented simplification)."""
+    from kaldi_tpu.nnet.train import NnetTrainOpts, train_epochs
+    if len(args.models_and_outs) % 2 != 0:
+        raise SystemExit("nnet-train-ensemble: need N inputs + N outputs")
+    n = len(args.models_and_outs) // 2
+    ins, outs = args.models_and_outs[:n], args.models_and_outs[n:]
+    egs = _read_egs(args.egs_dir)
+    for i, (mdl_in, mdl_out) in enumerate(zip(ins, outs)):
+        am = _load_am(mdl_in)
+        params, _h = train_epochs(
+            am.model, am.params, egs,
+            NnetTrainOpts(initial_lr=args.initial_lr,
+                          final_lr=args.final_lr,
+                          num_epochs=args.num_epochs,
+                          minibatch_size=args.minibatch_size),
+            rng=np.random.RandomState(args.seed + i))
+        _save_am(mdl_out, am.replace_params(params))
+    print(f"nnet-train-ensemble: {n} members", file=sys.stderr)
+
+
+# ------------------------------------------- discriminative egs + training
+
+def _degs_archives(degs_dir):
+    import glob as _glob
+    return sorted(_glob.glob(os.path.join(degs_dir, "feats.*.ark")))
+
+
+def _read_degs(degs_dir):
+    """-> [(utt, feats [T+ctx, D], tids [T], lattice)]."""
+    from kaldi_tpu.io.kaldi_io import read_ark
+    from kaldi_tpu.lat.io import read_lattice_ark
+    out = []
+    for p in _degs_archives(degs_dir):
+        a = p.rsplit("feats.", 1)[1].split(".ark")[0]
+        ali = dict(read_ark(os.path.join(degs_dir, f"ali.{a}.ark")))
+        lats = dict(read_lattice_ark(
+            os.path.join(degs_dir, f"lats.{a}.ark")))
+        for utt, feats in read_ark(p):
+            out.append((utt, feats,
+                        np.asarray(ali[utt], np.int64).reshape(-1),
+                        lats[utt]))
+    return out
+
+
+def _write_degs(degs_dir, egs, num_archives):
+    from kaldi_tpu.io.kaldi_io import write_ark
+    from kaldi_tpu.lat.io import write_lattice_ark
+    os.makedirs(degs_dir, exist_ok=True)
+    buckets = [[] for _ in range(num_archives)]
+    for i, e in enumerate(egs):
+        buckets[i % num_archives].append(e)
+    for a, items in enumerate(buckets):
+        write_ark(os.path.join(degs_dir, f"feats.{a}.ark"),
+                  {u: f for (u, f, _t, _l) in items})
+        write_ark(os.path.join(degs_dir, f"ali.{a}.ark"),
+                  {u: t.astype(np.float32) for (u, _f, t, _l) in items})
+        write_lattice_ark(os.path.join(degs_dir, f"lats.{a}.ark"),
+                          {u: l for (u, _f, _t, l) in items})
+    return num_archives
+
+
+def cmd_nnet_get_egs_discriminative(args):
+    """Pack (context-padded feats, numerator tid alignment, denominator
+    lattice) per utterance into degs archives
+    (ref: nnet2bin/nnet-get-egs-discriminative.cc)."""
+    from kaldi_tpu.io.kaldi_io import open_rspecifier
+    from kaldi_tpu.lat.io import read_lattice_ark
+    am = _load_am(args.nnet)
+    lc = am.model.config.left_context
+    rc = am.model.config.right_context
+    feats = {k: v for (k, v) in open_rspecifier(args.rspecifier)}
+    ali = {k: np.asarray(v, np.int64).reshape(-1)
+           for (k, v) in open_rspecifier(args.ali_rspecifier)}
+    egs = []
+    for utt, lat in read_lattice_ark(args.denlat_ark):
+        if utt not in feats or utt not in ali:
+            continue
+        f = np.pad(feats[utt].astype(np.float32),
+                   ((lc, rc), (0, 0)), mode="edge")
+        egs.append((utt, f, ali[utt], lat))
+    n = _write_degs(args.degs_dir, egs, args.num_archives)
+    print(f"nnet-get-egs-discriminative: {len(egs)} utts -> {n} "
+          f"archives", file=sys.stderr)
+
+
+def cmd_nnet_copy_egs_discriminative(args):
+    """(ref: nnet2bin/nnet-copy-egs-discriminative.cc)"""
+    egs = _read_degs(args.degs_in)
+    _write_degs(args.degs_out, egs, args.num_archives)
+    print(f"nnet-copy-egs-discriminative: {len(egs)} examples",
+          file=sys.stderr)
+
+
+def cmd_nnet_shuffle_egs_discriminative(args):
+    """(ref: nnet2bin/nnet-shuffle-egs-discriminative.cc)"""
+    egs = _read_degs(args.degs_in)
+    rng = np.random.RandomState(args.seed)
+    order = rng.permutation(len(egs))
+    _write_degs(args.degs_out, [egs[i] for i in order],
+                args.num_archives)
+    print(f"nnet-shuffle-egs-discriminative: {len(egs)} examples",
+          file=sys.stderr)
+
+
+def cmd_nnet_combine_egs_discriminative(args):
+    """Merge several degs dirs into one
+    (ref: nnet2bin/nnet-combine-egs-discriminative.cc)."""
+    egs = []
+    for d in args.degs_in:
+        egs.extend(_read_degs(d))
+    _write_degs(args.degs_out, egs, args.num_archives)
+    print(f"nnet-combine-egs-discriminative: {len(egs)} examples from "
+          f"{len(args.degs_in)} dirs", file=sys.stderr)
+
+
+def cmd_nnet_compare_hash_discriminative(args):
+    """Content hash equality of two degs dirs
+    (ref: nnet2bin/nnet-compare-hash-discriminative.cc; exits nonzero on
+    mismatch)."""
+    import hashlib
+
+    def digest(d):
+        h = hashlib.sha256()
+        for (utt, f, t, lat) in sorted(_read_degs(d),
+                                       key=lambda e: e[0]):
+            h.update(utt.encode())
+            h.update(np.ascontiguousarray(f).tobytes())
+            h.update(np.ascontiguousarray(t).tobytes())
+            h.update(str(lat.num_arcs).encode())
+            h.update(str(lat.num_states).encode())
+        return h.hexdigest()
+
+    a, b = digest(args.degs_a), digest(args.degs_b)
+    print(f"{a}\n{b}")
+    if a != b:
+        raise SystemExit(1)
+    print("nnet-compare-hash-discriminative: match", file=sys.stderr)
+
+
+def cmd_nnet_train_discriminative_simple(args):
+    """Sequence-discriminative (MMI/sMBR/MPFE) training over degs
+    (ref: nnet2bin/nnet-train-discriminative-simple.cc; the -parallel
+    variant is the same batched computation)."""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.nnet.discriminative import (
+        NnetDiscriminativeOpts, train_nnet_discriminative)
+    am = _load_am(args.nnet_in)
+    model = load_gmm_system(args.model)
+    tm = model.trans_model
+    sil = {int(p) for p in args.silence_phones.split(":") if p}
+    degs = _read_degs(args.degs_dir)
+    egs = [(f, t, lat) for (_u, f, t, lat) in degs]
+    opts = NnetDiscriminativeOpts(
+        criterion=args.criterion, acoustic_scale=args.acoustic_scale,
+        learning_rate=args.learning_rate, num_epochs=args.num_epochs,
+        drop_frames=args.drop_frames)
+    params, hist = train_nnet_discriminative(am, tm, egs, opts,
+                                             silence_phones=sil)
+    _save_am(args.nnet_out, am.replace_params(params))
+    print(f"nnet-train-discriminative-simple[{args.criterion}]: objf "
+          + " -> ".join(f"{h:.4f}" for h in hist), file=sys.stderr)
+
+
+def cmd_nnet_align_compiled(args):
+    """Forced alignment with nnet acoustic scores
+    (ref: nnet2bin/nnet-align-compiled.cc)."""
+    from kaldi_tpu.io.model_io import load_gmm_system
+    from kaldi_tpu.io.kaldi_io import open_rspecifier, open_wspecifier
+    from kaldi_tpu.fst.graph import TrainingGraphCompiler
+    from kaldi_tpu.decoder.graph_pack import pack_graphs
+    from kaldi_tpu.decoder.viterbi import viterbi_align
+    from kaldi_tpu.cli import _read_text_file
+    model = load_gmm_system(args.model)
+    am = _load_am(args.nnet)
+    tm = model.trans_model
+    text = _read_text_file(args.text)
+    items = [(k, f) for (k, f) in open_rspecifier(args.rspecifier)
+             if k in text]
+    if not items:
+        raise SystemExit("nnet-align-compiled: no utterances joined")
+    compiler = TrainingGraphCompiler(model.lang, tm, model.ctx_dep)
+    cache: dict = {}
+    graphs = []
+    for (k, _f) in items:
+        key = tuple(text[k])
+        if key not in cache:
+            cache[key] = compiler.compile_transcript(list(key))
+        graphs.append(cache[key])
+    B = len(items)
+    T = max(f.shape[0] for (_k, f) in items)
+    D = items[0][1].shape[1]
+    feats = np.zeros((B, T, D), np.float32)
+    nf = np.zeros(B, np.int32)
+    for b, (_k, f) in enumerate(items):
+        feats[b, : f.shape[0]] = f
+        nf[b] = f.shape[0]
+    ll = am.loglikes_np(feats)
+    batch = pack_graphs(graphs, tm.id2pdf_array)
+    results = viterbi_align(batch, ll, nf, args.acoustic_scale)
+    n_done = 0
+    with open_wspecifier(args.ali_wspecifier) as w:
+        for b, (k, _f) in enumerate(items):
+            if results[b] is None:
+                print(f"nnet-align-compiled: failed {k}",
+                      file=sys.stderr)
+                continue
+            w.write(k, np.asarray(results[b][0], np.int32))
+            n_done += 1
+    print(f"nnet-align-compiled: {n_done}/{B}", file=sys.stderr)
+
+
 # ------------------------------------------------------------ registration
 
 def register(sub):
@@ -775,3 +1148,75 @@ def register(sub):
     add("nnet-gradient", cmd_nnet_gradient,
         a("nnet"), a("egs"), a("gradient_out"),
         a("--max-examples", type=int, default=4096))
+    add("nnet-select-egs", cmd_nnet_select_egs,
+        a("egs_in"), a("egs_out"),
+        a("--n", type=int, default=1), a("--k", type=int, default=0),
+        a("--num-archives", type=int, default=1))
+    add("nnet-relabel-egs", cmd_nnet_relabel_egs,
+        a("ali_rspecifier"), a("egs_in"), a("egs_out"),
+        a("--num-archives", type=int, default=1))
+    add("nnet-get-weighted-egs", cmd_nnet_get_weighted_egs,
+        a("rspecifier"), a("post_rspecifier"), a("weights_rspecifier"),
+        a("egs_dir"),
+        a("--left-context", type=int, default=4),
+        a("--right-context", type=int, default=4),
+        a("--chunk", type=int, default=8),
+        a("--num-archives", type=int, default=2),
+        a("--seed", type=int, default=0))
+    add("nnet-perturb-egs", cmd_nnet_perturb_egs,
+        a("cholesky"), a("egs_in"), a("egs_out"),
+        a("--noise-factor", type=float, default=0.1),
+        a("--seed", type=int, default=0),
+        a("--num-archives", type=int, default=1))
+    add("nnet-get-feature-transform", cmd_nnet_get_feature_transform,
+        a("matrix_out"), a("lda_accs", nargs="+"),
+        a("--dim", type=int, default=-1),
+        a("--within-class-factor", type=float, default=0.001))
+    add("nnet-train-simple-perturbed", cmd_nnet_train_simple_perturbed,
+        a("nnet_in"), a("egs_dir"), a("nnet_out"),
+        a("--noise-factor", type=float, default=0.1),
+        a("--initial-lr", type=float, default=0.02),
+        a("--final-lr", type=float, default=0.004),
+        a("--num-epochs", type=int, default=10),
+        a("--minibatch-size", type=int, default=128),
+        a("--seed", type=int, default=0))
+    add("nnet-train-ensemble", cmd_nnet_train_ensemble,
+        a("egs_dir"), a("models_and_outs", nargs="+"),
+        a("--initial-lr", type=float, default=0.02),
+        a("--final-lr", type=float, default=0.004),
+        a("--num-epochs", type=int, default=10),
+        a("--minibatch-size", type=int, default=128),
+        a("--seed", type=int, default=0))
+    add("nnet-get-egs-discriminative", cmd_nnet_get_egs_discriminative,
+        a("nnet"), a("rspecifier"), a("ali_rspecifier"),
+        a("denlat_ark"), a("degs_dir"),
+        a("--num-archives", type=int, default=1))
+    add("nnet-copy-egs-discriminative", cmd_nnet_copy_egs_discriminative,
+        a("degs_in"), a("degs_out"),
+        a("--num-archives", type=int, default=1))
+    add("nnet-shuffle-egs-discriminative",
+        cmd_nnet_shuffle_egs_discriminative,
+        a("degs_in"), a("degs_out"),
+        a("--seed", type=int, default=0),
+        a("--num-archives", type=int, default=1))
+    add("nnet-combine-egs-discriminative",
+        cmd_nnet_combine_egs_discriminative,
+        a("degs_out"), a("degs_in", nargs="+"),
+        a("--num-archives", type=int, default=1))
+    add("nnet-compare-hash-discriminative",
+        cmd_nnet_compare_hash_discriminative,
+        a("degs_a"), a("degs_b"))
+    add("nnet-train-discriminative-simple",
+        cmd_nnet_train_discriminative_simple,
+        a("nnet_in"), a("model"), a("degs_dir"), a("nnet_out"),
+        a("--criterion", default="smbr",
+          choices=["smbr", "mmi", "mpfe"]),
+        a("--acoustic-scale", type=float, default=0.1),
+        a("--learning-rate", type=float, default=3e-4),
+        a("--num-epochs", type=int, default=1),
+        a("--drop-frames", action="store_true"),
+        a("--silence-phones", default=""))
+    add("nnet-align-compiled", cmd_nnet_align_compiled,
+        a("model"), a("nnet"), a("text"), a("rspecifier"),
+        a("ali_wspecifier"),
+        a("--acoustic-scale", type=float, default=0.1))

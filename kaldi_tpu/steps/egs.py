@@ -21,31 +21,44 @@ def dump_egs(
     aligned,               # [(feats [T, D], pdf_ids [T])]
     left_context: int, right_context: int, chunk: int,
     out_dir: str, num_archives: int = 2, compress: bool = True,
-    seed: int = 0,
+    seed: int = 0, utt_names=None, frame_weights=None,
 ):
     """Cut utterances into context-carrying chunks, distribute round-robin
     (randomized) across archives. Writes egs.<i>.ark (features) and
-    targets.<i>.ark (pdf labels as int rows). Returns archive count."""
+    targets.<i>.ark (pdf labels as int rows); weights.<i>.ark too when
+    frame_weights is given (ref: nnet2bin/nnet-get-weighted-egs.cc).
+    With utt_names, example keys are '<utt>:<frame-offset>' so
+    nnet-relabel-egs can map them back to alignments. Returns archive
+    count."""
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.RandomState(seed)
     examples = []
-    for (feats, pdfs) in aligned:
+    for u, (feats, pdfs) in enumerate(aligned):
         T, D = feats.shape
         padded = np.pad(feats, ((left_context, right_context), (0, 0)),
                         mode="edge")
         for lo in range(0, T - chunk + 1, chunk):
             x = padded[lo: lo + chunk + left_context + right_context]
             y = np.asarray(pdfs[lo: lo + chunk], np.int32)
-            examples.append((x.astype(np.float32), y))
+            w = (np.asarray(frame_weights[u][lo: lo + chunk], np.float32)
+                 if frame_weights is not None else None)
+            key = (f"{utt_names[u]}:{lo}" if utt_names is not None
+                   else None)
+            examples.append((key, x.astype(np.float32), y, w))
     order = rng.permutation(len(examples))
     buckets = [[] for _ in range(num_archives)]
     for i, idx in enumerate(order):
-        buckets[i % num_archives].append((f"eg{idx:08d}", examples[idx]))
+        key, x, y, w = examples[idx]
+        buckets[i % num_archives].append(
+            (key if key is not None else f"eg{idx:08d}", x, y, w))
     for a, items in enumerate(buckets):
         write_ark(os.path.join(out_dir, f"egs.{a}.ark"),
-                  {k: x for k, (x, _y) in items}, compress=compress)
+                  {k: x for (k, x, _y, _w) in items}, compress=compress)
         write_ark(os.path.join(out_dir, f"targets.{a}.ark"),
-                  {k: y.astype(np.float32) for k, (_x, y) in items})
+                  {k: y.astype(np.float32) for (k, _x, y, _w) in items})
+        if frame_weights is not None:
+            write_ark(os.path.join(out_dir, f"weights.{a}.ark"),
+                      {k: w for (k, _x, _y, w) in items})
     return num_archives
 
 

@@ -101,3 +101,29 @@ def test_nnet2_primitive_training_loop(tmp_path, capsys):
     boosted = load_am_nnet(P("nn_boost.npz"))
     assert not np.allclose(boosted.priors, load_am_nnet(
         P("nn_final.npz")).priors)
+
+    # discriminative egs pipeline + sequence training
+    # (ref: nnet2bin/nnet-{get,shuffle,copy,compare-hash}-egs-
+    #  discriminative.cc, nnet-train-discriminative-simple.cc)
+    main(["nnet-get-egs-discriminative", P("nn_final.npz"),
+          f"ark:{P('feats.ark')}", f"ark:{P('ali.ark')}", P("lat.ark"),
+          P("degs"), "--num-archives", "2"])
+    main(["nnet-shuffle-egs-discriminative", P("degs"), P("degs_shuf"),
+          "--num-archives", "1", "--seed", "3"])
+    main(["nnet-copy-egs-discriminative", P("degs_shuf"),
+          P("degs_copy")])
+    main(["nnet-compare-hash-discriminative", P("degs_shuf"),
+          P("degs_copy")])
+    main(["nnet-train-discriminative-simple", P("nn_final.npz"),
+          P("mono.npz"), P("degs_copy"), P("nn_smbr.npz"),
+          "--criterion", "smbr", "--num-epochs", "1",
+          "--learning-rate", "1e-4",
+          "--silence-phones", str(sil_phone)])
+    assert load_am_nnet(P("nn_smbr.npz")) is not None
+
+    # nnet-side forced alignment (ref: nnet2bin/nnet-align-compiled.cc)
+    main(["nnet-align-compiled", P("mono.npz"), P("nn_final.npz"),
+          P("text"), f"ark:{P('feats.ark')}",
+          f"ark:{P('ali_nnet.ark')}"])
+    n_ali = sum(1 for _ in read_ark(P("ali_nnet.ark")))
+    assert n_ali == 24

@@ -191,6 +191,99 @@ def test_progress_gradient_degradation(setup, capsys):
     assert mlr.lr_scales and "final" in mlr.lr_scales
 
 
+def test_egs_tools(setup):
+    tmp, mdl, egs, feats_ark, am = setup
+    from kaldi_tpu.cli_nnet import _read_egs
+    import glob
+
+    # utt-keyed egs for relabel
+    rng = np.random.RandomState(3)
+    aligned = [(rng.randn(20, D).astype(np.float32),
+                rng.randint(0, P_PDFS, 20)) for _ in range(4)]
+    cfg = am.model.config
+    dump_egs(aligned, cfg.left_context, cfg.right_context, 5,
+             str(tmp / "uegs"), num_archives=1,
+             utt_names=[f"u{i}" for i in range(4)])
+
+    main(["nnet-select-egs", str(tmp / "uegs"), str(tmp / "sel"),
+          "--n", "2", "--k", "1"])
+    n_all = len(_read_egs(str(tmp / "uegs"))["feats"])
+    n_sel = len(_read_egs(str(tmp / "sel"))["feats"])
+    assert n_sel == n_all // 2
+
+    # relabel from a new alignment: all-zero pdfs
+    with open(tmp / "newali.ark", "w") as f:
+        pass
+    write_ark(str(tmp / "newali.ark"),
+              {f"u{i}": np.zeros(20, np.float32) for i in range(4)})
+    main(["nnet-relabel-egs", f"ark:{tmp / 'newali.ark'}",
+          str(tmp / "uegs"), str(tmp / "relab")])
+    assert (_read_egs(str(tmp / "relab"))["targets"] == 0).all()
+
+    # perturb: different feats, same targets
+    write_ark(str(tmp / "chol.ark"),
+              {"L": np.eye(D, dtype=np.float32)})
+    main(["nnet-perturb-egs", str(tmp / "chol.ark"),
+          str(tmp / "uegs"), str(tmp / "pert"),
+          "--noise-factor", "0.5"])
+    e0, e1 = _read_egs(str(tmp / "uegs")), _read_egs(str(tmp / "pert"))
+    assert not np.allclose(e0["feats"], e1["feats"])
+    assert (e0["targets"] == e1["targets"]).all()
+
+    # weighted egs from posteriors
+    from kaldi_tpu.hmm.posterior import write_post_line
+    feats_d = {f"w{i}": np.random.RandomState(i).randn(10, D)
+               .astype(np.float32) for i in range(2)}
+    write_ark(str(tmp / "wfeats.ark"), feats_d)
+    post = {u: [[(int(i % P_PDFS), 0.5)] for i in range(10)]
+            for u in feats_d}
+    with open(tmp / "post.ark", "w") as f:
+        for u, p in post.items():
+            write_post_line(f, u, p)
+    write_ark(str(tmp / "fw.ark"),
+              {u: np.full(10, 2.0, np.float32) for u in feats_d})
+    main(["nnet-get-weighted-egs", f"ark:{tmp / 'wfeats.ark'}",
+          str(tmp / "post.ark"), f"ark:{tmp / 'fw.ark'}",
+          str(tmp / "wegs"), "--left-context", "1",
+          "--right-context", "1", "--chunk", "5",
+          "--num-archives", "1"])
+    we = _read_egs(str(tmp / "wegs"))
+    np.testing.assert_allclose(we["weights"], 1.0)  # 0.5 post * 2.0 frame
+    assert glob.glob(str(tmp / "wegs" / "weights.*.ark"))
+
+
+def test_feature_transform_and_perturbed_train(setup):
+    tmp, mdl, egs, feats_ark, am = setup
+    # LDA-acc npz in the est-lda format
+    rng = np.random.RandomState(0)
+    from kaldi_tpu.transform.lda import LdaStats
+    stats = LdaStats(P_PDFS, D)
+    for c in range(P_PDFS):
+        x = rng.randn(30, D) + c
+        stats.zero_acc[c] += 30
+        stats.first_acc[c] += x.sum(0)
+        stats.total_second += x.T @ x
+    np.savez(tmp / "lda_acc.npz", zero_acc=stats.zero_acc,
+             first_acc=stats.first_acc, total_second=stats.total_second)
+    main(["nnet-get-feature-transform", str(tmp / "ft.ark"),
+          str(tmp / "lda_acc.npz")])
+    W = dict(read_ark(str(tmp / "ft.ark")))["transform"]
+    assert W.shape == (D, D + 1)
+
+    main(["nnet-train-simple-perturbed", mdl, egs,
+          str(tmp / "tp.npz"), "--num-epochs", "2",
+          "--minibatch-size", "8"])
+    assert load_am_nnet(str(tmp / "tp.npz")) is not None
+
+    main(["nnet-train-ensemble", egs, mdl, mdl,
+          str(tmp / "e1.npz"), str(tmp / "e2.npz"),
+          "--num-epochs", "2", "--minibatch-size", "8",
+          "--seed", "5"])
+    p1 = load_am_nnet(str(tmp / "e1.npz")).params["final"]["w"]
+    p2 = load_am_nnet(str(tmp / "e2.npz")).params["final"]["w"]
+    assert not np.allclose(p1, p2)  # distinct shuffles -> diverse members
+
+
 def test_nnet1_to_raw(setup, tmp_path):
     tmp, mdl, egs, feats_ark, am = setup
     from kaldi_tpu.nnet1.nnet import Nnet1, parse_proto, save_nnet1
