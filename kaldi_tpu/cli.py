@@ -5945,6 +5945,37 @@ _ALIASES: dict = {
     "nnet-latgen-faster-parallel": ["nnet-latgen-faster"],
     "sgmm2-latgen-faster-parallel": ["sgmm2-latgen-faster"],
     "sgmm2-align-compiled": ["sgmm2-align"],
+    # legacy SGMM (v1): AmSgmm2 minus the u_i speaker weights IS the v1
+    # model (ref: sgmm/am-sgmm.h vs sgmm2/am-sgmm2.h) — same
+    # implementations, model files tagged kind='sgmm'
+    "sgmm-init": ["sgmm2-init", "--kind", "sgmm"],
+    "sgmm-info": ["sgmm2-info"],
+    "sgmm-copy": ["sgmm2-copy"],
+    "sgmm-gselect": ["sgmm2-gselect"],
+    "sgmm-acc-stats": ["sgmm2-acc-stats"],
+    "sgmm-acc-stats-gpost": ["sgmm2-acc-stats-gpost"],
+    "sgmm-acc-stats2": ["sgmm2-acc-stats2"],
+    "sgmm-est": ["sgmm2-est"],
+    "sgmm-est-ebw": ["sgmm2-est-ebw"],
+    "sgmm-sum-accs": ["sgmm2-sum-accs"],
+    "sgmm-align-compiled": ["sgmm2-align"],
+    "sgmm-latgen-faster": ["sgmm2-latgen-faster"],
+    "sgmm-latgen-simple": ["sgmm2-latgen-faster"],
+    "sgmm-decode-faster": ["sgmm2-latgen-faster"],
+    "sgmm-est-spkvecs": ["sgmm2-est-spkvecs"],
+    "sgmm-est-spkvecs-gpost": ["sgmm2-est-spkvecs"],
+    "sgmm-post-to-gpost": ["sgmm2-post-to-gpost"],
+    "sgmm-rescore-lattice": ["sgmm2-rescore-lattice"],
+    "sgmm-est-fmllr": ["sgmm2-est-fmllr"],
+    "sgmm-est-fmllr-gpost": ["sgmm2-est-fmllr"],
+    "sgmm-comp-prexform": ["sgmm2-comp-prexform"],
+    "sgmm2-est-fmllr-gpost": ["sgmm2-est-fmllr"],
+    # the sgmm tree tools are the generic tree tools (the stats don't
+    # depend on the acoustic model family)
+    "sgmm-acc-tree-stats": ["acc-tree-stats"],
+    "sgmm-build-tree": ["build-tree"],
+    "sgmm-cluster-phones": ["cluster-phones"],
+    "sgmm-sum-tree-stats": ["sum-tree-stats"],
     "gmm-transform-means-global": ["gmm-transform-means"],
     "gmm-est-fmllr-gpost": ["gmm-est-fmllr"],
     "gmm-est-basis-fmllr-gpost": ["gmm-est-basis-fmllr"],
@@ -8129,6 +8160,8 @@ def main(argv=None):
 
     from kaldi_tpu import cli_nnet
     cli_nnet.register(sub)
+    from kaldi_tpu import cli_sgmm
+    cli_sgmm.register(sub)
 
     args = p.parse_args(argv)
     args.func(args)

@@ -433,20 +433,34 @@ def load_tree(path: str):
     return pickle.loads(z["__host__"].tobytes())
 
 
-def save_sgmm2(path: str, sgmm_am) -> None:
-    """Save an SGMM2 acoustic model (SgmmAm adapter around AmSgmm2)
+#: optional SGMM sidecar arrays round-tripped verbatim when set on the
+#: SgmmAm adapter (ref: Sgmm2FmllrGlobalParams riding in the model file,
+#: sgmm2bin/sgmm2-comp-prexform.cc / sgmmbin/sgmm-est-fmllrbasis.cc)
+_SGMM_EXTRAS = ("pre_xform", "inv_xform", "mean_scatter", "fmllr_basis")
+
+
+def save_sgmm2(path: str, sgmm_am, kind: str = "sgmm2") -> None:
+    """Save an SGMM acoustic model (SgmmAm adapter around AmSgmm2)
     (ref: sgmm2/am-sgmm2.h AmSgmm2::Write — global params Sigma_inv/M/w/N
-    plus ragged per-state substate vectors v_j / weights c_j)."""
+    plus ragged per-state substate vectors v_j / weights c_j). kind
+    'sgmm' tags the legacy-SGMM variant (same math: AmSgmm2 without the
+    u_i speaker weights IS the v1 model, sgmm/am-sgmm.h)."""
     sgmm = sgmm_am.sgmm
     blobs = {
         "__version__": np.int64(FORMAT_VERSION),
-        "__kind__": np.frombuffer(b"sgmm2", dtype=np.uint8),
+        "__kind__": np.frombuffer(kind.encode(), dtype=np.uint8),
         "Sigma_inv": sgmm.Sigma_inv, "M": sgmm.M, "w": sgmm.w,
         "num_states": np.int64(sgmm.num_states),
         "num_gselect": np.int64(sgmm_am.num_gselect),
     }
     if sgmm.N is not None:
         blobs["N"] = sgmm.N
+    if getattr(sgmm, "norm_set_ids", None) is not None:
+        blobs["norm_set_ids"] = np.asarray(sgmm.norm_set_ids, np.int64)
+    for name in _SGMM_EXTRAS:
+        val = getattr(sgmm_am, name, None)
+        if val is not None:
+            blobs[f"__extra_{name}"] = np.asarray(val)
     for j in range(sgmm.num_states):
         blobs[f"v{j}"] = np.stack(sgmm.v[j])
         blobs[f"c{j}"] = np.asarray(sgmm.c[j])
@@ -455,12 +469,14 @@ def save_sgmm2(path: str, sgmm_am) -> None:
 
 
 def load_sgmm2(path: str):
-    """-> SgmmAm (decoder-facing adapter)."""
+    """-> SgmmAm (decoder-facing adapter); accepts both the sgmm2 and
+    the legacy sgmm kinds (adapter carries .kind)."""
     from kaldi_tpu.sgmm.model import AmSgmm2
     from kaldi_tpu.steps.sgmm_steps import SgmmAm
     z = np.load(path)
     assert int(z["__version__"]) == FORMAT_VERSION
-    assert z["__kind__"].tobytes() == b"sgmm2", "not an sgmm2 file"
+    kind = z["__kind__"].tobytes().decode()
+    assert kind in ("sgmm2", "sgmm"), "not an sgmm/sgmm2 file"
     sgmm = AmSgmm2.__new__(AmSgmm2)
     sgmm.Sigma_inv = z["Sigma_inv"]
     sgmm.M = z["M"]
@@ -469,8 +485,15 @@ def load_sgmm2(path: str):
     J = int(z["num_states"])
     sgmm.v = [[row for row in z[f"v{j}"]] for j in range(J)]
     sgmm.c = [z[f"c{j}"] for j in range(J)]
+    if "norm_set_ids" in z.files:
+        sgmm.norm_set_ids = z["norm_set_ids"]
     sgmm._update_derived()
-    return SgmmAm(sgmm, int(z["num_gselect"]))
+    am = SgmmAm(sgmm, int(z["num_gselect"]))
+    am.kind = kind
+    for name in _SGMM_EXTRAS:
+        if f"__extra_{name}" in z.files:
+            setattr(am, name, z[f"__extra_{name}"])
+    return am
 
 
 def save_sgmm2_accs(path: str, accs) -> None:

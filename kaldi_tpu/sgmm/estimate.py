@@ -72,6 +72,40 @@ class Sgmm2Accs:
                 d = x[None, None, :] - mu
                 self.S_centered += np.einsum("mi,mid,mie->ide", post, d, d)
 
+    def accumulate_gpost(self, model: AmSgmm2, feats: np.ndarray,
+                         gpost, spk: Sgmm2SpeakerState | None = None):
+        """Accumulate from precomputed Gaussian-level posteriors
+        (ref: sgmm2bin/sgmm2-acc-stats-gpost.cc — the E-step's component
+        posteriors arrive in the gpost archive instead of being
+        recomputed): gpost[t] = [(state j, gselect idx [K], post [M, K])].
+        """
+        I = model.num_gauss
+        for t, frame in enumerate(gpost):
+            x = feats[t]
+            for j, gsel, p in frame:
+                post = np.zeros((p.shape[0], I))
+                post[:, np.asarray(gsel, np.int64)] = p
+                self.tot_frames += float(post.sum())
+                V = np.stack(model.v[j])
+                self.gamma[j] += post
+                zx = np.einsum("ids,d->is", model.SinvM, x)
+                if spk is not None and model.N is not None:
+                    off = np.einsum("idt,t->id", model.N, spk.v)
+                    zx = zx - np.einsum("ids,id->is", model.SinvM, off)
+                self.y[j] += post @ zx
+                if spk is not None and model.N is not None:
+                    x_i = x[None, :] - np.einsum("idt,t->id", model.N,
+                                                 spk.v)
+                    self.Y += np.einsum("mi,id,ms->ids", post, x_i, V)
+                else:
+                    self.Y += np.einsum("mi,d,ms->ids", post, x, V)
+                self.Q += np.einsum("mi,ms,mt->ist", post, V, V)
+                mu = np.einsum("ids,ms->mid", model.M, V)
+                if spk is not None and model.N is not None:
+                    mu = mu + np.einsum("idt,t->id", model.N, spk.v)[None]
+                d = x[None, None, :] - mu
+                self.S_centered += np.einsum("mi,mid,mie->ide", post, d, d)
+
     def state_occs(self):
         return np.array([g.sum() for g in self.gamma])
 

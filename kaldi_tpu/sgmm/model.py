@@ -112,6 +112,15 @@ class AmSgmm2:
         V = np.stack(self.v[j])                            # [M, S]
         logw = V @ self.w.T                                # [M, I]
         logw = logw - _logsumexp(logw, axis=1, keepdims=True)
+        sets = getattr(self, "norm_set_ids", None)
+        if sets is not None:
+            # renormalize within each Gaussian subset (typically gender)
+            # so each subset's weights sum to one per substate
+            # (ref: sgmm/am-sgmm.cc:822 ComputeNormalizersNormalized)
+            for s in np.unique(sets):
+                idx = np.flatnonzero(sets == s)
+                logw[:, idx] -= _logsumexp(logw[:, idx], axis=1,
+                                           keepdims=True)
         mu = np.einsum("ids,ms->mid", self.M, V)           # [M, I, D]
         if spk is not None and self.N is not None:
             mu = mu + np.einsum("idt,t->id", self.N, spk.v)[None]
@@ -169,6 +178,48 @@ class AmSgmm2:
             ll = np.where(keep[:, None, :], ll, -np.inf)
             out[:, j] = _logsumexp(ll.reshape(T, -1), axis=1)
         return out
+
+    # --- dimension surgery (ref: sgmmbin/sgmm-mixup.cc →
+    # AmSgmm::IncreasePhoneSpaceDim / IncreaseSpkSpaceDim) ---
+
+    def increase_phn_dim(self, new_S: int, seed: int = 0):
+        """Grow the phonetic subspace to new_S columns: existing columns
+        are kept, new M_i columns are small random directions, substate
+        vectors are zero-padded (so likelihoods are unchanged)."""
+        I, D, S = self.M.shape
+        if new_S <= S:
+            return
+        if new_S > D + 1:
+            raise ValueError(f"phn dim {new_S} > feature dim + 1 = {D + 1}")
+        rng = np.random.RandomState(seed)
+        M2 = np.zeros((I, D, new_S))
+        M2[:, :, :S] = self.M
+        M2[:, :, S:] = rng.randn(I, D, new_S - S) * 0.1
+        self.M = M2
+        w2 = np.zeros((I, new_S))
+        w2[:, :S] = self.w
+        self.w = w2
+        self.v = [[np.concatenate([vm, np.zeros(new_S - S)])
+                   for vm in vj] for vj in self.v]
+        self._update_derived()
+
+    def increase_spk_dim(self, new_T: int, seed: int = 0):
+        """Grow (or create) the speaker subspace to new_T columns."""
+        I, D, _S = self.M.shape
+        if new_T > D:
+            raise ValueError(f"spk dim {new_T} > feature dim {D}")
+        rng = np.random.RandomState(seed)
+        T_old = self.spk_dim
+        if new_T <= T_old:
+            return
+        N2 = np.zeros((I, D, new_T))
+        if self.N is not None:
+            N2[:, :, :T_old] = self.N
+        N2[:, :, T_old:] = rng.randn(I, D, new_T - T_old) * 0.1
+        self.N = N2
+
+    def remove_speaker_space(self):
+        self.N = None
 
     # --- substate splitting (ref: AmSgmm2::SplitSubstates) ---
 
