@@ -8162,6 +8162,8 @@ def main(argv=None):
     cli_nnet.register(sub)
     from kaldi_tpu import cli_sgmm
     cli_sgmm.register(sub)
+    from kaldi_tpu import cli_misc
+    cli_misc.register(sub)
 
     args = p.parse_args(argv)
     args.func(args)
