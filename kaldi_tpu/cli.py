@@ -8164,6 +8164,8 @@ def main(argv=None):
     cli_sgmm.register(sub)
     from kaldi_tpu import cli_misc
     cli_misc.register(sub)
+    from kaldi_tpu import cli_fst
+    cli_fst.register(sub)
 
     args = p.parse_args(argv)
     args.func(args)

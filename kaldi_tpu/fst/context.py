@@ -104,3 +104,68 @@ def compose_context(
     out.connect()
     out.arcsort("ilabel")
     return out, ilabel_info
+
+
+def make_context_fst(phones: list, disambig: set, subseq_sym: int,
+                     N: int = 3, P: int = 1):
+    """Standalone context transducer C over ALL phone contexts:
+    -> (C, ilabel_info), where compose(C, add_subsequential_loop(LG))
+    equals compose_context(LG) (ref: fstbin/fstmakecontextfst.cc,
+    fstext/context-fst.h ContextFst — the dynamic version above is what
+    graph builds use; this enumerates every history, O(|phones|^{N-1})
+    states).
+
+    Input side: context windows (ilabel_info convention shared with
+    compose_context). Output side: phones; the subsequential symbol
+    flushes the delay = N-1-P pending phones at the end."""
+    assert 0 <= P < N
+    delay = N - 1 - P
+
+    ilabel_info: list[list[int]] = [[]]
+    ilabel_id: dict[tuple, int] = {(): 0}
+
+    def get_ilabel(key: tuple) -> int:
+        i = ilabel_id.get(key)
+        if i is None:
+            i = len(ilabel_info)
+            ilabel_id[key] = i
+            ilabel_info.append(list(key))
+        return i
+
+    EMPTY = get_ilabel((0,))
+    out = Fst()
+    from collections import deque
+    state_map: dict = {}
+    queue: deque = deque()
+
+    def get_state(key):
+        s = state_map.get(key)
+        if s is None:
+            s = out.add_state()
+            state_map[key] = s
+            queue.append(key)
+        return s
+
+    out.start = get_state(((0,) * (N - 1), 0))
+    while queue:
+        key = queue.popleft()
+        hist, pending = key
+        cur = state_map[key]
+        if pending == 0:
+            out.set_final(cur, 0.0)
+        for d in sorted(disambig):
+            out.add_arc(cur, get_ilabel((-d,)), d, 0.0, cur)
+        for p in phones:
+            nh = tuple(hist[1:]) + (p,)
+            if pending < delay:
+                out.add_arc(cur, EMPTY, p, 0.0, get_state((nh, pending + 1)))
+            else:
+                out.add_arc(cur, get_ilabel(tuple(hist) + (p,)), p, 0.0,
+                            get_state((nh, pending)))
+        if pending > 0:
+            # subsequential symbol: flush one pending phone
+            out.add_arc(cur, get_ilabel(tuple(hist) + (0,)), subseq_sym,
+                        0.0, get_state((tuple(hist[1:]) + (0,),
+                                        pending - 1)))
+    out.arcsort("ilabel")
+    return out, ilabel_info

@@ -104,7 +104,11 @@ class TrainingGraphCompiler:
         self.loopscale = self_loop_scale
 
     def compile(self, word_ids: list[int]) -> Fst:
-        g_utt = Fst.linear_acceptor(word_ids)
+        return self.compile_graph(Fst.linear_acceptor(word_ids))
+
+    def compile_graph(self, g_utt: Fst) -> Fst:
+        """Per-utterance graph from an arbitrary word-level G (not just a
+        linear transcript) (ref: bin/compile-train-graphs-fsts.cc)."""
         lg = compose(self.lang.L_disambig, g_utt)
         lg = determinize_star(lg, use_log=False)
         if self.ctx.context_width == 1:

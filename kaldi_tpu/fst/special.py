@@ -158,3 +158,88 @@ def push_special(f: Fst, delta: float = 1e-3, max_iters: int = 200) -> Fst:
     else:
         out.start = f.start
     return out
+
+
+def rho_compose(a: Fst, b: Fst, rho_label: int) -> Fst:
+    """Compose a with b where b's arcs labeled rho_label are
+    rest-matchers: at each b state, an incoming label with no exact
+    match takes the rho arc, CONSUMING the label (the output label is
+    rewritten to the matched input label, MATCHER_REWRITE_ALWAYS).
+    Unlike phi, rho does not chain (ref: fstbin/fstrhocompose.cc,
+    fst RhoMatcher)."""
+    out = Fst()
+    state_map: dict = {}
+    queue: deque = deque()
+
+    def get(key):
+        s = state_map.get(key)
+        if s is None:
+            s = out.add_state()
+            state_map[key] = s
+            queue.append(key)
+        return s
+
+    sorted_cache: dict[int, list] = {}
+
+    def b_arcs(s):
+        arcs = sorted_cache.get(s)
+        if arcs is None:
+            arcs = sorted(b.arcs[s], key=lambda x: x[0])
+            sorted_cache[s] = arcs
+        return arcs
+
+    def find_arc(bs: int, label: int):
+        arcs = b_arcs(bs)
+        lo = bisect.bisect_left(arcs, label, key=lambda x: x[0])
+        if lo < len(arcs) and arcs[lo][0] == label:
+            return arcs[lo]
+        return None
+
+    if a.start < 0 or b.start < 0:
+        return out
+    out.start = get((a.start, b.start))
+    while queue:
+        key = queue.popleft()
+        as_, bs = key
+        cur = state_map[key]
+        fa, fb = a.final(as_), b.final(bs)
+        if fa < INF and fb < INF:
+            out.set_final(cur, fa + fb)
+        for (il, ol, w, d) in a.arcs[as_]:
+            if ol == 0:
+                out.add_arc(cur, il, 0, w, get((d, bs)))
+                continue
+            arc = find_arc(bs, ol)
+            if arc is None:
+                arc = find_arc(bs, rho_label)
+                if arc is None:
+                    continue
+                # rho consumes ol; rewrite the output to the real label
+                out.add_arc(cur, il, ol, w + arc[2], get((d, arc[3])))
+            else:
+                out.add_arc(cur, il, arc[1], w + arc[2],
+                            get((d, arc[3])))
+    return out
+
+
+def prop_final(f: Fst, phi_label: int) -> Fst:
+    """Propagate final weights backwards through phi_label arcs: a state
+    with a phi arc to a final state becomes final with the combined
+    weight, iterated to a fixpoint (ref: fstbin/fstpropfinal.cc,
+    fstext/deterministic-fst.h PropagateFinal)."""
+    out = f.copy()
+    changed = True
+    while changed:
+        changed = False
+        for s in range(out.num_states):
+            for (il, _ol, w, d) in out.arcs[s]:
+                if il != phi_label:
+                    continue
+                fd = out.final(d)
+                if fd >= INF:
+                    continue
+                cand = w + fd
+                if cand < out.final(s) - 1e-12:
+                    out.set_final(s, cand)
+                    changed = True
+    return out
