@@ -5977,6 +5977,9 @@ _ALIASES: dict = {
     "sgmm-cluster-phones": ["cluster-phones"],
     "sgmm-sum-tree-stats": ["sum-tree-stats"],
     "gmm-transform-means-global": ["gmm-transform-means"],
+    # fgmm gselect: load_ubm dispatches on the model kind, the top-N
+    # selection is covariance-shape-agnostic
+    "fgmm-gselect": ["gmm-gselect"],
     "gmm-est-fmllr-gpost": ["gmm-est-fmllr"],
     "gmm-est-basis-fmllr-gpost": ["gmm-est-basis-fmllr"],
     "sgmm2-est-spkvecs-gpost": ["sgmm2-est-spkvecs"],
@@ -8166,6 +8169,8 @@ def main(argv=None):
     cli_misc.register(sub)
     from kaldi_tpu import cli_fst
     cli_fst.register(sub)
+    from kaldi_tpu import cli_gmm_extra
+    cli_gmm_extra.register(sub)
 
     args = p.parse_args(argv)
     args.func(args)

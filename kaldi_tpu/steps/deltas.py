@@ -156,9 +156,14 @@ def tree_from_stats(lang: Lang, stats: dict, opts: DeltasTrainOpts,
 
 
 def transition_model_from_tree(lang: Lang, ctx) -> TransitionModel:
-    def pdfs_of(phone, pdf_class):
-        return ctx.event_map.multi_map(
-            {KPDF_CLASS: pdf_class, ctx.central_position: phone})
+    if not hasattr(ctx, "event_map"):
+        # monophone context dependency: single deterministic pdf
+        def pdfs_of(phone, pdf_class):
+            return {ctx.compute([phone], pdf_class)}
+    else:
+        def pdfs_of(phone, pdf_class):
+            return ctx.event_map.multi_map(
+                {KPDF_CLASS: pdf_class, ctx.central_position: phone})
 
     return TransitionModel(lang.topo, pdfs_of)
 
