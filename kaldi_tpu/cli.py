@@ -5980,6 +5980,10 @@ _ALIASES: dict = {
     # fgmm gselect: load_ubm dispatches on the model kind, the top-N
     # selection is covariance-shape-agnostic
     "fgmm-gselect": ["gmm-gselect"],
+    # the "simple" decoders are the exact (non-pruned-histogram)
+    # reference decoders; our batch Viterbi/beam paths are exact already
+    "gmm-decode-simple": ["gmm-decode-faster"],
+    "gmm-latgen-simple": ["gmm-latgen-faster"],
     "gmm-est-fmllr-gpost": ["gmm-est-fmllr"],
     "gmm-est-basis-fmllr-gpost": ["gmm-est-basis-fmllr"],
     "sgmm2-est-spkvecs-gpost": ["sgmm2-est-spkvecs"],
@@ -6018,7 +6022,9 @@ _ALIASES: dict = {
 
 def main(argv=None):
     argv = _expand_config_args(argv if argv is not None else sys.argv[1:])
-    if argv and argv[0] in _ALIASES:
+    for _hop in range(4):   # aliases may chain (e.g. *-simple -> *-faster)
+        if not (argv and argv[0] in _ALIASES):
+            break
         argv = _ALIASES[argv[0]] + argv[1:]
     p = argparse.ArgumentParser(prog="kaldi_tpu",
                                 description=__doc__.splitlines()[0])
@@ -8171,6 +8177,10 @@ def main(argv=None):
     cli_fst.register(sub)
     from kaldi_tpu import cli_gmm_extra
     cli_gmm_extra.register(sub)
+    from kaldi_tpu import cli_adapt
+    cli_adapt.register(sub)
+    from kaldi_tpu import cli_tail
+    cli_tail.register(sub)
 
     args = p.parse_args(argv)
     args.func(args)

@@ -141,6 +141,7 @@ class AmNnet3(AmNnet):
         n_pdfs = net.dims["output"]
         self.priors = (priors if priors is not None
                        else np.ones(n_pdfs) / n_pdfs)
+        self.group_ids = None   # no mixed-up rows on config-defined nets
 
     @property
     def num_pdfs(self):

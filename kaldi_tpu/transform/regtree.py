@@ -204,3 +204,165 @@ def _two_means(x: np.ndarray, rng, iters: int = 10):
             if (lab == s).any():
                 c[s] = x[lab == s].mean(0)
     return lab
+
+
+class RegtreeMllrStats:
+    """Per-node MLLR (mean-transform) stats: k_d = Σ γ (x_d/σ²_d) ξ,
+    G_d = Σ γ (1/σ²_d) ξ ξᵀ with ξ = [μ; 1] the extended mean
+    (ref: transform/regtree-mllr-diag-gmm.h RegtreeMllrDiagGmmAccs)."""
+
+    def __init__(self, tree: RegressionTree, dim: int):
+        self.tree = tree
+        self.dim = dim
+        self.K = np.zeros((tree.num_nodes, dim, dim + 1))
+        self.G = np.zeros((tree.num_nodes, dim, dim + 1, dim + 1))
+        self.beta = np.zeros(tree.num_nodes)
+
+    def accumulate(self, am, feats: np.ndarray, post):
+        """post[t] = [(pdf, weight)]."""
+        tree = self.tree
+        offsets = {}
+        off = 0
+        for pdf, g in enumerate(am.pdfs):
+            offsets[pdf] = off
+            off += g.num_gauss
+        by_pdf: dict = {}
+        for t, frame in enumerate(post):
+            for pdf, w in frame:
+                by_pdf.setdefault(pdf, []).append((t, w))
+        for pdf, items in by_pdf.items():
+            g = am.pdfs[pdf]
+            rows = np.array([t for (t, _w) in items])
+            w = np.array([wt for (_t, wt) in items])
+            x = feats[rows]                               # [N, D]
+            comp_post = g.posteriors(x) * w[:, None]      # [N, M]
+            xi = np.concatenate([g.means, np.ones((g.num_gauss, 1))],
+                                axis=1)                   # [M, D+1]
+            inv_var = 1.0 / g.vars                        # [M, D]
+            leaves = tree.gauss2leaf[offsets[pdf]: offsets[pdf]
+                                     + g.num_gauss]
+            gamma_m = comp_post.sum(axis=0)               # [M]
+            sum_gx = comp_post.T @ x                      # [M, D]
+            for leaf in np.unique(leaves):
+                sel = np.flatnonzero(leaves == leaf)
+                for m in sel:
+                    self.K[leaf] += np.outer(
+                        sum_gx[m] * inv_var[m], xi[m])
+                    self.G[leaf] += (gamma_m[m] * inv_var[m])[
+                        :, None, None] * np.outer(xi[m], xi[m])[None]
+                self.beta[leaf] += gamma_m[sel].sum()
+
+    def summed_up(self):
+        """-> (K, G, beta) propagated to ancestors."""
+        tree = self.tree
+        K = np.zeros_like(self.K)
+        G = np.zeros_like(self.G)
+        beta = np.zeros_like(self.beta)
+        for leaf in tree.leaves:
+            for node in tree.ancestors(leaf):
+                K[node] += self.K[leaf]
+                G[node] += self.G[leaf]
+                beta[node] += self.beta[leaf]
+        return K, G, beta
+
+
+def estimate_regtree_mllr(acc: RegtreeMllrStats, min_count: float = 200.0):
+    """-> {gauss-flat-index: [D, D+1] mean transform}: rows solve
+    W_d = k_d G_d⁻¹; occupancy backoff up the tree, identity below
+    min_count (ref: regtree-mllr-diag-gmm.cc RegtreeMllrDiagGmmAccs::
+    Update)."""
+    tree = acc.tree
+    K, G, beta = acc.summed_up()
+    D = acc.dim
+    ident = np.concatenate([np.eye(D), np.zeros((D, 1))], axis=1)
+    node_xform: dict = {}
+
+    def xform_of(node):
+        if node in node_xform:
+            return node_xform[node]
+        if beta[node] >= min_count:
+            W = np.zeros((D, D + 1))
+            for d in range(D):
+                W[d] = np.linalg.solve(
+                    G[node, d] + 1e-6 * np.eye(D + 1), K[node, d])
+            node_xform[node] = W
+        elif tree.parent[node] >= 0:
+            node_xform[node] = xform_of(tree.parent[node])
+        else:
+            node_xform[node] = ident
+        return node_xform[node]
+
+    out = {}
+    for g, leaf in enumerate(tree.gauss2leaf):
+        out[g] = xform_of(int(leaf))
+    return out
+
+
+def unstack_transforms(tree: RegressionTree, stacked: np.ndarray,
+                       dim: int) -> dict:
+    """Invert the [L*D, D+1] stacking written by gmm-est-regtree-fmllr:
+    -> {leaf: [D, D+1]} in sorted-leaf order."""
+    leaves = sorted(set(int(l) for l in tree.gauss2leaf))
+    out = {}
+    for i, leaf in enumerate(leaves):
+        out[leaf] = np.asarray(stacked[i * dim: (i + 1) * dim],
+                               np.float64)
+    return out
+
+
+def regtree_fmllr_loglikes(am, tree: RegressionTree, by_leaf: dict,
+                           feats: np.ndarray) -> np.ndarray:
+    """[T, num_pdfs] loglikes under per-class feature transforms:
+    each Gaussian is scored on its class's transformed features plus
+    log|A_class| (ref: gmm/decodable-am-diag-gmm-regtree.h
+    DecodableAmDiagGmmRegtreeFmllr)."""
+    T = feats.shape[0]
+    x = np.asarray(feats, np.float64)
+    D = x.shape[1]
+    xt = {}
+    logdet = {}
+    for leaf, W in by_leaf.items():
+        A, b = W[:, :D], W[:, D]
+        xt[leaf] = x @ A.T + b
+        sign, ld = np.linalg.slogdet(A)
+        logdet[leaf] = float(ld)
+    out = np.zeros((T, am.num_pdfs))
+    off = 0
+    for j, g in enumerate(am.pdfs):
+        leaves = tree.gauss2leaf[off: off + g.num_gauss]
+        ll = np.full((T, g.num_gauss), -np.inf)
+        for leaf in np.unique(leaves):
+            sel = np.flatnonzero(leaves == leaf)
+            xx = xt.get(int(leaf), x)
+            mu, var = g.means[sel], g.vars[sel]
+            q = (np.log(np.maximum(g.weights[sel], 1e-30))[None]
+                 - 0.5 * np.sum(np.log(2 * np.pi * var), axis=1)[None]
+                 - 0.5 * ((xx[:, None, :] - mu[None]) ** 2
+                          / var[None]).sum(-1))
+            ll[:, sel] = q + logdet.get(int(leaf), 0.0)
+        m = ll.max(axis=1, keepdims=True)
+        out[:, j] = (m + np.log(np.exp(ll - m).sum(axis=1,
+                                                   keepdims=True)))[:, 0]
+        off += g.num_gauss
+    return out
+
+
+def apply_regtree_mllr(am, tree: RegressionTree, by_leaf: dict):
+    """-> deep copy of am with per-class MLLR mean transforms applied:
+    μ' = A_c μ + b_c (ref: regtree-mllr-diag-gmm.h
+    RegtreeMllrDiagGmm::TransformModel)."""
+    import copy
+    out = copy.deepcopy(am)
+    off = 0
+    for g in out.pdfs:
+        leaves = tree.gauss2leaf[off: off + g.num_gauss]
+        D = g.dim
+        for leaf in np.unique(leaves):
+            W = by_leaf.get(int(leaf))
+            if W is None:
+                continue
+            sel = leaves == leaf
+            g.means[sel] = g.means[sel] @ W[:, :D].T + W[:, D]
+        off += g.num_gauss
+    out.invalidate()
+    return out
