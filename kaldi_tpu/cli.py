@@ -5998,6 +5998,9 @@ _ALIASES: dict = {
     # ivector / online
     "ivector-extract-online": ["ivector-extract-online2"],
     "online-wav-gmm-decode-faster": ["online2-wav-gmm-latgen-faster"],
+    # the reference's mic-driven decoder; audio arrives from wav.scp
+    # here (no portaudio in a TPU serving image — README scope note)
+    "online-gmm-decode-faster": ["online2-wav-gmm-latgen-faster"],
     # nnet2 / nnet3 am-wrappers
     "nnet-train-parallel": ["nnet-train-simple"],
     "nnet-train-perutt": ["nnet-train-simple"],
@@ -8181,6 +8184,8 @@ def main(argv=None):
     cli_adapt.register(sub)
     from kaldi_tpu import cli_tail
     cli_tail.register(sub)
+    from kaldi_tpu import cli_online_extra
+    cli_online_extra.register(sub)
 
     args = p.parse_args(argv)
     args.func(args)

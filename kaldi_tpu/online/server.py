@@ -97,6 +97,13 @@ class AudioServer:
     def port(self) -> int:
         return self._server.server_address[1]
 
+    def serve(self, num_connections: int):
+        """Handle exactly num_connections connections, then close —
+        the scripted-use loop (the reference servers run forever)."""
+        for _ in range(max(num_connections, 1)):
+            self._server.handle_request()
+        self._server.server_close()
+
     def serve_in_background(self) -> threading.Thread:
         t = threading.Thread(target=self._server.serve_forever, daemon=True)
         t.start()
