@@ -83,7 +83,7 @@ def main():
     from kaldi_tpu.nnet.tdnn import Tdnn, TdnnConfig
     from kaldi_tpu.decoder.biggraph import make_big_hclg, BigGraphConfig
     from kaldi_tpu.decoder.csr_beam import CsrBeamDecoder, CsrBeamOpts
-    from kaldi_tpu.lat.generate import decode_to_lattices
+    from kaldi_tpu.lat.generate import decode_to_lattices_stream
 
     SR = 16000.0
     fb_opts = FbankOpts(frame_opts=FrameOpts(samp_freq=SR, dither=0.0),
@@ -164,13 +164,20 @@ def main():
     am_l, waves_l, Tl = am_scores_factory(Bl, secs_l)
     nfl = np.full(Bl, Tl, np.int32)
     ll_l = np.asarray(am_l(waves_l))
-    decode_to_lattices(lat_dec, ll_l, nfl, lattice_beam=8.0,
-                       num_threads=8)  # warmup
+    # steady-state pipelined latgen: device decode of batch i+2 overlaps
+    # the device->host record fetch of batch i+1 and the native
+    # extraction of batch i (decode_to_lattices_stream)
+    list(decode_to_lattices_stream(
+        lat_dec, [(ll_l, nfl)], lattice_beam=8.0,
+        num_threads=8))  # warmup/compile
+    n_lat_batches = 4
     t0 = time.perf_counter()
-    lats = decode_to_lattices(lat_dec, ll_l, nfl, lattice_beam=8.0,
-                              num_threads=8)
+    outs = list(decode_to_lattices_stream(
+        lat_dec, [(ll_l, nfl)] * n_lat_batches, lattice_beam=8.0,
+        num_threads=8))
     dt_lat = time.perf_counter() - t0
-    lat_audio_per_sec = Bl * secs_l / dt_lat
+    lats = outs[-1]
+    lat_audio_per_sec = n_lat_batches * Bl * secs_l / dt_lat
     n_lat_arcs = sum(l.num_arcs for l in lats if l is not None)
 
     # ---------------- small-graph serving ---------------------------

@@ -77,24 +77,39 @@ def _pack_tree_flat(leaves):
     return jnp.concatenate(parts) if parts else jnp.zeros(0, jnp.int32)
 
 
+def fetch_tree_async(tree):
+    """Dispatch the device-side pack for a pytree of device arrays and
+    return a finisher; calling it performs the ONE blocking
+    device->host transfer and unpacks. The device keeps executing
+    queued programs while the host delays the fetch — the overlap that
+    lets a lattice-decode pipeline hide transfer time behind the next
+    batch's decode."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    metas = [(x.shape, str(x.dtype)) for x in leaves]
+    dev_buf = _pack_tree_flat(leaves)
+
+    def finish():
+        buf = np.asarray(dev_buf)
+        out = []
+        pos = 0
+        for (shape, dtype) in metas:
+            n = int(np.prod(shape)) if shape else 1
+            chunk = buf[pos: pos + n]
+            pos += n
+            if dtype == "float32":
+                arr = chunk.view(np.float32)
+            elif dtype == "bool":
+                arr = chunk.astype(bool)
+            else:
+                arr = chunk
+            out.append(arr.reshape(shape))
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return finish
+
+
 def fetch_tree(tree):
     """Fetch an arbitrary pytree of device arrays with ONE transfer;
     -> same structure as numpy arrays (dtypes preserved for
     f32/bool/int32)."""
-    leaves, treedef = jax.tree_util.tree_flatten(tree)
-    metas = [(x.shape, str(x.dtype)) for x in leaves]
-    buf = np.asarray(_pack_tree_flat(leaves))
-    out = []
-    pos = 0
-    for (shape, dtype) in metas:
-        n = int(np.prod(shape)) if shape else 1
-        chunk = buf[pos: pos + n]
-        pos += n
-        if dtype == "float32":
-            arr = chunk.view(np.float32)
-        elif dtype == "bool":
-            arr = chunk.astype(bool)
-        else:
-            arr = chunk
-        out.append(arr.reshape(shape))
-    return jax.tree_util.tree_unflatten(treedef, out)
+    return fetch_tree_async(tree)()

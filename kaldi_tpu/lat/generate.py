@@ -226,3 +226,48 @@ def decode_to_lattices(dec, loglikes, num_frames, lattice_beam: float = 10.0,
         return list(ex.map(
             lambda b: raw_lattice_from_decode(dec, raw, num_frames, b,
                                               lattice_beam), range(B)))
+
+
+def decode_to_lattices_stream(dec, batches, lattice_beam: float = 10.0,
+                              num_threads: int = 4, depth: int = 2):
+    """Pipelined latgen over a stream of (loglikes, num_frames) batches;
+    yields one lattice list per batch, in order.
+
+    Three stages overlap: the device decodes batch i+depth while batch
+    i+1's records ship device->host and batch i's utterances extract on
+    the native thread pool (the ctypes call releases the GIL). This is
+    the TPU-shaped analogue of gmm-latgen-faster-parallel's
+    TaskSequencer (ref: gmmbin/gmm-latgen-faster-parallel.cc:35): the
+    reference overlaps decode threads; here each stage is a different
+    resource (TPU, tunnel link, host cores), so a depth-2 program queue
+    plus deferred fetch keeps all three busy — latgen throughput at the
+    slowest stage instead of the sum."""
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    it = iter(batches)
+    pending: deque = deque()          # (finisher, num_frames)
+
+    def refill():
+        while len(pending) < depth:
+            try:
+                ll, nf = next(it)
+            except StopIteration:
+                return
+            pending.append((dec.decode_raw_async(ll, np.asarray(nf)),
+                            np.asarray(nf)))
+
+    with ThreadPoolExecutor(max_workers=num_threads) as ex:
+        refill()
+        prev_futs = None
+        while pending:
+            fin, nf = pending.popleft()
+            raw = fin()               # blocking fetch; device runs ahead
+            refill()
+            futs = [ex.submit(raw_lattice_from_decode, dec, raw, nf, b,
+                              lattice_beam) for b in range(len(nf))]
+            if prev_futs is not None:
+                yield [f.result() for f in prev_futs]
+            prev_futs = futs
+        if prev_futs is not None:
+            yield [f.result() for f in prev_futs]

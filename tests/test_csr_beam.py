@@ -196,6 +196,39 @@ def test_csr_lattice_extraction(small_big_graph):
         assert lats[b].num_arcs > lats[b].num_states - 1  # real lattice
 
 
+def test_decode_to_lattices_stream_matches_sync(small_big_graph):
+    """The pipelined stream driver must yield exactly the lattices the
+    synchronous decode_to_lattices produces, batch by batch, in order."""
+    from kaldi_tpu.lat.generate import decode_to_lattices, \
+        decode_to_lattices_stream
+    from kaldi_tpu.lat.functions import lattice_best_path
+    g = small_big_graph
+    rng = np.random.RandomState(7)
+    B, T, P = 2, 30, 64
+    dec = CsrBeamDecoder(g, CsrBeamOpts(beam=1e9, max_active=128,
+                                        acoustic_scale=0.1,
+                                        expand_budget=8192,
+                                        eps_budget=4096))
+    batches = []
+    for i in range(3):
+        ll = (rng.randn(B, T, P) * 3).astype(np.float32)
+        nf = np.array([T, T - 5 * i], np.int32)
+        batches.append((ll, nf))
+    want = [decode_to_lattices(dec, ll, nf, lattice_beam=8.0,
+                               num_threads=1) for ll, nf in batches]
+    got = list(decode_to_lattices_stream(dec, batches, lattice_beam=8.0,
+                                         num_threads=2))
+    assert len(got) == len(want)
+    for wlats, glats in zip(want, got):
+        for w, gl in zip(wlats, glats):
+            assert (w is None) == (gl is None)
+            if w is None:
+                continue
+            assert (w.num_arcs, w.num_states) == (gl.num_arcs,
+                                                  gl.num_states)
+            assert lattice_best_path(w) == lattice_best_path(gl)
+
+
 def test_native_lattice_extraction_matches_python(small_big_graph):
     """The C++ extractor (native/lattice_gen.cc) must produce lattices
     equivalent to the numpy reference implementation: identical path sets
