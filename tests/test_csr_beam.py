@@ -267,6 +267,119 @@ def test_native_lattice_extraction_matches_python(small_big_graph):
         assert abs(bp_py[2] - bp_cc[2]) < 1e-3
 
 
+def test_hub_tier_decode_matches_padded():
+    """With hub_threshold forced low the backoff state decodes through
+    the hub tier's precomputed per-frame top-K selection; best paths
+    must match the padded decoder's."""
+    cfg = BigGraphConfig(vocab=200, avg_bigram_succ=12,
+                         num_pdfs=64, seed=3)
+    g, _ = make_big_hclg(cfg)
+    rng = np.random.RandomState(2)
+    B, T = 3, 50
+    ll = (rng.randn(B, T, 64) * 3).astype(np.float32)
+    nf = np.array([50, 40, 25], np.int32)
+    d_pad = BeamSearchDecoder(g, BeamSearchOpts(beam=1e9, max_active=192,
+                                                acoustic_scale=0.1))
+    d_hub = CsrBeamDecoder(g, CsrBeamOpts(beam=1e9, max_active=192,
+                                          acoustic_scale=0.1,
+                                          expand_budget=8192,
+                                          eps_budget=4096,
+                                          hub_threshold=32))
+    assert len(d_hub.tabs.hub_bounds) > 1, "graph must have hub states"
+    assert d_hub.tabs.hub_onehot is not None   # precomputed-selection path
+    r1 = d_pad.decode(ll, nf)
+    r2 = d_hub.decode(ll, nf)
+    for b in range(B):
+        assert r1[b][0] == r2[b][0], (b, r1[b][0], r2[b][0])
+        assert r1[b][1] == r2[b][1]
+        assert abs(r1[b][2] - r2[b][2]) < 1e-2
+
+
+def _star_hub_graph(n_words=300):
+    """State 0 fans out n_words emitting arcs, EACH WITH A UNIQUE PDF
+    (so the hub's pdf groups exceed the 128 one-hot budget and the
+    in-scan dense fallback runs); every word state loops back to 0."""
+    n_states = 1 + n_words
+    deg = np.r_[n_words, np.ones(n_words, np.int64)]
+    arc_start = np.r_[0, np.cumsum(deg)].astype(np.int32)
+    n_arcs = int(arc_start[-1])
+    il = np.ones(n_arcs, np.int32)
+    ol = np.zeros(n_arcs, np.int32)
+    cost = np.zeros(n_arcs, np.float32)
+    nxt = np.zeros(n_arcs, np.int32)
+    pdf = np.zeros(n_arcs, np.int32)
+    rng = np.random.RandomState(0)
+    # hub arcs: unique pdfs, distinct words, random graph costs
+    nxt[:n_words] = np.arange(1, n_words + 1)
+    pdf[:n_words] = np.arange(n_words)
+    ol[:n_words] = np.arange(1, n_words + 1)
+    cost[:n_words] = rng.rand(n_words).astype(np.float32)
+    il[:n_words] = np.arange(1, n_words + 1)
+    # return arcs: shared exit pdf
+    nxt[n_words:] = 0
+    pdf[n_words:] = n_words
+    il[n_words:] = n_words + 1
+    cost[n_words:] = 0.25
+    final = np.full(n_states, np.inf, np.float32)
+    final[0] = 0.0
+    return PackedGraph(start=0, arc_start=arc_start, ilabel=il,
+                       olabel=ol, cost=cost, nextstate=nxt, pdf=pdf,
+                       final=final)
+
+
+def test_hub_tier_fallback_dense_matches_padded():
+    """A hub whose arcs span >128 distinct pdfs takes the in-scan dense
+    selection fallback; results must still match the padded decoder."""
+    g = _star_hub_graph(300)
+    rng = np.random.RandomState(6)
+    B, T, P = 2, 20, 301
+    ll = (rng.randn(B, T, P) * 3).astype(np.float32)
+    nf = np.array([20, 15], np.int32)
+    d_pad = BeamSearchDecoder(g, BeamSearchOpts(beam=1e9, max_active=128,
+                                                acoustic_scale=0.1))
+    d_hub = CsrBeamDecoder(g, CsrBeamOpts(beam=1e9, max_active=128,
+                                          acoustic_scale=0.1,
+                                          expand_budget=4096,
+                                          eps_budget=256,
+                                          hub_threshold=32))
+    assert len(d_hub.tabs.hub_bounds) > 1
+    assert d_hub.tabs.hub_onehot is None      # fallback path exercised
+    r1 = d_pad.decode(ll, nf)
+    r2 = d_hub.decode(ll, nf)
+    for b in range(B):
+        assert r1[b][0] == r2[b][0]
+        assert r1[b][1] == r2[b][1]
+        assert abs(r1[b][2] - r2[b][2]) < 1e-2
+
+
+def test_hub_tier_lattice_extraction():
+    """Lattice generation over a hub-tiered decode: best path in the
+    lattice equals the decoder best path."""
+    from kaldi_tpu.lat.generate import decode_to_lattices
+    from kaldi_tpu.lat.functions import lattice_best_path
+    cfg = BigGraphConfig(vocab=200, avg_bigram_succ=12, num_pdfs=64,
+                         seed=3)
+    g, _ = make_big_hclg(cfg)
+    rng = np.random.RandomState(4)
+    B, T = 2, 40
+    ll = (rng.randn(B, T, 64) * 3).astype(np.float32)
+    nf = np.array([40, 30], np.int32)
+    dec = CsrBeamDecoder(g, CsrBeamOpts(beam=1e9, max_active=192,
+                                        acoustic_scale=0.1,
+                                        expand_budget=8192,
+                                        eps_budget=4096,
+                                        hub_threshold=32))
+    assert len(dec.tabs.hub_bounds) > 1
+    best = dec.decode(ll, nf)
+    lats = decode_to_lattices(dec, ll, nf, lattice_beam=8.0)
+    for b in range(B):
+        assert lats[b] is not None
+        words, tids, cost = lattice_best_path(lats[b])
+        assert words == best[b][0]
+        assert tids == best[b][1]
+        assert abs(cost - best[b][2]) < 1e-2
+
+
 def test_tier_tables_verify(small_big_graph):
     """check_tier_tables passes on a real pack and catches corruption
     (the ComputationChecker analogue for the tiered layout)."""
