@@ -23,11 +23,13 @@ States are partitioned by out-degree into three tiers at pack time:
       arcs live in ONE row of a packed [S, 16] int32 table — a frame
       expands the whole frontier with a single [K, 16] row gather.
   tier B (2 < deg <= hub_threshold, LM history states): flat CSR with
-      row-packed arcs [AB, 8]; a load-balanced budgeted segmented gather
-      (cumsum + scatter-max + cummax) assigns candidate slots, so cost
-      is O(budget) regardless of fan-out skew. Budget overflow drops the
-      WORST tokens' arcs first (the frontier is kept score-sorted) and
-      is counted, never silent.
+      arc TRIPLES row-packed as [ABR, 16] (3 arcs x 5 cols per row —
+      a random row fetch costs the same for any width <= 16 lanes, so
+      three arcs ride each fetch); a load-balanced budgeted segmented
+      gather (cumsum + scatter-max + cummax) assigns ROW slots, so cost
+      is O(budget/3) row fetches regardless of fan-out skew. Budget
+      overflow drops the WORST tokens' arcs first (the frontier is kept
+      score-sorted) and is counted exactly in arcs, never silent.
   tier C "hubs" (deg > hub_threshold, e.g. the unigram/backoff state
       fanning out to the whole vocabulary): arcs stay DENSE per hub,
       pdf-grouped at pack time; acoustic costs come from a static
@@ -86,12 +88,13 @@ class TierTables:
 
     srow: jnp.ndarray      # [S, 16] int32 packed per-state emitting row:
     #   cols 0-4: arc0 (cost bits, nxt, pdf, tid, ol), 5-9: arc1,
-    #   col 10: tier-B arc offset, col 11: tier-B deg
+    #   col 10: tier-B arc-triple ROW offset, col 11: tier-B deg (arcs)
     zrow: jnp.ndarray      # [S, 8] int32 packed per-state eps row:
     #   cols 0-2: arc0 (cost bits, nxt, ol), 3-5: arc1,
     #   col 6: tier-B eps offset, col 7: tier-B eps deg
-    brow: jnp.ndarray      # [AB, 8] int32 tier-B emitting arc rows
-    #   (cost bits, nxt, pdf, tid, ol, 0, 0, 0)
+    brow: jnp.ndarray      # [ABR, 16] int32 tier-B arc TRIPLES: ceil(deg/3)
+    #   rows per state, 3 arcs x (cost bits, nxt, pdf, tid, ol) at cols
+    #   0/5/10; padding arcs carry cost=BIG
     zbrow: jnp.ndarray     # [AZB, 8] int32 tier-B eps arc rows
     #   (cost bits, nxt, ol, 0, ...)
     final: jnp.ndarray     # [S] f32
@@ -138,24 +141,43 @@ def build_tier_tables(csr: SplitCsr, hub_threshold: int) -> TierTables:
         srow[has, base + 2] = csr.e_pdf[a]
         srow[has, base + 3] = csr.e_tid[a]
         srow[has, base + 4] = csr.e_ol[a]
-    # tier B packed arcs (arcs of tier-B states only, original order)
+    # tier B packed arc TRIPLES: ceil(deg/3) rows of 16 int32 per state,
+    # 3 arcs x 5 cols (cols 0-4 / 5-9 / 10-14), padding arcs dead
+    # (cost = BIG). The chip fetches a random row of <=16 int32 lanes
+    # for one flat cost (~13-25 ns/row), so three arcs ride each fetch
+    # — the budgeted expansion visits 3x fewer rows per frame for the
+    # same arc coverage (tier-B row gathers are the decode scan's
+    # measured critical path).
     b_deg = np.where(tier_b, e_deg, 0)
+    b_rows = -(-b_deg // 3)
+    r_start = np.zeros(S + 1, np.int64)
+    np.cumsum(b_rows, out=r_start[1:])
     b_start = np.zeros(S + 1, np.int64)
     np.cumsum(b_deg, out=b_start[1:])
     AB = int(b_start[-1])
-    if AB:
+    ABR = int(r_start[-1])
+    if ABR:
+        brow = np.zeros((ABR, 16), np.int32)
+        brow[:, 0] = BIG_BITS
+        brow[:, 5] = BIG_BITS
+        brow[:, 10] = BIG_BITS
         bs = np.flatnonzero(tier_b)
         reps = e_deg[bs]
         offs = np.repeat(csr.estart[:-1][bs].astype(np.int64), reps)
         within = np.arange(AB) - np.repeat(b_start[bs], reps)
         src_idx = offs + within
-        brow = _pack_rows([cost_bits[src_idx], csr.e_nxt[src_idx],
-                           csr.e_pdf[src_idx], csr.e_tid[src_idx],
-                           csr.e_ol[src_idx]], 8)
+        rowi = np.repeat(r_start[bs], reps) + within // 3
+        colb = 5 * (within % 3)
+        for c, vals in enumerate((cost_bits[src_idx], csr.e_nxt[src_idx],
+                                  csr.e_pdf[src_idx], csr.e_tid[src_idx],
+                                  csr.e_ol[src_idx])):
+            brow[rowi, colb + c] = vals
     else:
-        brow = np.zeros((1, 8), np.int32)
+        brow = np.zeros((1, 16), np.int32)
         brow[0, 0] = BIG_BITS
-    srow[:, 10] = b_start[:-1]
+        brow[0, 5] = BIG_BITS
+        brow[0, 10] = BIG_BITS
+    srow[:, 10] = r_start[:-1]
     srow[:, 11] = b_deg
 
     # --- zrow: eps arcs (tier A inline; tier B CSR for deg > 2)
@@ -334,6 +356,7 @@ def _csr_decode(
     AH = hub_rows.shape[0]
     have_b = brow.shape[0] > 1
     have_zb = zbrow.shape[0] > 1
+    CBR = -(-CB // 3)   # tier-B budget in arc-TRIPLE rows
     iarange = jnp.arange(K, dtype=jnp.int32)[None, :]
     self_prev = jnp.broadcast_to(iarange, (B, K))
     zeros_bk = jnp.zeros((B, K), jnp.int32)
@@ -356,19 +379,27 @@ def _csr_decode(
             .reshape(pdf.shape)
 
     def tier_b_emit(tok_score, row):
-        """Returns the gathered arc rows + per-slot token info; the
-        acoustic lookup happens in the caller's fused batch."""
-        off_all = row[..., 10]
+        """Row-budgeted expansion over the arc-triple table: CBR =
+        ceil(expand_budget/3) row slots, each yielding 3 candidates
+        from ONE row fetch. Returns the gathered triple rows + per-slot
+        base scores/token slots; the acoustic lookup happens in the
+        caller's fused batch. Overflow is counted exactly in ARCS."""
+        off_all = row[..., 10]                    # brow ROW offsets
         deg = jnp.where(tok_score < BIG * 0.5, row[..., 11], 0)
-        coff = jnp.cumsum(deg, axis=1) - deg
-        tj, aj, valid, ovf = _segment_map(coff, deg, CB, K, B,
-                                          base=off_all)
-        base_sc = jnp.take_along_axis(tok_score, tj, axis=1)
-        aj = jnp.where(valid, aj, 0)
-        arc = brow[aj]                      # [B, CB, 8] one row gather
-        cost = _bits_to_f32(arc[..., 0])
-        partial = jnp.where(valid, base_sc + cost, BIG)
-        return (arc, partial, tj), ovf
+        rows_n = (deg + 2) // 3
+        roff = jnp.cumsum(rows_n, axis=1) - rows_n
+        tj, rj, valid, _ovr = _segment_map(roff, rows_n, CBR, K, B,
+                                           base=off_all)
+        # frontier scores are a small [B, K] table: the VMEM Pallas
+        # gather replaces a per-slot random HBM access
+        base_sc = take_ll(tok_score, tj)
+        base_sc = jnp.where(valid, base_sc, BIG)
+        rj = jnp.where(valid, rj, 0)
+        arc3 = brow[rj]                     # [B, CBR, 16] one row gather
+        # exact dropped-arc count (rows tile token-contiguously)
+        kept_rows = jnp.clip(CBR - roff, 0, rows_n)
+        ovf = jnp.sum(deg - jnp.minimum(deg, 3 * kept_rows), axis=1)
+        return (arc3, base_sc, tj), ovf
 
     def hub_emit(tok_state, tok_score, ll_t):
         """Dense per-hub expansion; returns K best hub candidates per b."""
@@ -425,23 +456,28 @@ def _csr_decode(
         row = srow[tok_state]                             # [B, K, 16]
         pdfs = [row[..., 2], row[..., 7]]                 # tier-A arc pdfs
         if have_b:
-            (arc_b, partial_b, tj_b), ovf = tier_b_emit(tok_score, row)
-            pdfs.append(arc_b[..., 2])
+            (arc3, base_b, tj_b), ovf = tier_b_emit(tok_score, row)
+            pdfs.extend([arc3[..., 2], arc3[..., 7], arc3[..., 12]])
         else:
             ovf = jnp.zeros(B, jnp.int32)
         # ONE fused acoustic lookup for every tier-A/B candidate
         am_cat = -take_ll(ll_t, jnp.concatenate(pdfs, axis=1))
         cands = []
+        off = 0
         for j in (0, 1):
             cost, nxt, pdf, tid, ol = unpack_arc(row, 5 * j)
-            am = am_cat[:, j * K:(j + 1) * K]
+            am = am_cat[:, off:off + K]
+            off += K
             sc = jnp.where(cost < BIG * 0.5, tok_score + cost + am, BIG)
             cands.append((nxt, sc, self_prev | (ol << kbits), tid))
         if have_b:
-            am_b = am_cat[:, 2 * K:]
-            sc_b = jnp.where(partial_b < BIG * 0.5, partial_b + am_b, BIG)
-            cands.append((arc_b[..., 1], sc_b,
-                          tj_b | (arc_b[..., 4] << kbits), arc_b[..., 3]))
+            for k in (0, 1, 2):
+                cost, nxt, pdf, tid, ol = unpack_arc(arc3, 5 * k)
+                am_b = am_cat[:, off:off + CBR]
+                off += CBR
+                sc_b = jnp.where(cost < BIG * 0.5, base_b + cost + am_b,
+                                 BIG)
+                cands.append((nxt, sc_b, tj_b | (ol << kbits), tid))
         if H:
             cands.append(hub_emit(tok_state, tok_score, ll_t))
         cst, csc, crec, cil = merge(cands)

@@ -128,11 +128,14 @@ def check_tier_tables(graph, tabs, hub_threshold: int) -> None:
     if (srow[tier_b, 11] != e_deg[tier_b]).any():
         errs.append("tier-B degree mismatch")
     if tier_b.any():
-        ends = srow[tier_b, 10].astype(np.int64) + e_deg[tier_b]
+        # triple layout: ceil(deg/3) rows per state, arc i at row
+        # (row_off + i//3), col 5*(i%3); padding arcs carry cost=BIG
+        b_rows = -(-e_deg[tier_b] // 3)
+        ends = srow[tier_b, 10].astype(np.int64) + b_rows
         if ends.max(initial=0) > brow.shape[0]:
             errs.append("tier-B offsets overrun brow")
         else:
-            # full content mirror of the tier-B arc rows
+            # full content mirror of the tier-B arc triples
             bs = np.flatnonzero(tier_b)
             reps = e_deg[bs]
             AB = int(reps.sum())
@@ -141,14 +144,27 @@ def check_tier_tables(graph, tabs, hub_threshold: int) -> None:
             within = np.arange(AB) - np.repeat(
                 np.cumsum(reps) - reps, reps)
             src_idx = offs + within
-            rows_idx = starts + within
+            rows_idx = starts + within // 3
+            colb = 5 * (within % 3)
             for (col, ref, what) in ((0, cost_bits, "cost"),
                                      (1, csr.e_nxt, "nextstate"),
                                      (2, csr.e_pdf, "pdf"),
                                      (3, csr.e_tid, "tid"),
                                      (4, csr.e_ol, "olabel")):
-                if not (brow[rows_idx, col] == ref[src_idx]).all():
+                if not (brow[rows_idx, colb + col] == ref[src_idx]).all():
                     errs.append(f"tier-B rows: {what} mismatch")
+            # padding arcs of partially-filled last rows must be dead
+            n_pad = int((3 * b_rows - e_deg[tier_b]).sum())
+            if n_pad:
+                pad_rows = []
+                pad_cols = []
+                for s, d in zip(bs, e_deg[bs]):
+                    r0 = int(srow[s, 10])
+                    for i in range(int(d), int(-(-d // 3) * 3)):
+                        pad_rows.append(r0 + i // 3)
+                        pad_cols.append(5 * (i % 3))
+                if (brow[pad_rows, pad_cols] != BIG_BITS).any():
+                    errs.append("tier-B rows: padding arc not dead")
     if is_hub.any():
         hb = tabs.hub_bounds
         if list(hb) != sorted(hb):

@@ -81,20 +81,28 @@ def _make_fs_decode(dec: CsrBeamDecoder, mesh: Mesh, axis: str,
                           (lo + jnp.arange(Kl, dtype=jnp.int32))
                           | (row[:, base + 4] << kbits),
                           row[:, base + 3]))
-        # tier B (budgeted) on the local slice
+        # tier B (row-budgeted arc triples) on the local slice
         deg = jnp.where(sc < BIG * 0.5, row[:, 11], 0)
-        coff = jnp.cumsum(deg) - deg
-        tj, aj, valid, ovf_b = _segment_map(
-            coff[None, :], deg[None, :], CB, Kl, 1,
+        rows_n = (deg + 2) // 3
+        roff = jnp.cumsum(rows_n) - rows_n
+        CBR = -(-CB // 3)
+        tj, rj, valid, _ovr = _segment_map(
+            roff[None, :], rows_n[None, :], CBR, Kl, 1,
             base=row[None, :, 10])
-        tj, aj, valid = tj[0], aj[0], valid[0]
-        aj = jnp.where(valid, aj, 0)
-        arc = t.brow[aj]
-        cost = _bits_to_f32(arc[:, 0])
-        am = -ll_t[arc[:, 2]]
-        csc = jnp.where(valid, sc[tj] + cost + am, BIG)
-        cands.append((arc[:, 1], csc, (lo + tj) | (arc[:, 4] << kbits),
-                      arc[:, 3]))
+        tj, rj, valid = tj[0], rj[0], valid[0]
+        rj = jnp.where(valid, rj, 0)
+        arc3 = t.brow[rj]                     # [CBR, 16]
+        base_b = jnp.where(valid, sc[tj], BIG)
+        for k in (0, 1, 2):
+            cost = _bits_to_f32(arc3[:, 5 * k])
+            am = -ll_t[arc3[:, 5 * k + 2]]
+            csc = jnp.where(cost < BIG * 0.5, base_b + cost + am, BIG)
+            cands.append((arc3[:, 5 * k + 1], csc,
+                          (lo + tj) | (arc3[:, 5 * k + 4] << kbits),
+                          arc3[:, 5 * k + 3]))
+        kept_rows = jnp.clip(CBR - roff, 0, rows_n)
+        ovf_b = jnp.sum(deg - jnp.minimum(deg, 3 * kept_rows),
+                        keepdims=True)
         # hubs: scoring is replicated over the FULL frontier (cheap dense
         # work); each device emits its rank slice [d*Kl, (d+1)*Kl) of the
         # global hub top-K, so the all_gathered union equals the
