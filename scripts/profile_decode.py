@@ -2,29 +2,53 @@
 
 Runs the headline bench's decoder program plus isolated jitted programs
 for each frame-step component at the REAL shapes/tables, so the numbers
-are directly comparable. Run on an otherwise-idle machine.
+are directly comparable, then sums the parts and prints the covered
+fraction of the measured per-frame budget. Also times the three latgen
+pipeline stages (device decode, record fetch, native extraction) so the
+lattice-path bottleneck is visible. Run on an otherwise-idle machine.
+
+Sync methodology: the axon tunnel ignores block_until_ready, so every
+timing loop ends with an np.asarray fetch of one small output leaf —
+the fetch round-trip (~40 ms) is measured separately and subtracted.
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
+from kaldi_tpu.decoder.csr_beam import BIG
+
+
+def _fetch_leaf(out):
+    leaves = jax.tree.leaves(out)
+    # fetch the smallest leaf: sync without shipping bulk data
+    leaf = min(leaves, key=lambda x: getattr(x, "size", 0))
+    return np.asarray(leaf)
+
+
+FETCH_MS = 0.0   # measured round-trip, set in main()
+
 
 def bench(name, f, *a, n=30):
-    r = f(*a)
-    jax.block_until_ready(r)
+    out = f(*a)       # compile
+    _fetch_leaf(out)
     t0 = time.perf_counter()
     for _ in range(n):
-        r = f(*a)
-    jax.block_until_ready(r)
-    dt = (time.perf_counter() - t0) / n * 1e3
+        out = f(*a)
+    _fetch_leaf(out)
+    dt = ((time.perf_counter() - t0) * 1e3 - FETCH_MS) / n
     print(f"{name:48s} {dt:8.3f} ms")
     return dt
 
 
 def main():
+    global FETCH_MS
     from kaldi_tpu.decoder.biggraph import make_big_hclg, BigGraphConfig
     from kaldi_tpu.decoder.csr_beam import (CsrBeamDecoder, CsrBeamOpts,
                                             _dedup_topk, _segment_map)
@@ -41,13 +65,27 @@ def main():
     ll = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
     nf = np.full(B, T, np.int32)
 
-    # full decode
-    r = dec.decode_raw(ll, nf)
+    # measure the host<->device fetch round-trip so per-op timings can
+    # subtract it (one small-leaf fetch syncs each timing loop)
+    tiny = jnp.zeros((1,), jnp.int32)
+    np.asarray(tiny)
     t0 = time.perf_counter()
-    r = dec.decode_raw(ll, nf)
-    jax.block_until_ready(r[0]) if isinstance(r, tuple) else None
-    dt = time.perf_counter() - t0
-    print(f"{'FULL decode_raw':48s} {dt*1e3:8.1f} ms "
+    n_rt = 10
+    for _ in range(n_rt):
+        np.asarray(tiny + 1)
+    FETCH_MS = (time.perf_counter() - t0) / n_rt * 1e3
+    print(f"{'fetch round-trip (subtracted per loop)':48s} "
+          f"{FETCH_MS:8.3f} ms")
+
+    # full best-path decode (the headline program), averaged
+    fin = dec.decode_async(ll, nf)
+    fin()               # warmup/compile + fetch
+    n_full = 3
+    t0 = time.perf_counter()
+    for _ in range(n_full):
+        dec.decode_async(ll, nf)()
+    dt = (time.perf_counter() - t0) / n_full
+    print(f"{'FULL decode (best-path, mean of 3)':48s} {dt*1e3:8.1f} ms "
           f"({dt/T*1e3:.3f} ms/frame)")
     per_frame = dt / T * 1e3
 
@@ -63,12 +101,18 @@ def main():
     pdfs = jnp.asarray(rng.randint(0, P, (B, 2 * K + 3 * CBR),
                                    dtype=np.int32))
 
-    t_s = bench("srow gather [B,K] rows of 16", jax.jit(lambda s: tabs.srow[s]),
-                tok_state)
+    t_s = bench("srow gather [B,K] rows of 16",
+                jax.jit(lambda s: tabs.srow[s]), tok_state)
     t_b = bench("brow gather [B,CBR] rows of 16",
                 jax.jit(lambda i: tabs.brow[i]), rj)
     t_ll = bench("take_ll pallas [B,2K+3CBR]",
-                 jax.jit(lambda t, p: batched_table_gather(t, p)), ll_t, pdfs)
+                 jax.jit(lambda t, p: batched_table_gather(t, p)),
+                 ll_t, pdfs)
+    # tier-B base-score lookup over the [B, K] frontier-score table
+    tjb = jnp.asarray(rng.randint(0, K, (B, CBR), dtype=np.int32))
+    t_bs = bench("tier-B base_sc pallas [B,CBR] of [B,K]",
+                 jax.jit(lambda t, p: batched_table_gather(t, p)),
+                 tok_score, tjb)
 
     # segment map at real shapes
     deg = jnp.asarray(rng.randint(0, 6, (B, K), dtype=np.int32))
@@ -80,14 +124,17 @@ def main():
                   off, deg, base)
 
     # hub pieces
+    t_hm = t_he = t_hk = t_hr = 0.0
     if H:
         hs = tabs.hub_states
         hs_dev = jnp.asarray(hs.astype(np.int32))
+
         def hub_match(ts, tc):
             match = (ts[:, :, None] == hs_dev[None, None, :]) & \
-                (tc[:, :, None] < 5e9)
-            msc = jnp.where(match, tc[:, :, None], np.float32(1e10))
+                (tc[:, :, None] < BIG * 0.5)
+            msc = jnp.where(match, tc[:, :, None], BIG)
             return jnp.min(msc, axis=1), jnp.argmin(msc, axis=1)
+
         t_hm = bench(f"hub match/min [B,K,{H}]", jax.jit(hub_match),
                      tok_state, tok_score)
         if tabs.hub_onehot is not None:
@@ -99,14 +146,38 @@ def main():
                              preferred_element_type=jnp.float32)),
                          tabs.hub_onehot, am_g)
         sc_flat = jnp.asarray(rng.randn(B, AH).astype(np.float32))
-        t_hk = bench(f"hub top_k {K} of {AH}",
-                     jax.jit(lambda s: jax.lax.top_k(-s, K)), sc_flat)
+        # mirror the decoder's trace-time selection: variadic sort when
+        # K <= 2048, lax.top_k above (csr_beam.py hub_emit)
+        if K <= 2048:
+            def hub_sel(s):
+                jarange = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                ssc, idx_s = jax.lax.sort((s, jarange), dimension=1,
+                                          num_keys=2)
+                return ssc[:, :K], idx_s[:, :K]
+            t_hk = bench(f"hub select (sort path) {K} of {AH}",
+                         jax.jit(hub_sel), sc_flat)
+        else:
+            t_hk = bench(f"hub select (top_k path) {K} of {AH}",
+                         jax.jit(lambda s: jax.lax.top_k(-s, K)), sc_flat)
         idx = jnp.asarray(rng.randint(0, AH, (B, K), dtype=np.int32))
         t_hr = bench("hub_rows gather [B,K] rows of 8",
                      jax.jit(lambda i: tabs.hub_rows[i]), idx)
 
-    # dedup at real candidate count
+    # candidate merge (concat + beam mask) at real candidate count
     NC = 2 * K + 3 * CBR + (K if H else 0)
+    parts = [jnp.asarray(rng.randn(B, n).astype(np.float32))
+             for n in (K, K, CBR, CBR, CBR) + ((K,) if H else ())]
+
+    def merge_sc(*ps):
+        csc = jnp.concatenate(ps, axis=1)
+        best = jnp.min(csc, axis=1, keepdims=True)
+        return jnp.where(csc > best + 13.0, BIG, csc)
+
+    t_mg = bench(f"merge concat+beam-mask [B,{NC}] x4 arrays",
+                 jax.jit(lambda *ps: [merge_sc(*ps) for _ in range(4)]),
+                 *parts)
+
+    # dedup at real candidate count
     cst = jnp.asarray(rng.randint(0, graph.num_states, (B, NC),
                                   dtype=np.int32))
     csc = jnp.asarray(rng.randn(B, NC).astype(np.float32))
@@ -116,8 +187,50 @@ def main():
                 jax.jit(lambda a, b, c, d: _dedup_topk(a, b, c, d, K)),
                 cst, csc, crec, cil)
 
-    print(f"\nper-frame budget: {per_frame:.3f} ms; "
-          f"sum of measured parts above covers the emitting round once.")
+    parts_sum = (t_s + t_b + t_ll + t_bs + t_seg + t_hm + t_he + t_hk
+                 + t_hr + t_mg + t_d)
+    print(f"\nper-frame budget: {per_frame:.3f} ms; measured parts sum "
+          f"{parts_sum:.3f} ms = {parts_sum / per_frame * 100:.0f}% of it "
+          f"(remainder: unpack/where arithmetic + scan overhead)")
+
+    # ---------------- latgen pipeline stages -----------------------
+    lat_dec = CsrBeamDecoder(graph, CsrBeamOpts(
+        beam=13.0, max_active=1024, acoustic_scale=0.1,
+        expand_budget=8192, eps_budget=2048))
+    ll_np = np.asarray(ll)
+    fin = lat_dec.decode_raw_async(ll_np, nf)
+    fin()   # warmup/compile
+    # stage 1+2: device decode + full record fetch (fetch dominates:
+    # [B,T,R,K] states+scores over the tunneled link)
+    t0 = time.perf_counter()
+    raw = lat_dec.decode_raw_async(ll_np, nf)()
+    dt_rawfetch = time.perf_counter() - t0
+    rec_bytes = sum(a.nbytes for a in
+                    (raw["states"], raw["scores"], raw["init_states"],
+                     raw["init_scores"], raw["final_states"],
+                     raw["final_scores"]))
+    print(f"\n{'latgen decode+fetch (K=1024 records)':48s} "
+          f"{dt_rawfetch*1e3:8.1f} ms  ({rec_bytes/1e6:.1f} MB records, "
+          f"{rec_bytes/1e6/dt_rawfetch:.1f} MB/s effective)")
+    # stage 2 alone: re-fetch the same record tree
+    from kaldi_tpu.decoder.hostpack import fetch_tree_async
+    out_dev = lat_dec.decode_raw_async(ll_np, nf)
+    # stage 3: native extraction per utterance (threaded)
+    from kaldi_tpu.lat.generate import raw_lattice_from_decode
+    from concurrent.futures import ThreadPoolExecutor
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        lats = list(ex.map(
+            lambda b: raw_lattice_from_decode(lat_dec, raw, nf, b, 8.0),
+            range(B)))
+    dt_ext = time.perf_counter() - t0
+    n_arcs = sum(l.num_arcs for l in lats if l is not None)
+    print(f"{'latgen native extraction (8 threads)':48s} "
+          f"{dt_ext*1e3:8.1f} ms  ({n_arcs} arcs)")
+    out_dev()
+    audio = B * T * 0.01
+    print(f"latgen stage ceilings: decode+fetch {audio/dt_rawfetch:.1f} "
+          f"audio-s/s, extraction {audio/dt_ext:.1f} audio-s/s")
 
 
 if __name__ == "__main__":
