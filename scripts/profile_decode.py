@@ -68,7 +68,7 @@ def main():
     # measure the host<->device fetch round-trip so per-op timings can
     # subtract it (one small-leaf fetch syncs each timing loop)
     tiny = jnp.zeros((1,), jnp.int32)
-    np.asarray(tiny)
+    np.asarray(tiny + 1)   # warm the eager add AND the transfer path
     t0 = time.perf_counter()
     n_rt = 10
     for _ in range(n_rt):
@@ -84,7 +84,11 @@ def main():
     t0 = time.perf_counter()
     for _ in range(n_full):
         dec.decode_async(ll, nf)()
-    dt = (time.perf_counter() - t0) / n_full
+    # finish() fetches once per iteration: subtract it like every
+    # component bench does, so the parts-sum coverage compares
+    # fetch-exclusive parts against a fetch-exclusive budget
+    dt = ((time.perf_counter() - t0) * 1e3 - n_full * FETCH_MS) \
+        / n_full / 1e3
     print(f"{'FULL decode (best-path, mean of 3)':48s} {dt*1e3:8.1f} ms "
           f"({dt/T*1e3:.3f} ms/frame)")
     per_frame = dt / T * 1e3
@@ -163,19 +167,27 @@ def main():
         t_hr = bench("hub_rows gather [B,K] rows of 8",
                      jax.jit(lambda i: tabs.hub_rows[i]), idx)
 
-    # candidate merge (concat + beam mask) at real candidate count
+    # candidate merge at the real shape (csr_beam merge()): ONE f32
+    # concat + min + beam-mask over scores plus THREE plain int32
+    # concats riding along. Each array is distinct so XLA cannot CSE
+    # the four concats into one.
     NC = 2 * K + 3 * CBR + (K if H else 0)
-    parts = [jnp.asarray(rng.randn(B, n).astype(np.float32))
-             for n in (K, K, CBR, CBR, CBR) + ((K,) if H else ())]
+    widths = (K, K, CBR, CBR, CBR) + ((K,) if H else ())
+    sc_parts = [jnp.asarray(rng.randn(B, n).astype(np.float32))
+                for n in widths]
+    int_parts = [[jnp.asarray(rng.randint(0, 1 << 20, (B, n),
+                                          dtype=np.int32))
+                  for n in widths] for _ in range(3)]
 
-    def merge_sc(*ps):
-        csc = jnp.concatenate(ps, axis=1)
+    def merge_like(args):
+        sps = args[0]
+        csc = jnp.concatenate(sps, axis=1)
         best = jnp.min(csc, axis=1, keepdims=True)
-        return jnp.where(csc > best + 13.0, BIG, csc)
+        csc = jnp.where(csc > best + 13.0, BIG, csc)
+        return [csc] + [jnp.concatenate(ip, axis=1) for ip in args[1:]]
 
-    t_mg = bench(f"merge concat+beam-mask [B,{NC}] x4 arrays",
-                 jax.jit(lambda *ps: [merge_sc(*ps) for _ in range(4)]),
-                 *parts)
+    t_mg = bench(f"merge concat+beam-mask [B,{NC}] (1 f32 + 3 int32)",
+                 jax.jit(merge_like), [sc_parts] + int_parts)
 
     # dedup at real candidate count
     cst = jnp.asarray(rng.randint(0, graph.num_states, (B, NC),
@@ -212,10 +224,10 @@ def main():
     print(f"\n{'latgen decode+fetch (K=1024 records)':48s} "
           f"{dt_rawfetch*1e3:8.1f} ms  ({rec_bytes/1e6:.1f} MB records, "
           f"{rec_bytes/1e6/dt_rawfetch:.1f} MB/s effective)")
-    # stage 2 alone: re-fetch the same record tree
-    from kaldi_tpu.decoder.hostpack import fetch_tree_async
-    out_dev = lat_dec.decode_raw_async(ll_np, nf)
-    # stage 3: native extraction per utterance (threaded)
+    # stage 1 alone ~= the FULL best-path decode time above (same scan,
+    # record writes added); stage 2 = the decode+fetch line minus it.
+    # stage 3: native extraction per utterance (threaded); nothing else
+    # is in flight during this window.
     from kaldi_tpu.lat.generate import raw_lattice_from_decode
     from concurrent.futures import ThreadPoolExecutor
     t0 = time.perf_counter()
@@ -227,7 +239,6 @@ def main():
     n_arcs = sum(l.num_arcs for l in lats if l is not None)
     print(f"{'latgen native extraction (8 threads)':48s} "
           f"{dt_ext*1e3:8.1f} ms  ({n_arcs} arcs)")
-    out_dev()
     audio = B * T * 0.01
     print(f"latgen stage ceilings: decode+fetch {audio/dt_rawfetch:.1f} "
           f"audio-s/s, extraction {audio/dt_ext:.1f} audio-s/s")
