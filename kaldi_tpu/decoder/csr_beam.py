@@ -80,6 +80,23 @@ class CsrBeamOpts:
     fold_eps: bool = True       # eps-remove the graph at pack time when
                                 # exactly representable (fold_epsilons),
                                 # eliminating all per-frame eps rounds
+    # --- lattice-record compaction (decode_raw path only) ---
+    # The device prunes each recorded frontier snapshot against the
+    # frame-best token BEFORE it ships device->host: slots with
+    # score > frame_best + rec_beam are dead, and only the first
+    # rec_cap slots cross the link (the frontier is score-sorted, so
+    # compaction is a mask + slice). This is the on-device analogue of
+    # PruneActiveTokens/PruneForwardLinks (ref:
+    # decoder/lattice-faster-decoder.cc:476): tokens further than the
+    # lattice sharpness from the frame best cannot contribute links the
+    # final lattice-beam pruning would keep, so they never pay fetch
+    # bandwidth. Truncation (alive slots beyond rec_cap) is counted
+    # exactly in last_rec_trunc, never silent.
+    rec_cap: int | None = None   # record slots shipped per round
+                                 # (None = max_active: no truncation)
+    rec_beam: float | None = None  # record prune beam vs frame best
+                                   # (None = beam: exactly the search's
+                                   # own liveness, no extra pruning)
 
 
 @dataclasses.dataclass
@@ -340,7 +357,7 @@ def _dedup_topk(c_state, c_score, c_rec, c_il, K: int):
 @functools.partial(
     jax.jit,
     static_argnames=("start", "K", "CB", "CZ", "n_eps", "beam",
-                     "hub_bounds", "record_full"))
+                     "hub_bounds", "record_full", "Kc", "rec_beam"))
 def _csr_decode(
     ll,            # [B, T, P] scaled loglikes
     frame_mask,    # [B, T] bool
@@ -349,6 +366,7 @@ def _csr_decode(
     hub_rows, hub_cost, hub_onehot, hub_gpdf, hub_pdf,
     start: int, K: int, CB: int, CZ: int, n_eps: int, beam: float,
     hub_bounds: tuple, record_full: bool,
+    Kc: int = 0, rec_beam: float = 0.0,   # record compaction (see opts)
 ):
     B, T, P = ll.shape
     kbits = max((K - 1).bit_length(), 1)
@@ -510,6 +528,17 @@ def _csr_decode(
         st, sc, rec, il = _dedup_topk(cst, csc, crec, cil, K)
         return st, sc, rec, il, ovf
 
+    def compact_rec(s_eff, c_eff):
+        """Mask + slice one recorded frontier snapshot: the frontier is
+        score-sorted (dead = BIG last), so the PruneActiveTokens
+        analogue costs no sort — kill slots beyond frame_best +
+        rec_beam, ship only the first Kc slots, count truncated-alive
+        slots exactly."""
+        keep = c_eff <= c_eff[:, :1] + rec_beam
+        n_alive = jnp.sum(keep, axis=1, dtype=jnp.int32)
+        return (s_eff[:, :Kc], jnp.where(keep, c_eff, BIG)[:, :Kc],
+                jnp.maximum(n_alive - Kc, 0))
+
     def frame_step(carry, inputs):
         tok_state, tok_score = carry
         ll_t, mask_t = inputs                  # [B, P], [B]
@@ -528,20 +557,33 @@ def _csr_decode(
         # frontier saturation: the worst slot alive means max_active
         # bound the search this frame (frontier is score-sorted)
         sat = mask_t & (sc[:, -1] < BIG * 0.5)
+        # occupancy: alive tokens after this frame's rounds (0 when the
+        # utterance already ended)
+        n_act = jnp.where(mask_t,
+                          jnp.sum(sc < BIG * 0.5, axis=1,
+                                  dtype=jnp.int32), 0)
         if record_full:
             # lattice extraction re-derives links from the frontier
             # snapshots, so backpointer records are neither produced nor
             # shipped (the tunneled device->host link runs ~25 MB/s;
-            # 65 MB of unused recs would dominate latgen wall time)
-            fst = jnp.stack([jnp.where(m, s, tok_state)
-                             for (s, _c) in full])
-            fsc = jnp.stack([jnp.where(m, c, tok_score)
-                             for (_s, c) in full])
-            ys = (jnp.where(mask_t, ovf, 0), sat, fst, fsc)
+            # 65 MB of unused recs would dominate latgen wall time).
+            # Each snapshot is compacted on device (compact_rec) before
+            # it enters the scan outputs — HBM and fetch cost scale
+            # with Kc, not K.
+            trunc = jnp.zeros(B, jnp.int32)
+            cs_l, cc_l = [], []
+            for (s, c) in full:
+                s_c, c_c, tr = compact_rec(jnp.where(m, s, tok_state),
+                                           jnp.where(m, c, tok_score))
+                cs_l.append(s_c)
+                cc_l.append(c_c)
+                trunc = trunc + jnp.where(mask_t, tr, 0)
+            ys = (jnp.where(mask_t, ovf, 0), sat, jnp.stack(cs_l),
+                  jnp.stack(cc_l), trunc, n_act)
         else:
             recs = jnp.stack([jnp.where(m, r, self_prev) for r in recs])
             il_emit = jnp.where(m, il_emit, 0)
-            ys = (recs, il_emit, jnp.where(mask_t, ovf, 0), sat)
+            ys = (recs, il_emit, jnp.where(mask_t, ovf, 0), sat, n_act)
         return (out_state, out_score), ys
 
     tok_state = jnp.zeros((B, K), jnp.int32).at[:, 0].set(start)
@@ -559,11 +601,14 @@ def _csr_decode(
         frame_step, (st, sc),
         (jnp.moveaxis(ll, 1, 0), jnp.moveaxis(frame_mask, 1, 0)))
     if record_full:
-        ovf, sat = ys[0], ys[1]
+        ovf, sat, n_act = ys[0], ys[1], ys[5]
     else:
-        recs, il_emit, ovf, sat = ys            # [T,R,B,K],[T,B,K],[T,B]
+        recs, il_emit, ovf, sat, n_act = ys     # [T,R,B,K],[T,B,K],[T,B]
         recs = jnp.moveaxis(recs, 2, 0)         # [B, T, R, K]
         il_emit = jnp.moveaxis(il_emit, 1, 0)   # [B, T, K]
+    act_sum = jnp.sum(n_act, axis=0)                     # [B] (int32:
+    #   T * K stays well under 2^31 at any supported shape)
+    act_max = jnp.max(n_act, axis=0)                     # [B]
     total = fsc + final[fs]
     best_final_slot = jnp.argmin(total, axis=1)
     best_final_cost = jnp.take_along_axis(
@@ -576,16 +621,23 @@ def _csr_decode(
                           best_any_slot).astype(jnp.int32)
     best_cost = jnp.where(reached_final, best_final_cost, best_any_cost)
     if record_full:
-        ist = (jnp.stack([s for (s, _c) in init_full], axis=1)
-               if init_full else jnp.zeros((B, 0, K), jnp.int32))
-        isc = (jnp.stack([c for (_s, c) in init_full], axis=1)
-               if init_full else jnp.zeros((B, 0, K), jnp.float32))
-        fst = jnp.moveaxis(ys[2], 2, 0)         # [B, T, R, K]
+        if init_full:
+            ic = [compact_rec(s, c) for (s, c) in init_full]
+            ist = jnp.stack([s for (s, _c, _t) in ic], axis=1)
+            isc = jnp.stack([c for (_s, c, _t) in ic], axis=1)
+            init_trunc = sum(t for (_s, _c, t) in ic)
+        else:
+            ist = jnp.zeros((B, 0, Kc), jnp.int32)
+            isc = jnp.zeros((B, 0, Kc), jnp.float32)
+            init_trunc = jnp.zeros(B, jnp.int32)
+        fst = jnp.moveaxis(ys[2], 2, 0)         # [B, T, R, Kc]
         fsc_r = jnp.moveaxis(ys[3], 2, 0)
+        rec_trunc = jnp.sum(ys[4], axis=0) + init_trunc   # [B]
         return (fs, fsc, best_slot, best_cost, jnp.sum(ovf, axis=0),
-                jnp.any(sat, axis=0), ist, isc, fst, fsc_r)
+                jnp.any(sat, axis=0), ist, isc, fst, fsc_r, rec_trunc,
+                act_sum, act_max)
     return (init_recs, recs, il_emit, fs, fsc, best_slot, best_cost,
-            jnp.sum(ovf, axis=0), jnp.any(sat, axis=0))
+            jnp.sum(ovf, axis=0), jnp.any(sat, axis=0), act_sum, act_max)
 
 
 @functools.partial(
@@ -599,9 +651,10 @@ def _csr_decode_traced(
     hub_bounds: tuple,
 ):
     """Decode + on-device traceback -> ([B,T,R] olabels, [B,T] tids,
-    [B,R0] init olabels, [B] cost, [B] overflow, [B] saturated)."""
+    [B,R0] init olabels, [B] cost, [B] overflow, [B] saturated,
+    [B] active-token sum, [B] active-token max)."""
     (init_recs, recs, il_emit, fs, fsc, best_slot, best_cost,
-     ovf, sat) = _csr_decode(
+     ovf, sat, act_sum, act_max) = _csr_decode(
         ll, frame_mask, srow, zrow, brow, zbrow, final,
         hub_state_arr, hub_rows, hub_cost, hub_onehot, hub_gpdf, hub_pdf,
         start, K, CB, CZ, n_eps, beam, hub_bounds, False)
@@ -637,7 +690,7 @@ def _csr_decode_traced(
 
     ols, ils, init_ols = jax.vmap(trace_one)(recs, il_emit, init_recs,
                                              best_slot)
-    return ols, ils, init_ols, best_cost, ovf, sat
+    return ols, ils, init_ols, best_cost, ovf, sat, act_sum, act_max
 
 
 class CsrBeamDecoder:
@@ -678,6 +731,11 @@ class CsrBeamDecoder:
             else np.full(1, -1, np.int32))
         self.last_overflow: np.ndarray | None = None   # [B] dropped arcs
         self.last_saturated: np.ndarray | None = None  # [B] cap ever hit
+        self.last_active_sum: np.ndarray | None = None  # [B] sum over
+        #   frames of alive tokens (mean occupancy = sum / num_frames)
+        self.last_active_max: np.ndarray | None = None  # [B] peak alive
+        self.last_rec_trunc: np.ndarray | None = None   # [B] alive slots
+        #   dropped by record compaction (decode_raw path only)
 
     def _args(self, ll, mask):
         t = self.tabs
@@ -701,14 +759,16 @@ class CsrBeamDecoder:
         nf = np.asarray(num_frames)
         mask = _device_mask(nf, T)
         ll = jnp.asarray(loglikes) * o.acoustic_scale
-        ols, ils, init_ols, cost, ovf, sat = _csr_decode_traced(
-            *self._args(ll, mask))
+        (ols, ils, init_ols, cost, ovf, sat, act_sum,
+         act_max) = _csr_decode_traced(*self._args(ll, mask))
         packed, shapes = pack4(ols, ils[..., None], init_ols, cost)
+        from kaldi_tpu.decoder.hostpack import fetch_tree_async
+        stats_fetch = fetch_tree_async((ovf, sat, act_sum, act_max))
 
         def finish():
             o_, i_, n_, c_ = unpack4(np.asarray(packed), shapes)
-            self.last_overflow = np.asarray(ovf)
-            self.last_saturated = np.asarray(sat)
+            (self.last_overflow, self.last_saturated,
+             self.last_active_sum, self.last_active_max) = stats_fetch()
             return _parse_label_seqs(o_, i_, n_, c_, nf)
 
         return finish
@@ -728,7 +788,10 @@ class CsrBeamDecoder:
         nf = np.asarray(num_frames)
         mask = _device_mask(nf, T)
         ll_scaled = np.asarray(loglikes) * o.acoustic_scale
-        out = _csr_decode(*self._args(jnp.asarray(ll_scaled), mask), True)
+        Kc = min(o.rec_cap or o.max_active, o.max_active)
+        rec_beam = o.rec_beam if o.rec_beam is not None else o.beam
+        out = _csr_decode(*self._args(jnp.asarray(ll_scaled), mask), True,
+                          Kc=Kc, rec_beam=float(rec_beam))
         # ONE device->host transfer for the whole record set (each
         # round trip costs ~40ms over the tunneled link; naive per-array
         # fetching pays it 13x)
@@ -737,14 +800,18 @@ class CsrBeamDecoder:
 
         def finish():
             (fs, fsc, best_slot, best_cost, ovf, sat, ist, isc, fst,
-             fsc_r) = fetch()
+             fsc_r, rec_trunc, act_sum, act_max) = fetch()
             self.last_overflow = ovf
             self.last_saturated = sat
+            self.last_rec_trunc = rec_trunc
+            self.last_active_sum = act_sum
+            self.last_active_max = act_max
             return dict(
-                init_states=ist, init_scores=isc,       # [B, R0, K]
-                states=fst, scores=fsc_r,               # [B, T, R, K]
+                init_states=ist, init_scores=isc,       # [B, R0, Kc]
+                states=fst, scores=fsc_r,               # [B, T, R, Kc]
                 final_states=fs, final_scores=fsc,      # [B, K]
                 best_slot=best_slot, best_cost=best_cost,
+                rec_trunc=rec_trunc,
                 ll_scaled=ll_scaled)
 
         return finish

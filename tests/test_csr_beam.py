@@ -467,3 +467,76 @@ def test_adaptive_decoder_matches_full(small_big_graph):
     for b in range(B):
         assert ra[b][0] == rf[b][0] and ra[b][1] == rf[b][1]
         assert abs(ra[b][2] - rf[b][2]) < 1e-3
+
+
+def test_record_compaction_preserves_lattices(small_big_graph):
+    """On-device record compaction (the PruneActiveTokens analogue, ref:
+    decoder/lattice-faster-decoder.cc:476): with rec_cap large enough
+    that nothing truncates, the compacted records must produce lattices
+    with IDENTICAL path sets to the uncompacted path, while shipping a
+    fraction of the bytes. A starved rec_cap must be counted in
+    last_rec_trunc, never silent."""
+    import dataclasses as dc
+    from kaldi_tpu.lat.generate import raw_lattice_from_decode
+    g = small_big_graph
+    rng = np.random.RandomState(11)
+    B, T, P = 2, 30, 64
+    ll = (rng.randn(B, T, P) * 3).astype(np.float32)
+    nf = np.array([30, 24], np.int32)
+    base_opts = CsrBeamOpts(beam=10.0, max_active=256, acoustic_scale=0.1,
+                            expand_budget=8192, eps_budget=2048)
+    dec = CsrBeamDecoder(g, base_opts)
+    raw_full = dec.decode_raw(ll, nf)
+    assert (dec.last_rec_trunc == 0).all()
+    occupancy_max = int(dec.last_active_max.max())
+    assert occupancy_max <= 256
+
+    # rec_cap at the measured peak occupancy: zero truncation, same lattices
+    dec_c = CsrBeamDecoder(g, dc.replace(base_opts, rec_cap=occupancy_max))
+    raw_c = dec_c.decode_raw(ll, nf)
+    assert (dec_c.last_rec_trunc == 0).all()
+    assert raw_c["states"].shape[-1] == occupancy_max
+    for use_native in (False, True):
+        for b in range(B):
+            lat_f = raw_lattice_from_decode(dec, raw_full, nf, b, 6.0,
+                                            use_native=use_native)
+            lat_c = raw_lattice_from_decode(dec_c, raw_c, nf, b, 6.0,
+                                            use_native=use_native)
+            assert (lat_f is None) == (lat_c is None)
+            if lat_f is None:
+                continue
+            pf = {(w, t): round(c, 3)
+                  for (w, t, c) in lat_f.paths(max_paths=200000)}
+            pc = {(w, t): round(c, 3)
+                  for (w, t, c) in lat_c.paths(max_paths=200000)}
+            assert pf == pc
+
+    # a starved cap truncates alive slots and reports the exact count
+    dec_t = CsrBeamDecoder(g, dc.replace(base_opts, rec_cap=8))
+    dec_t.decode_raw(ll, nf)
+    assert dec_t.last_rec_trunc.sum() > 0
+
+
+def test_record_compaction_rec_beam(small_big_graph):
+    """rec_beam >= lattice_beam keeps every link the final lattice-beam
+    pruning keeps: the best path survives and matches the decoder's."""
+    import dataclasses as dc
+    from kaldi_tpu.lat.generate import raw_lattice_from_decode
+    from kaldi_tpu.lat.functions import lattice_best_path
+    g = small_big_graph
+    rng = np.random.RandomState(12)
+    B, T, P = 2, 25, 64
+    ll = (rng.randn(B, T, P) * 3).astype(np.float32)
+    nf = np.full(B, T, np.int32)
+    opts = CsrBeamOpts(beam=12.0, max_active=256, acoustic_scale=0.1,
+                       expand_budget=8192, eps_budget=2048,
+                       rec_beam=6.0, rec_cap=128)
+    dec = CsrBeamDecoder(g, opts)
+    best = dec.decode(ll, nf)
+    raw = dec.decode_raw(ll, nf)
+    for b in range(B):
+        lat = raw_lattice_from_decode(dec, raw, nf, b, 6.0)
+        assert lat is not None
+        words, tids, cost = lattice_best_path(lat)
+        assert words == best[b][0]
+        assert abs(cost - best[b][2]) < 1e-2
