@@ -14,11 +14,16 @@ This module makes the workload honest:
      sequences follow the LM costs. Emitting arcs consume one frame and
      emit their pdf; eps arcs (LM backoff) are free moves.
   2. `synth_wave` turns the frame-level pdf sequence into audio: each
-     pdf is coded as a two-tone chord (f1 = pdf mod 64 over 200-3.7kHz,
-     f2 = pdf div 64 over 4-7.5kHz) rendered with continuous phase (no
+     pdf used by the graph gets a THREE-tone chord from a MEL-spaced
+     frequency grid (`ToneCoder`), rendered with continuous phase (no
      frame-boundary clicks) plus white noise at a controllable level.
-     A 40-bin fbank resolves the chords, so a briefly-trained TDNN
-     produces genuinely peaky per-frame posteriors over the pdf set.
+     Mel spacing matters: a 40-bin fbank has ~70 mel of resolution per
+     bin, so grid points are placed >=1 bin apart in mel space over the
+     set of pdfs the graph ACTUALLY uses (an HCLG with monophone-chain
+     HMMs touches ~num_phones*3 pdfs, not the full AM output space) —
+     linear-Hz spacing packs high frequencies into one mel bin and makes
+     the classes unlearnable. A briefly-trained TDNN then produces
+     genuinely peaky per-frame posteriors over the used pdf set.
   3. `fbank_targets` aligns the per-segment pdf ids to fbank frame
      centers (25ms window / 10ms shift / snip_edges) so the synthesized
      corpus is directly trainable with nnet.train.make_egs.
@@ -103,22 +108,57 @@ def sample_path(graph: PackedGraph, T: int, rng,
     return pdfs, tids, words
 
 
-def synth_wave(pdfs: np.ndarray, rng, samp_freq: float = 16000.0,
+def _mel(f):
+    return 1127.0 * np.log1p(np.asarray(f, np.float64) / 700.0)
+
+
+def _imel(m):
+    return 700.0 * np.expm1(np.asarray(m, np.float64) / 1127.0)
+
+
+class ToneCoder:
+    """pdf -> 3-tone chord, grid points mel-spaced so a 40-bin fbank
+    resolves every used pdf.
+
+    Bands (f1, f2, f3) get (ceil(n/24), 6, 4) grid values over
+    200-1500 / 1800-3900 / 4300-7500 Hz — mel spans of ~17 / ~8 / ~5
+    fbank bins, so up to ~400 distinct pdfs stay >=1 bin apart in at
+    least one band coordinate."""
+
+    def __init__(self, used_pdfs: np.ndarray, samp_freq: float = 16000.0):
+        used = np.unique(np.asarray(used_pdfs, np.int64))
+        used = used[used >= 0]
+        n = max(len(used), 1)
+        n3, n2 = 4, 6
+        n1 = -(-n // (n2 * n3))
+        if n1 > 24:
+            raise ValueError(f"{n} distinct pdfs exceed the tone-grid "
+                             f"capacity ({24 * n2 * n3})")
+        f1s = _imel(np.linspace(_mel(200.0), _mel(1500.0), max(n1, 2)))
+        f2s = _imel(np.linspace(_mel(1800.0), _mel(3900.0), n2))
+        f3s = _imel(np.linspace(_mel(4300.0), _mel(7500.0), n3))
+        idx = np.arange(n)
+        self.freqs = np.stack([
+            f1s[idx // (n2 * n3)],
+            f2s[(idx // n3) % n2],
+            f3s[idx % n3],
+        ], axis=1)                                   # [n, 3]
+        # dense index per pdf id (lookup table over the pdf id space)
+        self.pdf_to_idx = np.zeros(int(used.max()) + 1 if n else 1,
+                                   np.int64)
+        self.pdf_to_idx[used] = idx[: len(used)]
+        self.samp_freq = samp_freq
+
+
+def synth_wave(pdfs: np.ndarray, rng, coder: ToneCoder,
                frame_shift: int = 160, noise: float = 0.1,
                amplitude: float = 3000.0) -> np.ndarray:
-    """Two-tone chord per frame with continuous phase + white noise.
-
-    pdf -> (f1, f2): f1 = 200 + (pdf % 64) * 55 Hz, f2 = 4000 +
-    (pdf // 64) * 110 Hz (pdf < 2048 keeps f2 under Nyquist at 16kHz).
-    """
+    """Mel-grid 3-tone chord per frame, continuous phase + white noise."""
     T = len(pdfs)
-    f1 = 200.0 + (pdfs % 64) * 55.0
-    f2 = 4000.0 + (pdfs // 64) * 110.0
-    inst1 = np.repeat(f1, frame_shift)
-    inst2 = np.repeat(f2, frame_shift)
-    ph1 = np.cumsum(2 * np.pi * inst1 / samp_freq)
-    ph2 = np.cumsum(2 * np.pi * inst2 / samp_freq)
-    w = 0.5 * np.sin(ph1) + 0.5 * np.sin(ph2)
+    f = coder.freqs[coder.pdf_to_idx[pdfs]]          # [T, 3]
+    inst = np.repeat(f, frame_shift, axis=0)         # [T*shift, 3]
+    ph = np.cumsum(2 * np.pi * inst / coder.samp_freq, axis=0)
+    w = np.sin(ph).sum(axis=1) / 3.0
     w = w + noise * rng.standard_normal(T * frame_shift)
     return (amplitude * w).astype(np.float32)
 
@@ -136,15 +176,16 @@ def make_corpus(graph: PackedGraph, n_utts: int, frames_per_utt: int,
     """-> (waves [N, S] f32, pdf_segs [N, T] int32, words list[list[int]]).
 
     One shared arc sampler caches per-state CDFs across utterances (the
-    unigram hub's 60k-arc CDF is built once).
-    """
+    unigram hub's 60k-arc CDF is built once); one shared ToneCoder is
+    sized to the pdf set the graph actually uses."""
     sampler = _arc_sampler(graph)
+    coder = ToneCoder(graph.pdf[graph.pdf >= 0])
     waves = np.zeros((n_utts, frames_per_utt * 160), np.float32)
     segs = np.zeros((n_utts, frames_per_utt), np.int32)
     words = []
     for n in range(n_utts):
         pdfs, _tids, ws = sample_path(graph, frames_per_utt, rng, sampler)
         segs[n] = pdfs
-        waves[n] = synth_wave(pdfs, rng, noise=noise)
+        waves[n] = synth_wave(pdfs, rng, coder, noise=noise)
         words.append(ws)
     return waves, segs, words

@@ -35,9 +35,15 @@ class NnetTrainOpts:
     l2_regularize: float = 0.0
 
 
-def cross_entropy_loss(model: Tdnn, params, feats, targets, weights):
-    """feats [B, T+ctx, D] (valid-mode), targets [B, T], weights [B, T]."""
-    log_post = model.apply(params, feats, pad_context=False)
+def cross_entropy_loss(model: Tdnn, params, feats, targets, weights,
+                       compute_dtype=None):
+    """feats [B, T+ctx, D] (valid-mode), targets [B, T], weights [B, T].
+
+    compute_dtype=jnp.bfloat16 runs the affine GEMMs (and their grads)
+    in bf16 on the MXU with f32 master params — 2x MXU throughput; loss
+    reduction and log-softmax stay f32."""
+    log_post = model.apply(params, feats, pad_context=False,
+                           compute_dtype=compute_dtype)
     ll = jnp.take_along_axis(log_post, targets[..., None], axis=-1)[..., 0]
     tot_w = jnp.maximum(jnp.sum(weights), 1.0)
     loss = -jnp.sum(ll * weights) / tot_w
@@ -61,16 +67,19 @@ def make_optimizer(opts: NnetTrainOpts, num_steps: int):
     return optax.chain(*chain)
 
 
-def make_train_step(model: Tdnn, optimizer, mesh=None):
+def make_train_step(model: Tdnn, optimizer, mesh=None, compute_dtype=None):
     """Returns jitted step(params, opt_state, feats, targets, weights).
 
     With a mesh: batch shards over 'data', final layer over 'model' — XLA
     inserts the gradient all-reduce over ICI automatically.
+    compute_dtype=jnp.bfloat16 selects mixed-precision GEMMs (f32 master
+    params, bf16 matmuls on the MXU).
     """
 
     def step(params, opt_state, feats, targets, weights):
         (loss, acc), grads = jax.value_and_grad(
-            lambda p: cross_entropy_loss(model, p, feats, targets, weights),
+            lambda p: cross_entropy_loss(model, p, feats, targets, weights,
+                                         compute_dtype=compute_dtype),
             has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

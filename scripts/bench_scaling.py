@@ -1,0 +1,95 @@
+"""Data-parallel scaling overhead on the virtual 8-device CPU mesh.
+
+Real multi-chip hardware is unavailable in this sandbox, so true ICI
+weak-scaling (BASELINE.md north-star: >=80% efficiency 1 -> N hosts)
+cannot be measured. What CAN be measured honestly on N virtual devices
+sharing one host's cores is the COLLECTIVE/PARTITIONING OVERHEAD of the
+sharded train step: with a FIXED global batch, the 1-device and
+N-device programs execute identical total FLOPs on the same cores, so
+  efficiency = t_1dev / t_Ndev
+isolates exactly what sharding adds (gradient psum, halo exchanges,
+partitioned-program overhead) — 1.0 means the dp program costs nothing
+over the single-device program; that overhead is the term that
+subtracts from weak-scaling efficiency on real ICI-connected chips.
+
+(ref: steps/nnet2/train_multisplice_accel2.sh:466-539 — the reference
+scales nnet2 training by running num_jobs parallel SGD jobs and
+averaging models each iteration; here data parallelism is a sharded
+jit step with an XLA-inserted gradient all-reduce, SURVEY.md §2.11.)
+
+Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+     JAX_PLATFORMS=cpu python scripts/bench_scaling.py
+Prints one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def measure(n_devices: int = 8, global_batch: int = 32, chunk: int = 8,
+            n_iter: int = 20):
+    import jax
+    import numpy as np
+    from kaldi_tpu.nnet.tdnn import Tdnn, TdnnConfig
+    from kaldi_tpu.nnet.train import (NnetTrainOpts, make_optimizer,
+                                      make_train_step, shard_params)
+    from kaldi_tpu.parallel.mesh import make_mesh, batch_sharding
+
+    cfg = TdnnConfig(feat_dim=40, num_pdfs=512, hidden_dim=512,
+                     pnorm_output_dim=64,
+                     splice_indexes=((-2, -1, 0, 1, 2), (-1, 2), (0,)))
+    model = Tdnn(cfg)
+    ctx = cfg.left_context + cfg.right_context
+    rng = np.random.RandomState(0)
+    feats_h = rng.randn(global_batch, chunk + ctx,
+                        cfg.feat_dim).astype(np.float32)
+    targets_h = rng.randint(0, cfg.num_pdfs,
+                            (global_batch, chunk)).astype(np.int32)
+    weights_h = np.ones((global_batch, chunk), np.float32)
+
+    times = {}
+    for nd in (1, n_devices):
+        mesh = make_mesh(data=nd, model=1, devices=jax.devices()[:nd])
+        params = model.init(jax.random.PRNGKey(0))
+        params, _ = shard_params(params, mesh)
+        opts = NnetTrainOpts()
+        optimizer = make_optimizer(opts, n_iter)
+        opt_state = optimizer.init(params)
+        step = make_train_step(model, optimizer, mesh)
+        feats = jax.device_put(feats_h, batch_sharding(mesh, 3))
+        targets = jax.device_put(targets_h, batch_sharding(mesh, 2))
+        weights = jax.device_put(weights_h, batch_sharding(mesh, 2))
+        # warmup/compile
+        params, opt_state, loss, _ = step(params, opt_state, feats,
+                                          targets, weights)
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            params, opt_state, loss, _ = step(params, opt_state, feats,
+                                              targets, weights)
+        jax.block_until_ready(loss)
+        times[nd] = (time.perf_counter() - t0) / n_iter
+    eff = times[1] / times[n_devices]
+    return {
+        "dp_collective_overhead_efficiency": round(eff, 3),
+        "step_ms_1dev": round(times[1] * 1e3, 2),
+        f"step_ms_{n_devices}dev": round(times[n_devices] * 1e3, 2),
+        "n_devices": n_devices,
+        "global_batch_frames": global_batch * chunk,
+        "note": ("fixed global batch on N virtual CPU devices sharing one "
+                 "host: identical total FLOPs, so t1/tN isolates the "
+                 "sharding+collective overhead (1.0 = none); real ICI "
+                 "weak-scaling is untestable single-chip"),
+    }
+
+
+if __name__ == "__main__":
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    n = min(8, len(jax.devices()))
+    print(json.dumps(measure(n_devices=n)))

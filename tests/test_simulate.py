@@ -77,9 +77,11 @@ def test_synth_wave_and_targets_align(graph):
     to the same pdf must be far more similar to each other than frames
     of different pdfs, and fbank_targets must index the right segment."""
     from kaldi_tpu.ops import FbankOpts, FrameOpts, MelOpts, fbank
+    from kaldi_tpu.decoder.simulate import ToneCoder
     rng = np.random.default_rng(2)
     pdfs, _tids, _words = sample_path(graph, 60, rng)
-    wave = synth_wave(pdfs, rng, noise=0.05)
+    coder = ToneCoder(graph.pdf[graph.pdf >= 0])
+    wave = synth_wave(pdfs, rng, coder, noise=0.05)
     assert wave.shape == (60 * 160,)
     opts = FbankOpts(frame_opts=FrameOpts(samp_freq=16000.0, dither=0.0),
                      mel_opts=MelOpts(num_bins=40))
