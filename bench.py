@@ -53,7 +53,7 @@ import numpy as np
 SR = 16000.0
 FRAMES_PER_UTT = 1000          # 10s per utterance
 N_TRAIN, N_TEST = 16, 8
-TRAIN_STEPS = 300
+TRAIN_STEPS = 400
 TIMED_TRAIN_STEPS = 10
 N_DECODE_RUNS = 6
 N_LAT_RUNS = 5
@@ -113,8 +113,15 @@ def _toy_serving_bench(jax, jnp, am_apply):
 
 
 def main():
+    import os
     import jax
     import jax.numpy as jnp
+    # persistent compilation cache: the big fbank/decode/train programs
+    # compile once per (shape, code) ever, not once per process — without
+    # it a cold bench run spends minutes in XLA
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from kaldi_tpu.ops import FbankOpts, FrameOpts, MelOpts, fbank
     from kaldi_tpu.nnet.tdnn import Tdnn, TdnnConfig
     from kaldi_tpu.nnet.train import (NnetTrainOpts, make_optimizer,
@@ -127,8 +134,11 @@ def main():
 
     fb_opts = FbankOpts(frame_opts=FrameOpts(samp_freq=SR, dither=0.0),
                         mel_opts=MelOpts(num_bins=40))
-    cfg = TdnnConfig(feat_dim=40, num_pdfs=2048, hidden_dim=2048,
-                     pnorm_output_dim=256)
+    # nnet3-style relu TDNN (ref: nnet3 TDNN recipes use relu+renorm;
+    # the deep pnorm stack of nnet2 needs layer-wise pretraining to
+    # converge from scratch, which this benchmark doesn't model)
+    cfg = TdnnConfig(feat_dim=40, num_pdfs=2048, hidden_dim=1024,
+                     pnorm_output_dim=256, nonlinearity="relu")
     model = Tdnn(cfg)
     params = model.init(jax.random.PRNGKey(0))
 
@@ -140,7 +150,11 @@ def main():
 
     @jax.jit
     def feats_of(waves):
-        return fbank(waves, fb_opts)
+        # per-utterance CMVN, as apply-cmvn in the reference pipeline
+        f = fbank(waves, fb_opts)
+        mu = jnp.mean(f, axis=1, keepdims=True)
+        sd = jnp.std(f, axis=1, keepdims=True)
+        return (f - mu) / (sd + 1e-5)
 
     feats_all = feats_of(jnp.asarray(waves_np))       # [N, Tf, 40]
     Tf = int(feats_all.shape[1])
@@ -152,7 +166,7 @@ def main():
     feats_tr = feats_all[:N_TRAIN]
     tgt_tr = jnp.asarray(tgt_all[:N_TRAIN, lc: Tf - rc])
     w_tr = jnp.ones(tgt_tr.shape, jnp.float32)
-    opts = NnetTrainOpts(initial_lr=0.02, final_lr=0.004,
+    opts = NnetTrainOpts(initial_lr=0.1, final_lr=0.02,
                          max_grad_norm=5.0)
     optimizer = make_optimizer(opts, TRAIN_STEPS)
     opt_state = optimizer.init(params)
@@ -182,7 +196,7 @@ def main():
     # AFTER training — the decode benches measure the trained model)
     @jax.jit
     def am_scores(waves):
-        feats = fbank(waves, fb_opts)
+        feats = feats_of.__wrapped__(waves)   # fbank + CMVN, fused in
         # bf16 GEMMs on the MXU (f32 accumulation); WER-level parity
         # with f32 asserted in tests/test_bf16_parity.py
         return model.apply(params, feats, pad_context=True,
