@@ -166,6 +166,10 @@ def make_hclg_flat(lang, g, trans_model, ctx_dep,
     lg = native_ops.determinize_star_flat(lg, use_log=True)
     stats["lg_det_arcs"] = lg.num_arcs
     log(f"det(LG) = {lg} [{time.time()-t0:.1f}s]")
+    t0 = time.time()
+    lg = native_ops.minimize_encoded_flat(lg)
+    stats["lg_min_arcs"] = lg.num_arcs
+    log(f"min(LG) = {lg} [{time.time()-t0:.1f}s]")
 
     # context relabel (mono): phones+disambig -> ilabel-info ids
     assert ctx_dep.context_width == 1, (
@@ -189,6 +193,10 @@ def make_hclg_flat(lang, g, trans_model, ctx_dep,
     hclga = native_ops.determinize_star_flat(hclga, use_log=True)
     log(f"det(HaCLG) = {hclga} [{time.time()-t0:.1f}s]")
     hclga = remove_symbols_flat(hclga, disambig_tids)
+    t0 = time.time()
+    hclga = native_ops.minimize_encoded_flat(hclga)
+    stats["hclga_min_arcs"] = hclga.num_arcs
+    log(f"min(HaCLG) = {hclga} [{time.time()-t0:.1f}s]")
     t0 = time.time()
     hclg = add_self_loops_flat(hclga, trans_model, (),
                                self_loop_scale)

@@ -65,6 +65,8 @@ def _load():
             ctypes.c_int32, ctypes.c_int64]
         lib.fst_connect.restype = ctypes.c_void_p
         lib.fst_connect.argtypes = _FST_ARGS
+        lib.fst_minimize_encoded.restype = ctypes.c_void_p
+        lib.fst_minimize_encoded.argtypes = _FST_ARGS
         lib.fst_out_num_states.restype = ctypes.c_int32
         lib.fst_out_num_states.argtypes = [ctypes.c_void_p]
         lib.fst_out_num_arcs.restype = ctypes.c_int64
@@ -157,4 +159,15 @@ def connect_flat(f: FlatFst) -> FlatFst:
         raise RuntimeError("native fst_ops unavailable")
     ff, keep = _fst_args(f)
     h = lib.fst_connect(*ff)
+    return _collect(lib, h)
+
+
+def minimize_encoded_flat(f: FlatFst) -> FlatFst:
+    """Weighted minimization over encoded labels (ref:
+    fstbin/fstminimizeencoded.cc; semantics of fst/minimize.py)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native fst_ops unavailable")
+    ff, keep = _fst_args(f)
+    h = lib.fst_minimize_encoded(*ff)
     return _collect(lib, h)

@@ -86,6 +86,26 @@ class Lattice:
                       for s, (g, a) in finals.items()}
         return lat
 
+    def to_arrays(self):
+        """-> (n_states, src, il, ol, gc, ac, dst) flat arc arrays,
+        src-sorted. Zero-copy when the lattice still holds its
+        from_arrays form; otherwise built once from the arc lists."""
+        if self._arrays is not None:
+            return self._arrays
+        n = len(self._arcs)
+        src, il, ol, gc, ac, dst = [], [], [], [], [], []
+        for s, arcs in enumerate(self._arcs):
+            for a in arcs:
+                src.append(s)
+                il.append(a.ilabel)
+                ol.append(a.olabel)
+                gc.append(a.graph_cost)
+                ac.append(a.acoustic_cost)
+                dst.append(a.nextstate)
+        return (n, np.asarray(src, np.int64), np.asarray(il, np.int64),
+                np.asarray(ol, np.int64), np.asarray(gc, np.float64),
+                np.asarray(ac, np.float64), np.asarray(dst, np.int64))
+
     def add_arc(self, s, ilabel, olabel, graph_cost, acoustic_cost, dst):
         self.arcs[s].append(
             LatticeArc(ilabel, olabel, float(graph_cost),

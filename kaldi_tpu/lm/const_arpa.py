@@ -181,6 +181,117 @@ class ConstArpaLm:
         return tot
 
 
+
+    # ---------------- vectorized batch queries ----------------
+
+    def _batch_tables(self):
+        """Lazy tables for step_batch: global composite (state, word)
+        entry keys (entries are grouped by state and word-sorted within,
+        so the composite key array is globally ascending), plus per-state
+        history suffix columns for vectorized next-state resolution."""
+        if hasattr(self, "_ent_key"):
+            return
+        n = self.num_states
+        deg = np.diff(self.row_lo)
+        ent_state = np.repeat(np.arange(n, dtype=np.int64), deg)
+        W = int(self.col_word.max(initial=0)) + 4
+        self._wspan = W
+        self._ent_key = ent_state * W + (self.col_word + 3)
+        # per-state last-(order-2) history words, padded with -3
+        K = max(self.order - 1, 1)
+        hist_pad = np.full((n, K), -3, np.int64)
+        for s, h in enumerate(self._state_hist):
+            for j, w in enumerate(h[-K:][::-1]):
+                hist_pad[s, j] = w     # column j = j-th-from-last word
+        self._hist_pad = hist_pad
+        # ext index tables by tuple length: sorted positional-key arrays
+        tabs = {}
+        for ids, s in self._ext_index.items():
+            L = len(ids)
+            key = 0
+            for w in ids:
+                key = key * W + (w + 3)
+            tabs.setdefault(L, []).append((key, s))
+        self._ext_tabs = {}
+        for L, rows in tabs.items():
+            rows.sort()
+            self._ext_tabs[L] = (
+                np.array([k for k, _s in rows], np.int64),
+                np.array([s for _k, s in rows], np.int64))
+
+    def step_batch(self, states, words):
+        """Vectorized step(): states [N] int, words [N] int ->
+        (next_states [N] int64, costs [N] float64). Semantics identical
+        to step() (asserted in tests), ~100x faster at lattice scale —
+        the batch analogue of const-arpa-lm.h GetNgramLogprob."""
+        self._batch_tables()
+        states = np.asarray(states, np.int64)
+        words = np.asarray(words, np.int64)
+        N = len(states)
+        W = self._wspan
+        nE = len(self._ent_key)
+        cost = np.zeros(N, np.float64)
+        nxt = np.zeros(N, np.int64)
+        s = states.copy()
+        active = np.ones(N, bool)
+        resolved = np.zeros(N, bool)    # next-state already known
+        for level in range(self.order + 1):
+            if not active.any():
+                break
+            q = s * W + (words + 3)
+            pos = np.searchsorted(self._ent_key, q)
+            hit = active & (pos < nE) & \
+                (self._ent_key[np.minimum(pos, nE - 1)] == q)
+            hp = pos[hit]
+            cost[hit] += self.col_cost[hp]
+            if level == 0:
+                # found at the full history: packed next state is exact
+                nxt[hit] = self.col_next[hp]
+                resolved[hit] = True
+            active &= ~hit
+            dead = active & (s == 0)
+            cost[dead] += self.unk_cost
+            active &= ~dead
+            cost[active] += self.backoff_cost[s[active]]
+            s[active] = self.backoff_state[s[active]]
+        # next-state resolution for backed-off/unk queries: longest
+        # suffix of (orig history + word) that is a state
+        todo = ~resolved
+        if todo.any():
+            idx = np.flatnonzero(todo)
+            K = max(self.order - 1, 1)
+            hp = self._hist_pad[states[idx]]           # [M, K]
+            res = np.zeros(len(idx), np.int64)
+            need = np.ones(len(idx), bool)
+            # try suffix length L = order-1 down to 1 (then state 0)
+            for L in range(min(self.order - 1, K), 0, -1):
+                if L not in self._ext_tabs or not need.any():
+                    continue
+                keys, vals = self._ext_tabs[L]
+                # ext = last (L-1) history words + word, positional key
+                k = np.zeros(len(idx), np.int64)
+                ok = need.copy()
+                for j in range(L - 1, 0, -1):
+                    hw = hp[:, j - 1]
+                    ok &= hw != -3
+                    k = k * W + (hw + 3)
+                k = k * W + (words[idx] + 3)
+                p = np.searchsorted(keys, k)
+                h2 = ok & (p < len(keys)) & \
+                    (keys[np.minimum(p, len(keys) - 1)] == k)
+                res[h2 & need] = vals[p[h2 & need]]
+                need &= ~h2
+            res[need] = 0
+            nxt[idx] = res
+        return nxt, cost
+
+    def final_cost_batch(self, states):
+        eos = self.eos if self.eos is not None else -2
+        _n, c = self.step_batch(states,
+                                np.full(len(states), eos, np.int64))
+        return c
+
+
 def lattice_lmrescore_const_arpa(lat: Lattice, lm: ConstArpaLm,
                                  lm_scale: float = 1.0) -> Lattice:
     """Compose a lattice with the deterministic on-demand LM, adding
@@ -227,4 +338,95 @@ def lattice_lmrescore_const_arpa(lat: Lattice, lm: ConstArpaLm,
                             arc.acoustic_cost, dst)
             if hasattr(arc, "tids"):
                 out.arcs[cur][-1].tids = arc.tids  # type: ignore
+    return out.connect()
+
+
+def lattice_lmrescore_const_arpa_batch(lat: Lattice, lm: ConstArpaLm,
+                                       lm_scale: float = 1.0) -> Lattice:
+    """Vectorized lattice_lmrescore_const_arpa for TOPOLOGICALLY-SORTED
+    lattices (every arc src < dst — the decoder's raw-lattice invariant):
+    level-synchronous BFS over (lattice-state, lm-state) pairs with
+    step_batch doing the LM math in bulk. Produces a lattice with the
+    same path set and weights as the scalar reference implementation
+    (asserted in tests/test_const_arpa.py)."""
+    if lat.num_states == 0 or lat.start < 0:
+        return Lattice()
+    n, src, il, ol, gc, ac, dst = lat.to_arrays()
+    if not (src < dst).all():
+        return lattice_lmrescore_const_arpa(lat, lm, lm_scale)
+    # CSR over lattice arcs by src
+    counts = np.bincount(src, minlength=n)
+    a_start = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=a_start[1:])
+    M = lm.num_states
+    # pair id allocation: composite key ls*M + ms -> dense id
+    key0 = np.int64(lat.start) * M + lm.start_state()
+    pair_keys = [np.array([key0], np.int64)]
+    key_to_id: dict = {int(key0): 0}
+    n_pairs = 1
+    frontier = np.array([key0], np.int64)
+    frontier_ids = np.array([0], np.int64)
+    o_src, o_il, o_ol, o_gc, o_ac, o_dst = [], [], [], [], [], []
+    while len(frontier):
+        ls = frontier // M
+        ms = frontier % M
+        deg = (a_start[ls + 1] - a_start[ls]).astype(np.int64)
+        tot = int(deg.sum())
+        if tot == 0:
+            break
+        off = np.cumsum(deg) - deg
+        tok = np.repeat(np.arange(len(ls)), deg)
+        arc = a_start[ls].repeat(deg) + (np.arange(tot) - off.repeat(deg))
+        w_arc = ol[arc]
+        is_word = w_arc != 0
+        nms = ms[tok].copy()
+        add_c = np.zeros(tot, np.float64)
+        if is_word.any():
+            nn, cc = lm.step_batch(ms[tok][is_word], w_arc[is_word])
+            nms[is_word] = nn
+            add_c[is_word] = cc
+        nkey = dst[arc].astype(np.int64) * M + nms
+        # assign ids (np.unique for the batch, dict for cross-level dedup)
+        uniq, inv = np.unique(nkey, return_inverse=True)
+        uids = np.empty(len(uniq), np.int64)
+        new_mask = np.zeros(len(uniq), bool)
+        for j, k in enumerate(uniq.tolist()):
+            i_ = key_to_id.get(k)
+            if i_ is None:
+                i_ = n_pairs
+                key_to_id[k] = i_
+                n_pairs += 1
+                new_mask[j] = True
+            uids[j] = i_
+        o_src.append(frontier_ids[tok])
+        o_il.append(il[arc])
+        o_ol.append(w_arc)
+        o_gc.append(gc[arc] + lm_scale * add_c)
+        o_ac.append(ac[arc])
+        o_dst.append(uids[inv])
+        frontier = uniq[new_mask]
+        frontier_ids = uids[new_mask]
+    # finals: every pair whose lattice state is final
+    all_keys = np.array(sorted(key_to_id), np.int64)
+    all_ids = np.array([key_to_id[int(k)] for k in all_keys], np.int64)
+    fls = all_keys // M
+    fms = all_keys % M
+    fin_states = np.array(sorted(lat.finals), np.int64)
+    is_fin = np.isin(fls, fin_states)
+    finals = {}
+    if is_fin.any():
+        fcost = lm.final_cost_batch(fms[is_fin])
+        for i_, ls_, ms_, c_ in zip(all_ids[is_fin], fls[is_fin],
+                                    fms[is_fin], fcost):
+            g, a = lat.finals[int(ls_)]
+            finals[int(i_)] = (g + lm_scale * float(c_), a)
+    out = Lattice.from_arrays(
+        n_pairs,
+        np.concatenate(o_src) if o_src else np.zeros(0, np.int64),
+        np.concatenate(o_il) if o_il else np.zeros(0, np.int64),
+        np.concatenate(o_ol) if o_ol else np.zeros(0, np.int64),
+        np.concatenate(o_gc) if o_gc else np.zeros(0),
+        np.concatenate(o_ac) if o_ac else np.zeros(0),
+        np.concatenate(o_dst) if o_dst else np.zeros(0, np.int64),
+        start=0, finals=finals)
     return out.connect()

@@ -526,6 +526,87 @@ void* fst_determinize_star(
 }
 
 // ---------------------------------------------------------------------
+// minimize over encoded labels (Moore partition refinement to a
+// fixpoint; ref: fstbin/fstminimizeencoded.cc — encode (il, ol, w) into
+// one label, minimize the weighted acceptor, decode back. Semantics
+// identical to kaldi_tpu/fst/minimize.py:minimize_encoded.)
+void* fst_minimize_encoded(
+    const int64_t* as, const int32_t* il, const int32_t* ol,
+    const float* wt, const int32_t* dst, const float* fin,
+    int32_t n, int32_t start) {
+  OutFst* out = new OutFst();
+  if (n == 0 || start < 0) return out;
+  const int64_t A = as[n];
+  // encode arc labels
+  std::unordered_map<uint64_t, int32_t> enc;
+  enc.reserve(1 << 12);
+  std::vector<int32_t> code(A);
+  for (int64_t a = 0; a < A; ++a) {
+    int64_t wr = llround((double)wt[a] / 1e-6);
+    uint64_t key = (uint64_t)(uint32_t)il[a];
+    key = key * 1000003u ^ (uint64_t)(uint32_t)ol[a];
+    key = key * 1000003u ^ (uint64_t)wr;
+    auto it = enc.find(key);
+    if (it == enc.end()) it = enc.emplace(key, (int32_t)enc.size()).first;
+    code[a] = it->second;
+  }
+  // initial partition: by (finality, rounded final weight)
+  std::vector<int32_t> block(n);
+  {
+    std::unordered_map<int64_t, int32_t> fmap;
+    for (int32_t s = 0; s < n; ++s) {
+      int64_t key = fin[s] < kBig * 0.5f
+                        ? llround((double)fin[s] / 1e-6)
+                        : (int64_t)1 << 62;
+      auto it = fmap.find(key);
+      if (it == fmap.end()) it = fmap.emplace(key, (int32_t)fmap.size()).first;
+      block[s] = it->second;
+    }
+  }
+  std::vector<int32_t> new_block(n);
+  std::vector<std::pair<int32_t, int32_t>> sig;   // (code, block[dst])
+  std::vector<uint8_t> sig_bytes;
+  size_t n_blocks = 0;
+  for (int iter = 0; iter < 10000; ++iter) {
+    std::unordered_map<std::string, int32_t> sig_map;
+    sig_map.reserve(n / 2 + 16);
+    for (int32_t s = 0; s < n; ++s) {
+      sig.clear();
+      for (int64_t a = as[s]; a < as[s + 1]; ++a)
+        sig.emplace_back(code[a], block[dst[a]]);
+      std::sort(sig.begin(), sig.end());
+      sig_bytes.clear();
+      sig_bytes.resize(4 + sig.size() * 8);
+      std::memcpy(sig_bytes.data(), &block[s], 4);
+      std::memcpy(sig_bytes.data() + 4, sig.data(), sig.size() * 8);
+    std::string key((const char*)sig_bytes.data(), sig_bytes.size());
+      auto it = sig_map.find(key);
+      if (it == sig_map.end())
+        it = sig_map.emplace(std::move(key), (int32_t)sig_map.size()).first;
+      new_block[s] = it->second;
+    }
+    size_t prev = n_blocks;
+    n_blocks = sig_map.size();
+    block.swap(new_block);
+    if (iter > 0 && n_blocks == prev) break;
+  }
+  // build the minimized FST from block representatives
+  out->final_cost.assign(n_blocks, kBig);
+  out->start = block[start];
+  std::vector<uint8_t> done(n_blocks, 0);
+  for (int32_t s = 0; s < n; ++s) {
+    int32_t b = block[s];
+    if (done[b]) continue;
+    done[b] = 1;
+    for (int64_t a = as[s]; a < as[s + 1]; ++a)
+      out->add_arc(b, il[a], ol[a], wt[a], block[dst[a]]);
+    out->final_cost[b] = fin[s];
+  }
+  connect_out(out);
+  return out;
+}
+
+// ---------------------------------------------------------------------
 // connect as a standalone op
 void* fst_connect(
     const int64_t* as, const int32_t* il, const int32_t* ol,

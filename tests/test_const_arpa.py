@@ -154,3 +154,70 @@ def test_const_arpa_serialization_and_cli(tmp_path):
     ids2 = [words2[w] for w in ("a", "b")]
     assert clm3.sentence_logprob(ids2) == \
         pytest.approx(ref.sentence_logprob(ids2), abs=1e-6)
+
+
+@pytest.mark.parametrize("arpa_file", ["input.arpa", "missing_backoffs.arpa",
+                                       "unused_backoffs.arpa"])
+def test_step_batch_matches_scalar(arpa_file):
+    """Vectorized step_batch must equal step() query-for-query, including
+    backoff chains, unknown words, and the adversarial backoff fixtures."""
+    import os
+    path = os.path.join(REF_LM_DIR, arpa_file)
+    if not os.path.exists(path):
+        pytest.skip("reference lm fixtures unavailable")
+    lm = ArpaLm.parse(open(path).read())
+    vocab = sorted({w for d in lm.ngrams for ng in d for w in ng}
+                   - {"<s>", "</s>"})
+    words = _words_table(*vocab)
+    clm = ConstArpaLm(lm, words)
+    rng = np.random.RandomState(0)
+    N = 500
+    states = rng.randint(0, clm.num_states, N)
+    wids = rng.randint(1, len(words) - 1, N)   # skip eps and #0
+    nb, cb = clm.step_batch(states, wids)
+    for i in range(N):
+        ns, cs = clm.step(int(states[i]), int(wids[i]))
+        assert ns == nb[i], (i, states[i], wids[i])
+        assert abs(cs - cb[i]) < 1e-4, (i, states[i], wids[i])
+    fb = clm.final_cost_batch(states[:50])
+    for i in range(50):
+        assert abs(clm.final_cost(int(states[i])) - fb[i]) < 1e-4
+
+
+def test_lattice_lmrescore_batch_matches_scalar():
+    """The vectorized rescorer must produce the same weighted path set
+    as the scalar reference implementation on random topo lattices."""
+    arpa = ("\\data\\\nngram 1=5\nngram 2=4\n\n\\1-grams:\n"
+            "-0.7\tA\t-0.3\n-0.8\tB\t-0.2\n-1.0\tC\n-99\t<s>\t-0.1\n"
+            "-0.6\t</s>\n\n\\2-grams:\n-0.2\tA B\n-0.5\tB A\n-0.9\tB C\n"
+            "-0.4\t<s> A\n\n\\end\\\n")
+    lm = ArpaLm.parse(arpa)
+    words = _words_table("A", "B", "C")
+    clm = ConstArpaLm(lm, words)
+    from kaldi_tpu.lm.const_arpa import lattice_lmrescore_const_arpa_batch
+    rng = np.random.RandomState(1)
+    wid = [words["A"], words["B"], words["C"], 0]
+    for trial in range(6):
+        n = int(rng.randint(5, 12))
+        lat = Lattice()
+        for _ in range(n):
+            lat.add_state()
+        lat.start = 0
+        for _ in range(int(rng.randint(n, 3 * n))):
+            s = int(rng.randint(0, n - 1))
+            d = int(rng.randint(s + 1, n))
+            lat.add_arc(s, int(rng.randint(1, 9)),
+                        wid[int(rng.randint(4))],
+                        float(np.round(rng.rand(), 3)),
+                        float(np.round(rng.rand(), 3)), d)
+        lat.set_final(n - 1, 0.25, 0.0)
+        if int(rng.randint(2)):
+            lat.set_final(int(rng.randint(1, n)), 0.5, 0.0)
+        for scale in (1.0, -1.0, 0.5):
+            want = lattice_lmrescore_const_arpa(lat, clm, scale)
+            got = lattice_lmrescore_const_arpa_batch(lat, clm, scale)
+            pw = {(w, t): round(c, 3)
+                  for (w, t, c) in want.paths(max_paths=100000)}
+            pg = {(w, t): round(c, 3)
+                  for (w, t, c) in got.paths(max_paths=100000)}
+            assert pw == pg, (trial, scale)

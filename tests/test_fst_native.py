@@ -197,3 +197,19 @@ def test_native_pipeline_on_lang_graph():
         assert abs(costw - costg) < 1e-3
         checked += 1
     assert checked >= 8
+
+
+def test_native_minimize_encoded_matches_python():
+    """Minimized FST must be path-equivalent with the same (minimal)
+    state count as fst/minimize.py's Moore refinement."""
+    from kaldi_tpu.fst.minimize import minimize_encoded
+    rng = np.random.default_rng(5)
+    for trial in range(10):
+        f = _functional_transducer(rng, n_words=int(rng.integers(3, 8)))
+        det = determinize_star(f)
+        want = minimize_encoded(det.copy())
+        got = native_ops.minimize_encoded_flat(
+            FlatFst.from_fst(det)).to_fst()
+        assert got.num_states == want.num_states, trial
+        assert got.num_arcs == want.num_arcs, trial
+        assert want.equivalent_paths(got, tol=1e-3), trial
