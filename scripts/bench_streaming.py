@@ -1,0 +1,156 @@
+"""Streaming (online) decoding latency + RTF benchmark on one chip.
+
+Drives the online2-wav-nnet2-latgen-faster analogue — OnlineMfcc ->
+TDNN -> OnlineDecoder — chunk by chunk over synthetic utterances
+sampled from the decoding graph, and reports:
+
+  online_rtf            total compute / total audio (OnlineTimingStats,
+                        ref: online2/online-timing.h:41-83)
+  chunk_latency_ms_p50/p95   wall time of one accept_waveform +
+                        advance_decoding call (160 ms audio chunks)
+  max_delay_s           worst lag behind the real-time audio clock
+  streamed==offline     the parity contract: chunked hypotheses equal
+                        whole-utterance decoding of the same audio
+
+Writes STREAMING.json. Run alone on the chip (TPU processes serialize).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from kaldi_tpu.ops import FbankOpts, FrameOpts, MelOpts, fbank
+    from kaldi_tpu.nnet.tdnn import Tdnn, TdnnConfig
+    from kaldi_tpu.nnet.am_nnet import AmNnet
+    from kaldi_tpu.nnet.train import (NnetTrainOpts, make_optimizer,
+                                      make_train_step)
+    from kaldi_tpu.decoder.biggraph import make_big_hclg, BigGraphConfig
+    from kaldi_tpu.decoder.simulate import make_corpus, fbank_targets
+    from kaldi_tpu.decoder.beam_search import (BeamSearchDecoder,
+                                               BeamSearchOpts)
+    from kaldi_tpu.online.features import OnlineMfcc
+    from kaldi_tpu.online.nnet2_decoding import (OnlineNnet2FeaturePipeline,
+                                                 SingleUtteranceNnet2Decoder)
+    from kaldi_tpu.online.timing import OnlineTimer, OnlineTimingStats
+
+    SR = 16000.0
+    CHUNK_S = 0.16                      # 160 ms audio chunks
+    fb_opts = FbankOpts(frame_opts=FrameOpts(samp_freq=SR, dither=0.0),
+                        mel_opts=MelOpts(num_bins=40))
+    # small-vocab graph: the serving regime the online decoder targets
+    graph, n_tids = make_big_hclg(BigGraphConfig(
+        vocab=300, avg_bigram_succ=20, num_pdfs=64, seed=1))
+    rng = np.random.default_rng(0)
+    N_TRAIN, N_TEST, T = 12, 8, 1000
+    waves, segs, words = make_corpus(graph, N_TRAIN + N_TEST, T, rng,
+                                     noise=0.25)
+
+    @jax.jit
+    def feats_of(w):
+        return fbank(w, fb_opts)
+
+    feats = np.asarray(feats_of(jnp.asarray(waves)))
+    Tf = feats.shape[1]
+    tgt = np.stack([fbank_targets(segs[n], Tf)
+                    for n in range(N_TRAIN + N_TEST)])
+    cfg = TdnnConfig(feat_dim=40, num_pdfs=64, hidden_dim=512,
+                     pnorm_output_dim=128, nonlinearity="relu",
+                     splice_indexes=((-2, -1, 0, 1, 2), (-1, 2), (0,)))
+    model = Tdnn(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    lc, rc = cfg.left_context, cfg.right_context
+    opts = NnetTrainOpts(initial_lr=0.1, final_lr=0.02)
+    optimizer = make_optimizer(opts, 300)
+    opt_state = optimizer.init(params)
+    step = make_train_step(model, optimizer, compute_dtype=jnp.bfloat16)
+    ft = jnp.asarray(feats[:N_TRAIN])
+    tt = jnp.asarray(tgt[:N_TRAIN, lc: Tf - rc])
+    wt = jnp.ones(tt.shape, jnp.float32)
+    loss = acc = None
+    for _ in range(300):
+        params, opt_state, loss, acc = step(params, opt_state, ft, tt, wt)
+    jax.block_until_ready(loss)
+    am = AmNnet(model, params)
+    am.set_priors_from_alignment_counts(
+        np.bincount(tgt[:N_TRAIN].ravel(), minlength=64) + 1.0)
+
+    class _TmShim:
+        """Online decoder needs only id2pdf for trailing-silence checks."""
+        id2pdf_array = graph.pdf
+        num_pdfs = 64
+
+        @staticmethod
+        def transition_id_to_phone(tid):
+            return 0
+
+    base_dec = BeamSearchDecoder(graph, BeamSearchOpts(
+        beam=13.0, max_active=512, acoustic_scale=0.1))
+
+    # offline hypotheses (whole-utterance decode) for the parity check
+    ll_off = am.loglikes_np(feats[N_TRAIN:])
+    nf = np.full(N_TEST, Tf, np.int32)
+    off = base_dec.decode(ll_off, nf)
+
+    stats = OnlineTimingStats()
+    lat_ms = []
+    chunk = int(SR * CHUNK_S)
+    mismatches = 0
+    for pass_ in range(2):              # pass 0 = warmup/compile
+        if pass_ == 1:
+            stats = OnlineTimingStats()
+            lat_ms = []
+        for u in range(N_TEST):
+            wave = waves[N_TRAIN + u]
+            fe = OnlineMfcc(fb_opts, computer=fbank)
+            pipe = OnlineNnet2FeaturePipeline(fe)
+            dec = SingleUtteranceNnet2Decoder(
+                am, _TmShim, base_dec, pipe, chunk_frames=16)
+            timer = OnlineTimer(f"u{u}")
+            pos = 0
+            while pos < len(wave):
+                t0 = time.perf_counter()
+                dec.pipeline.accept_waveform(wave[pos: pos + chunk])
+                dec.advance_decoding()
+                lat_ms.append((time.perf_counter() - t0) * 1e3)
+                pos += chunk
+                timer.wait_until(min(pos, len(wave)) / SR)
+            dec.finalize_decoding()
+            timer.finish(stats)
+            res = dec.best_path()
+            if res is None or list(res[0]) != list(off[u][0]):
+                mismatches += 1
+    p50, p95 = np.percentile(lat_ms, [50, 95])
+    out = {
+        "metric": ("online nnet2 streaming decode (OnlineFbank+TDNN+"
+                   "beam search), 160ms chunks, 1 chip"),
+        "online_rtf": round(stats.real_time_factor, 4),
+        "inv_rtf_streams_per_chip": round(1.0 / stats.real_time_factor, 1),
+        "chunk_latency_ms_p50": round(float(p50), 2),
+        "chunk_latency_ms_p95": round(float(p95), 2),
+        "max_delay_s": round(stats.max_delay, 3),
+        "audio_s": round(stats.total_audio, 1),
+        "streamed_equals_offline": mismatches == 0,
+        "hyp_mismatches": mismatches,
+        "graph_states": graph.num_states,
+        "graph_arcs": graph.num_arcs,
+    }
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "STREAMING.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -104,3 +104,42 @@ def test_frontier_sharded_tier_b_eps(graph):
     _same(single[0], sharded[0])
     assert sharded[0] is not None
     assert dec.last_overflow is not None and dec.last_overflow[0] == 0
+
+
+@pytest.mark.slow
+def test_frontier_sharded_large_frontier_matches_single(graph):
+    """VERDICT r03 #8: frontier-sharding a genuinely LARGE frontier
+    (K=4096) on the big graph must match the single-device decoder
+    exactly, with the per-frame all_gather volume accounted."""
+    from kaldi_tpu.decoder.csr_beam import CsrBeamDecoder, CsrBeamOpts
+    rng = np.random.RandomState(21)
+    B, T, P = 2, 25, 48
+    # flat (noise) acoustics keep thousands of tokens alive -> the
+    # frontier genuinely spans devices
+    ll = (rng.randn(B, T, P) * 2).astype(np.float32)
+    nf = np.array([25, 20], np.int32)
+    K = 4096
+    dec = CsrBeamDecoder(graph, CsrBeamOpts(
+        beam=1e9, max_active=K, acoustic_scale=0.1,
+        expand_budget=16384, eps_budget=2048))
+    single = dec.decode(ll, nf)
+    occupancy = int(dec.last_active_max.max())
+    assert occupancy > 2048, occupancy   # the frontier really is large
+    D = 8
+    mesh = make_mesh(data=1, model=D)
+    sharded = decode_frontier_sharded(dec, ll, nf, mesh, axis="model")
+    for b in range(B):
+        _same(single[b], sharded[b])
+
+    # all_gather volume per emitting frame: 4 int32/f32 columns of the
+    # full candidate union (tier A 2*K + tier B 3*ceil(CB/D/3)*D + hub
+    # rank-slices K), gathered by every device
+    Kl = K // D
+    CBR = -(-(dec.opts.expand_budget // D) // 3)
+    n_cands = 2 * K + 3 * CBR * D + (K if dec.tabs.hub_rows.shape[0] > 1
+                                     else 0)
+    gather_mb_per_frame = 4 * n_cands * 4 / 1e6
+    # a 1.05M-state graph decode ships ~1 MB/frame over ICI — far below
+    # the ~45 GB/s/link v5e budget at 100 frames/s; assert the
+    # accounting stays in that regime so regressions surface
+    assert gather_mb_per_frame < 4.0, gather_mb_per_frame
