@@ -143,7 +143,8 @@ def main():
     params = model.init(jax.random.PRNGKey(0))
 
     # ------------- benchmark HCLG + calibrated corpus ----------------
-    graph, _ = make_big_hclg(BigGraphConfig())
+    graph_vocab = 60000
+    graph, _ = make_big_hclg(BigGraphConfig(vocab=graph_vocab))
     rng = np.random.default_rng(0)
     waves_np, segs, ref_words = make_corpus(
         graph, N_TRAIN + N_TEST, FRAMES_PER_UTT, rng, noise=0.25)
@@ -284,6 +285,35 @@ def main():
     lats = outs[-1]
     n_lat_arcs = sum(l.num_arcs for l in lats if l is not None)
 
+    # ------------- trigram ConstArpa lattice rescoring ---------------
+    # a 10^6+-ngram synthetic trigram LM over the SAME 60k word-id space
+    # as the bench HCLG (word k = "W%06d" % k), loaded into the packed
+    # ConstArpaLm and composed onto the emitted lattices with the
+    # vectorized rescorer (ref: lm/const-arpa-lm.h:202,
+    # latbin/lattice-lmrescore-const-arpa.cc)
+    from kaldi_tpu.fst.fst import SymbolTable
+    from kaldi_tpu.lm.synth import synth_trigram_arpa
+    from kaldi_tpu.lm.const_arpa import (ConstArpaLm,
+                                         lattice_lmrescore_const_arpa_batch)
+    wtab = SymbolTable()
+    vocab_words = [f"W{k:06d}" for k in range(1, graph_vocab + 1)]
+    for w in vocab_words:
+        wtab.add(w)
+    lm3 = synth_trigram_arpa(vocab_words, n_bigrams=500_000,
+                             n_trigrams=500_000,
+                             rng=np.random.default_rng(7))
+    n_ngrams = sum(len(d) for d in lm3.ngrams)
+    t0 = time.perf_counter()
+    clm = ConstArpaLm(lm3, wtab)
+    const_arpa_build_s = time.perf_counter() - t0
+    lats_in = [l for l in lats if l is not None]
+    t0 = time.perf_counter()
+    rescored = [lattice_lmrescore_const_arpa_batch(l, clm, 0.5)
+                for l in lats_in]
+    dt_resc = time.perf_counter() - t0
+    resc_audio_per_s = len(lats_in) * secs / dt_resc
+    n_resc_arcs = sum(l.num_arcs for l in rescored)
+
     # ------------- small-graph serving -------------------------------
     toy_audio_per_sec = _toy_serving_bench(jax, jnp, am_scores)
 
@@ -331,6 +361,10 @@ def main():
         "lattice_rec_cap": rec_cap,
         "lattice_rec_trunc": trunc_total,
         "lattice_arcs_emitted": n_lat_arcs,
+        "rescore_const_arpa_audio_per_s": round(resc_audio_per_s, 2),
+        "rescore_lm_ngrams": n_ngrams,
+        "rescore_lattice_arcs": n_resc_arcs,
+        "const_arpa_build_s": round(const_arpa_build_s, 1),
         "train_frames_per_s": round(train_fps, 0),
         "train_tflops": round(train_tflops, 2),
         "train_mfu_pct_v5e_bf16": round(100.0 * train_mfu, 1),
