@@ -46,18 +46,24 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
+# BENCH_SMOKE=1: tiny shapes on CPU — validates the full bench flow
+# (training, decode, latgen, rescoring) without a TPU; numbers are
+# meaningless in this mode and the JSON says so.
+SMOKE = os.environ.get("BENCH_SMOKE") == "1"
+
 SR = 16000.0
-FRAMES_PER_UTT = 1000          # 10s per utterance
-N_TRAIN, N_TEST = 16, 8
-TRAIN_STEPS = 400
-TIMED_TRAIN_STEPS = 10
-N_DECODE_RUNS = 6
-N_LAT_RUNS = 5
-N_LAT_BATCHES = 2
+FRAMES_PER_UTT = 200 if SMOKE else 1000     # 10s per utterance
+N_TRAIN, N_TEST = (4, 2) if SMOKE else (16, 8)
+TRAIN_STEPS = 30 if SMOKE else 400
+TIMED_TRAIN_STEPS = 3 if SMOKE else 10
+N_DECODE_RUNS = 2 if SMOKE else 6
+N_LAT_RUNS = 2 if SMOKE else 5
+N_LAT_BATCHES = 1 if SMOKE else 2
 V5E_BF16_PEAK_TFLOPS = 197.0   # per-chip MXU peak, bf16
 
 
@@ -113,7 +119,6 @@ def _toy_serving_bench(jax, jnp, am_apply):
 
 
 def main():
-    import os
     import jax
     import jax.numpy as jnp
     # persistent compilation cache: the big fbank/decode/train programs
@@ -137,14 +142,17 @@ def main():
     # nnet3-style relu TDNN (ref: nnet3 TDNN recipes use relu+renorm;
     # the deep pnorm stack of nnet2 needs layer-wise pretraining to
     # converge from scratch, which this benchmark doesn't model)
-    cfg = TdnnConfig(feat_dim=40, num_pdfs=2048, hidden_dim=1024,
+    cfg = TdnnConfig(feat_dim=40, num_pdfs=64 if SMOKE else 2048,
+                     hidden_dim=128 if SMOKE else 1024,
                      pnorm_output_dim=256, nonlinearity="relu")
     model = Tdnn(cfg)
     params = model.init(jax.random.PRNGKey(0))
 
     # ------------- benchmark HCLG + calibrated corpus ----------------
-    graph_vocab = 60000
-    graph, _ = make_big_hclg(BigGraphConfig(vocab=graph_vocab))
+    graph_vocab = 300 if SMOKE else 60000
+    graph, _ = make_big_hclg(
+        BigGraphConfig(vocab=300, avg_bigram_succ=20, num_pdfs=64, seed=1)
+        if SMOKE else BigGraphConfig(vocab=graph_vocab))
     rng = np.random.default_rng(0)
     waves_np, segs, ref_words = make_corpus(
         graph, N_TRAIN + N_TEST, FRAMES_PER_UTT, rng, noise=0.25)
@@ -208,7 +216,7 @@ def main():
     # ~11k arcs/frame (word-end frames light up many LM history states);
     # 24576 holds overflow==0 (asserted below) at ~2x margin. The
     # graph's eps arcs fold away at pack time so no eps rounds run
-    K, CB = 7000, 24576
+    K, CB = (512, 4096) if SMOKE else (7000, 24576)
     dec = CsrBeamDecoder(graph, CsrBeamOpts(
         beam=13.0, max_active=K, acoustic_scale=0.1,
         expand_budget=CB, eps_budget=2048))
@@ -299,8 +307,9 @@ def main():
     vocab_words = [f"W{k:06d}" for k in range(1, graph_vocab + 1)]
     for w in vocab_words:
         wtab.add(w)
-    lm3 = synth_trigram_arpa(vocab_words, n_bigrams=500_000,
-                             n_trigrams=500_000,
+    lm3 = synth_trigram_arpa(vocab_words,
+                             n_bigrams=2_000 if SMOKE else 500_000,
+                             n_trigrams=2_000 if SMOKE else 500_000,
                              rng=np.random.default_rng(7))
     n_ngrams = sum(len(d) for d in lm3.ngrams)
     t0 = time.perf_counter()
@@ -320,7 +329,6 @@ def main():
     # ------------- dp scaling overhead (8 virtual CPU devices) -------
     import subprocess
     import sys
-    import os
     env = dict(os.environ, JAX_PLATFORMS="cpu",
                XLA_FLAGS="--xla_force_host_platform_device_count=8")
     scaling = None
@@ -335,6 +343,8 @@ def main():
         pass
 
     result = {
+        **({"SMOKE_MODE": "numbers are from tiny CPU shapes"}
+           if SMOKE else {}),
         "metric": ("hybrid ASR decode throughput, 1.05M-state/11.1M-arc "
                    "HCLG, beam=13 max_active=7000 (fbank+TDNN+beam "
                    "search), 1 chip; baseline = reference decoder at "
