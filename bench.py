@@ -345,10 +345,12 @@ def main():
     result = {
         **({"SMOKE_MODE": "numbers are from tiny CPU shapes"}
            if SMOKE else {}),
-        "metric": ("hybrid ASR decode throughput, 1.05M-state/11.1M-arc "
-                   "HCLG, beam=13 max_active=7000 (fbank+TDNN+beam "
-                   "search), 1 chip; baseline = reference decoder at "
-                   "~1x realtime per 2015 CPU core"),
+        "metric": (f"hybrid ASR decode throughput, "
+                   f"{graph.num_states/1e6:.2f}M-state/"
+                   f"{graph.num_arcs/1e6:.1f}M-arc HCLG, beam=13 "
+                   f"max_active={K} (fbank+TDNN+beam search), 1 chip; "
+                   f"baseline = reference decoder at ~1x realtime per "
+                   f"2015 CPU core"),
         "value": big["mean"],
         "unit": "audio-seconds/second/chip",
         "vs_baseline": big["mean"],

@@ -143,9 +143,8 @@ def make_hclg_flat(lang, g, trans_model, ctx_dep,
                    verbose: bool = False):
     """Full HCLG build over flat arrays with native compose/det*.
 
-    -> (FlatFst hclg, stats dict). Monophone context (the N=1 case of
-    fstcomposecontext); for triphone trees use fst/graph.py:make_hclg
-    at small scale or compose_context.
+    -> (FlatFst hclg, stats dict). Mono AND N-phone context (triphone
+    CLG via the native on-the-fly context composition).
     """
     import time
     from kaldi_tpu.fst.hmm_graph import make_h_transducer
@@ -171,16 +170,24 @@ def make_hclg_flat(lang, g, trans_model, ctx_dep,
     stats["lg_min_arcs"] = lg.num_arcs
     log(f"min(LG) = {lg} [{time.time()-t0:.1f}s]")
 
-    # context relabel (mono): phones+disambig -> ilabel-info ids
-    assert ctx_dep.context_width == 1, (
-        "make_hclg_flat is monophone-context; use make_hclg for triphone")
+    # context expansion: mono = identity relabel; N-phone = native
+    # on-the-fly C o LG (ref: fstext/context-fst.h:491 ComposeContext)
     disambig = set(lang.disambig_phone_ids)
-    ilabel_info: list[list[int]] = [[]]
-    relabel = {EPS: EPS}
-    for sym in range(1, len(lang.phones)):
-        ilabel_info.append([-sym] if sym in disambig else [sym])
-        relabel[sym] = len(ilabel_info) - 1
-    clg = lg.relabel(imap=relabel)
+    if ctx_dep.context_width == 1:
+        ilabel_info = [[]]
+        relabel = {EPS: EPS}
+        for sym in range(1, len(lang.phones)):
+            ilabel_info.append([-sym] if sym in disambig else [sym])
+            relabel[sym] = len(ilabel_info) - 1
+        clg = lg.relabel(imap=relabel)
+    else:
+        t0 = time.time()
+        clg, ilabel_info = native_ops.compose_context_flat(
+            lg, disambig, N=ctx_dep.context_width,
+            P=ctx_dep.central_position)
+        stats["clg_arcs"] = clg.num_arcs
+        log(f"C o LG = {clg} ({len(ilabel_info)} context ilabels) "
+            f"[{time.time()-t0:.1f}s]")
 
     t0 = time.time()
     ha, disambig_tids = make_h_transducer(ilabel_info, ctx_dep, trans_model,

@@ -171,3 +171,64 @@ def minimize_encoded_flat(f: FlatFst) -> FlatFst:
     ff, keep = _fst_args(f)
     h = lib.fst_minimize_encoded(*ff)
     return _collect(lib, h)
+
+
+def compose_context_flat(f: FlatFst, disambig_in, N: int = 3, P: int = 1):
+    """Native triphone context expansion: -> (clg FlatFst, ilabel_info)
+    (ref: fstext/context-fst.h:491 ComposeContext; semantics of
+    fst/context.py:compose_context)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native fst_ops unavailable")
+    if not hasattr(lib, "_ctx_ready"):
+        lib.fst_compose_context.restype = ctypes.c_void_p
+        lib.fst_compose_context.argtypes = _FST_ARGS + [
+            _i32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
+        lib.fst_ctx_fst.restype = ctypes.c_void_p
+        lib.fst_ctx_fst.argtypes = [ctypes.c_void_p]
+        lib.fst_ctx_num_ilabels.restype = ctypes.c_int32
+        lib.fst_ctx_num_ilabels.argtypes = [ctypes.c_void_p]
+        lib.fst_ctx_ilabels_flat_len.restype = ctypes.c_int64
+        lib.fst_ctx_ilabels_flat_len.argtypes = [ctypes.c_void_p]
+        lib.fst_ctx_copy_ilabels.argtypes = [ctypes.c_void_p, _i64p, _i32p]
+        lib.fst_ctx_free.argtypes = [ctypes.c_void_p]
+        lib._ctx_ready = True
+    dis = np.asarray(sorted(int(d) for d in disambig_in), np.int32)
+    ff, keep = _fst_args(f)
+    h = lib.fst_compose_context(*ff, _p(dis, _i32p), np.int32(len(dis)),
+                                np.int32(N), np.int32(P))
+    try:
+        fh = lib.fst_ctx_fst(h)
+        elen = int(lib.fst_out_error_len(fh))
+        if elen:
+            buf = ctypes.create_string_buffer(elen)
+            lib.fst_out_error(fh, buf)
+            raise RuntimeError(buf.raw.decode())
+        S = int(lib.fst_out_num_states(fh))
+        A = int(lib.fst_out_num_arcs(fh))
+        arc_start = np.empty(S + 1, np.int64)
+        il = np.empty(A, np.int32)
+        ol = np.empty(A, np.int32)
+        w = np.empty(A, np.float32)
+        dst = np.empty(A, np.int32)
+        final = np.empty(S, np.float32)
+        if S:
+            lib.fst_out_copy(fh, _p(arc_start, _i64p), _p(il, _i32p),
+                             _p(ol, _i32p), _p(w, _f32p), _p(dst, _i32p),
+                             _p(final, _f32p))
+        else:
+            arc_start[:] = 0
+        start = int(lib.fst_out_start(fh))
+        n_il = int(lib.fst_ctx_num_ilabels(h))
+        flat_len = int(lib.fst_ctx_ilabels_flat_len(h))
+        off = np.empty(max(n_il - 1, 0) + 1, np.int64)
+        flat = np.empty(max(flat_len, 1), np.int32)
+        if n_il > 1:
+            lib.fst_ctx_copy_ilabels(h, _p(off, _i64p), _p(flat, _i32p))
+        ilabel_info = [[]]
+        for k in range(1, n_il):
+            ilabel_info.append(flat[off[k - 1]: off[k]].tolist())
+    finally:
+        lib.fst_ctx_free(h)
+    clg = FlatFst(arc_start, il, ol, w, dst, final, start)
+    return clg, ilabel_info

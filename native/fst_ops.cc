@@ -526,6 +526,170 @@ void* fst_determinize_star(
 }
 
 // ---------------------------------------------------------------------
+// triphone (N-phone) context expansion: CLG = C o LG on the fly
+// (ref: fstext/context-fst.h:83-215 ContextFst / :491-507
+//  ComposeContext, fstbin/fstcomposecontext.cc; semantics identical to
+//  kaldi_tpu/fst/context.py:compose_context — window ilabels interned
+//  in discovery order, one-phone delay per N-1-P, empty-window #-1
+//  symbol, pending flush at finals.)
+namespace {
+
+struct CtxOut {
+  OutFst fst;
+  std::vector<int32_t> win_flat;   // concatenated window entries
+  std::vector<int64_t> win_off;    // [n_ilabels+1] offsets
+};
+
+}  // namespace
+
+void* fst_compose_context(
+    const int64_t* as, const int32_t* il, const int32_t* ol,
+    const float* wt, const int32_t* dst, const float* fin,
+    int32_t n, int32_t start,
+    const int32_t* disambig, int32_t n_disambig,
+    int32_t N, int32_t P) {
+  CtxOut* co = new CtxOut();
+  OutFst* out = &co->fst;
+  if (n == 0 || start < 0) return co;
+  const int32_t delay = N - 1 - P;
+  // max phone id (for history bit-packing)
+  int32_t max_ph = 0;
+  int64_t A = as[n];
+  for (int64_t a = 0; a < A; ++a) max_ph = std::max(max_ph, il[a]);
+  int32_t ph_bits = 1;
+  while ((1 << ph_bits) <= max_ph) ++ph_bits;
+  if ((int64_t)(N - 1) * ph_bits + 34 > 62) {
+    out->error = "context-compose: phone-id space too large to pack";
+    return co;
+  }
+  std::vector<uint8_t> is_dis(max_ph + 1, 0);
+  for (int32_t i = 0; i < n_disambig; ++i)
+    if (disambig[i] <= max_ph) is_dis[disambig[i]] = 1;
+
+  // window interning: key = positional base-(max_ph+2) code over
+  // (type, entries); entry 0 reserved for []
+  co->win_off.push_back(0);
+  std::unordered_map<int64_t, int32_t> win_id;
+  auto get_ilabel = [&](const int32_t* w, int32_t len) -> int32_t {
+    int64_t key = 0;
+    for (int32_t k = 0; k < len; ++k)
+      key = key * (max_ph + 3) + (int64_t)(w[k] + 1);  // entries >= -max
+    key = key * 8 + len;
+    auto it = win_id.find(key);
+    if (it != win_id.end()) return it->second;
+    int32_t id = (int32_t)co->win_off.size();  // 0 is []; ids from 1
+    win_id.emplace(key, id);
+    for (int32_t k = 0; k < len; ++k) co->win_flat.push_back(w[k]);
+    co->win_off.push_back((int64_t)co->win_flat.size());
+    return id;
+  };
+  const int32_t zero_entry[1] = {0};
+  const int32_t kEmpty = get_ilabel(zero_entry, 1);     // the #-1 symbol
+
+  // state key: lg_state (32b) | hist packed | pending (2b)
+  std::unordered_map<uint64_t, int32_t> state_map;
+  std::deque<uint64_t> queue;
+  const int32_t H = N - 1;
+  auto pack = [&](int64_t s, const int32_t* hist, int32_t pending)
+      -> uint64_t {
+    uint64_t key = (uint64_t)s;
+    for (int32_t k = 0; k < H; ++k)
+      key = (key << ph_bits) | (uint32_t)hist[k];
+    return (key << 2) | (uint32_t)pending;
+  };
+  auto unpack = [&](uint64_t key, int64_t* s, int32_t* hist,
+                    int32_t* pending) {
+    *pending = (int32_t)(key & 3u);
+    key >>= 2;
+    for (int32_t k = H - 1; k >= 0; --k) {
+      hist[k] = (int32_t)(key & ((1u << ph_bits) - 1));
+      key >>= ph_bits;
+    }
+    *s = (int64_t)key;
+  };
+  auto get_state = [&](uint64_t key) -> int32_t {
+    auto it = state_map.find(key);
+    if (it != state_map.end()) return it->second;
+    int32_t id = out->add_state();
+    state_map.emplace(key, id);
+    queue.push_back(key);
+    return id;
+  };
+
+  std::vector<int32_t> hist(H, 0), nh(H, 0);
+  std::vector<int32_t> win(N);
+  out->start = get_state(pack(start, hist.data(), 0));
+  while (!queue.empty()) {
+    uint64_t key = queue.front();
+    queue.pop_front();
+    int64_t s;
+    int32_t pending;
+    unpack(key, &s, hist.data(), &pending);
+    int32_t cur = state_map[key];
+    // finals: flush pending phones with right-boundary zeros
+    if (fin[s] < kBig * 0.5f) {
+      std::vector<int32_t> h(hist);
+      int32_t p = pending;
+      int32_t src = cur;
+      float cost = fin[s];
+      while (p > 0) {
+        for (int32_t k = 0; k < H; ++k) win[k] = h[k];
+        win[H] = 0;
+        int32_t ilab = get_ilabel(win.data(), N);
+        int32_t nxt = out->add_state();
+        out->add_arc(src, ilab, 0, cost, nxt);
+        cost = 0.0f;
+        src = nxt;
+        for (int32_t k = 0; k + 1 < H; ++k) h[k] = h[k + 1];
+        if (H) h[H - 1] = 0;
+        --p;
+      }
+      out->final_cost[src] = cost;
+    }
+    for (int64_t a = as[s]; a < as[s + 1]; ++a) {
+      int32_t i = il[a];
+      if (i == 0) {
+        out->add_arc(cur, 0, ol[a], wt[a],
+                     get_state(pack(dst[a], hist.data(), pending)));
+      } else if (is_dis[i]) {
+        int32_t d_entry[1] = {-i};
+        out->add_arc(cur, get_ilabel(d_entry, 1), ol[a], wt[a],
+                     get_state(pack(dst[a], hist.data(), pending)));
+      } else {
+        for (int32_t k = 0; k + 1 < H; ++k) nh[k] = hist[k + 1];
+        if (H) nh[H - 1] = i;
+        if (pending < delay) {
+          out->add_arc(cur, kEmpty, ol[a], wt[a],
+                       get_state(pack(dst[a], nh.data(), pending + 1)));
+        } else {
+          for (int32_t k = 0; k < H; ++k) win[k] = hist[k];
+          win[H] = i;
+          out->add_arc(cur, get_ilabel(win.data(), N), ol[a], wt[a],
+                       get_state(pack(dst[a], nh.data(), pending)));
+        }
+      }
+    }
+  }
+  connect_out(out);
+  return co;
+}
+
+void* fst_ctx_fst(void* h) { return &((CtxOut*)h)->fst; }
+int32_t fst_ctx_num_ilabels(void* h) {
+  return (int32_t)((CtxOut*)h)->win_off.size();
+}
+int64_t fst_ctx_ilabels_flat_len(void* h) {
+  return (int64_t)((CtxOut*)h)->win_flat.size();
+}
+void fst_ctx_copy_ilabels(void* h, int64_t* off, int32_t* flat) {
+  CtxOut* co = (CtxOut*)h;
+  std::memcpy(off, co->win_off.data(), co->win_off.size() * 8);
+  if (!co->win_flat.empty())
+    std::memcpy(flat, co->win_flat.data(), co->win_flat.size() * 4);
+}
+void fst_ctx_free(void* h) { delete (CtxOut*)h; }
+
+// ---------------------------------------------------------------------
 // minimize over encoded labels (Moore partition refinement to a
 // fixpoint; ref: fstbin/fstminimizeencoded.cc — encode (il, ol, w) into
 // one label, minimize the weighted acceptor, decode back. Semantics

@@ -144,3 +144,58 @@ def test_mkgraph_flat_mid_scale():
     ll = (rng2.randn(2, 40, tm.num_pdfs) * 2).astype(np.float32)
     res = dec.decode(ll, np.full(2, 40, np.int32))
     assert all(r[2] < 1e9 for r in res)
+
+
+@pytest.mark.slow
+def test_flat_pipeline_triphone_matches_reference_pipeline():
+    """Native on-the-fly context composition (fst_compose_context) in the
+    flat pipeline must decode identically to the object pipeline's
+    compose_context on a real trained triphone system
+    (ref: fstext/context-fst.h:491, fstbin/fstcomposecontext.cc)."""
+    import jax.numpy as jnp
+    from kaldi_tpu.ops import MfccOpts, FrameOpts, mfcc, add_deltas
+    from kaldi_tpu.steps.mono import train_mono, MonoTrainOpts
+    from kaldi_tpu.steps.deltas import train_deltas, DeltasTrainOpts
+    from test_triphone_e2e import synth, LEXICON, ARPA, WORDS, SR
+
+    rng = np.random.RandomState(11)
+    lex = Lexicon.parse(LEXICON)
+    lang = prepare_lang(lex, ["SIL"], "SIL", num_sil_states=3)
+    opts = MfccOpts(frame_opts=FrameOpts(samp_freq=SR, dither=0.0))
+
+    def featize(wave):
+        return np.asarray(add_deltas(mfcc(jnp.asarray(wave), opts),
+                                     order=2, window=2))
+
+    utts = []
+    for i in range(16):
+        ws = [WORDS[rng.randint(len(WORDS))] for _ in range(rng.randint(2, 4))]
+        utts.append((f"u{i}", featize(synth(ws, rng)), ws))
+    mono = train_mono(lang, utts, MonoTrainOpts(
+        num_iters=8, totgauss=40, max_iter_inc=6,
+        realign_iters=tuple(range(1, 8))))
+    tri = train_deltas(lang, utts, mono, DeltasTrainOpts(
+        num_iters=8, totgauss=80, max_iter_inc=6, num_leaves=40,
+        realign_iters=(1, 2, 3, 4, 6)))
+    assert tri.ctx_dep.context_width == 3
+
+    g = arpa_to_g(ArpaLm.parse(ARPA), lang.words)
+    ref = make_hclg(lang, g, tri.trans_model, tri.ctx_dep,
+                    self_loop_scale=0.1)
+    flat, stats = make_hclg_flat(lang, g, tri.trans_model, tri.ctx_dep,
+                                 self_loop_scale=0.1)
+    assert "clg_arcs" in stats
+    d_ref = DenseViterbiDecoder(pack_graph(ref.fst,
+                                           tri.trans_model.id2pdf_array))
+    d_flat = DenseViterbiDecoder(pack_graph_flat(
+        flat, tri.trans_model.id2pdf_array))
+    rng2 = np.random.RandomState(3)
+    B, T = 4, 45
+    ll = (rng2.randn(B, T, tri.trans_model.num_pdfs) * 2).astype(np.float32)
+    nf = np.array([45, 40, 35, 30], np.int32)
+    r_ref = d_ref.decode(ll, nf)
+    r_flat = d_flat.decode(ll, nf)
+    for b in range(B):
+        assert r_ref[b][0] == r_flat[b][0], b
+        assert r_ref[b][1] == r_flat[b][1], b
+        assert abs(r_ref[b][2] - r_flat[b][2]) < 1e-2
