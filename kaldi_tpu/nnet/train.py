@@ -42,8 +42,10 @@ def cross_entropy_loss(model: Tdnn, params, feats, targets, weights,
     compute_dtype=jnp.bfloat16 runs the affine GEMMs (and their grads)
     in bf16 on the MXU with f32 master params — 2x MXU throughput; loss
     reduction and log-softmax stay f32."""
-    log_post = model.apply(params, feats, pad_context=False,
-                           compute_dtype=compute_dtype)
+    # only Tdnn.apply knows compute_dtype; other models (e.g. Nnet3
+    # config nets) share this loss with their own apply signature
+    kw = {} if compute_dtype is None else {"compute_dtype": compute_dtype}
+    log_post = model.apply(params, feats, pad_context=False, **kw)
     ll = jnp.take_along_axis(log_post, targets[..., None], axis=-1)[..., 0]
     tot_w = jnp.maximum(jnp.sum(weights), 1.0)
     loss = -jnp.sum(ll * weights) / tot_w
