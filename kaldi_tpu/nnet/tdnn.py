@@ -73,8 +73,15 @@ class Tdnn:
                                       param_stddev=0.0, bias_stddev=0.0)
         return params
 
+    def context_of(self, num_layers: int) -> tuple[int, int]:
+        """(left, right) context of the first `num_layers` layers."""
+        sp = self.config.splice_indexes[:num_layers]
+        lc = -sum(min(c) for c in sp if min(c) < 0)
+        rc = sum(max(c) for c in sp if max(c) > 0)
+        return lc, rc
+
     def apply(self, params, feats: jnp.ndarray, pad_context: bool = True,
-              compute_dtype=None):
+              compute_dtype=None, num_layers: int | None = None):
         """feats [..., T, D] -> log posteriors [..., T(out), num_pdfs].
 
         pad_context=True clamps at utterance edges (decode mode, output T
@@ -85,13 +92,19 @@ class Tdnn:
         MXU (2x f32 throughput; accumulation stays f32 on TPU) — the
         inference fast path. Nonlinearities and the final log-softmax
         stay f32.
+
+        num_layers runs only the first k hidden layers before the final
+        affine (layer-wise discriminative pretraining, ref:
+        steps/nnet2/train_pnorm_accel2.sh's growing num-hidden-layers;
+        valid for pnorm/relu nets whose hidden output dim is constant).
         """
         cfg = self.config
         x = feats
         sp = splice if pad_context else splice_valid
         cast = ((lambda a: a.astype(compute_dtype))
                 if compute_dtype is not None else (lambda a: a))
-        for ctx, layer in zip(cfg.splice_indexes, params["layers"]):
+        for ctx, layer in zip(cfg.splice_indexes[:num_layers],
+                              params["layers"][:num_layers]):
             x = sp(x, ctx)
             x = jnp.matmul(cast(x), cast(layer["w"])).astype(jnp.float32) \
                 + layer["b"]

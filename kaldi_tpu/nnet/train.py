@@ -181,3 +181,85 @@ def make_egs(
         "targets": np.stack(tgt_out),
         "weights": np.stack(w_out),
     }
+
+
+def train_progressive(
+    model: Tdnn,
+    params,
+    feats,        # [B, T + full_ctx, D] (valid-mode for the FULL net)
+    targets,      # [B, T]
+    weights,      # [B, T]
+    opts: NnetTrainOpts = NnetTrainOpts(),
+    steps_per_stage: int = 100,
+    final_steps: int = 300,
+    compute_dtype=None,
+    log_every: int = 0,
+    optimizer_factory=None,   # (opts, num_steps) -> optax transform;
+                              # default = ng_sgd (the reference's NG-SGD)
+):
+    """Layer-wise discriminative pretraining (ref: the growing
+    num-hidden-layers schedule of steps/nnet2/train_pnorm_accel2.sh and
+    train_multisplice_accel2.sh:466-539): train with 1 active hidden
+    layer, then 2, ... up to the full stack, keeping the learned final
+    affine across stages. Deep pnorm stacks do not converge from
+    scratch under any flat optimizer (the hidden-layer gradients vanish
+    through the zero-init final affine + p-norm chain); growing the
+    depth is how the reference trains them.
+
+    feats must carry the FULL net's context; shallower stages slice the
+    matching output window. -> (params, history list of (stage, loss,
+    acc))."""
+    import jax.numpy as jnp
+
+    if optimizer_factory is None:
+        # Adam, not the NG-SGD the reference pairs with layer growth:
+        # p-norm layers' gradient scales span ~7 orders of magnitude
+        # between the final affine and the hidden stack, and Adam's
+        # per-parameter normalization is what bridges that here (our
+        # Kronecker NG preconditioner corrects directionality, not the
+        # cross-layer scale gap; measured: flat/NG/SGD all stall at the
+        # class prior on deep pnorm, progressive+Adam reaches ~0 loss —
+        # tests/test_progressive_training.py)
+        def optimizer_factory(o, n):
+            sched = optax.exponential_decay(
+                2e-3, max(n, 1), 0.25, end_value=5e-4)
+            return optax.adam(sched)
+    n_layers = len(model.config.splice_indexes)
+    lc_full = model.config.left_context
+    T = targets.shape[1]
+    history = []
+    for k in range(1, n_layers + 1):
+        steps = final_steps if k == n_layers else steps_per_stage
+        optimizer = optimizer_factory(opts, steps)
+        opt_state = optimizer.init(params)
+        lc_k, _rc_k = model.context_of(k)
+        off = lc_full - lc_k
+
+        def loss_fn(p, k=k, off=off):
+            log_post = model.apply(p, feats, pad_context=False,
+                                   compute_dtype=compute_dtype,
+                                   num_layers=k)
+            log_post = jax.lax.dynamic_slice_in_dim(log_post, off, T,
+                                                    axis=1)
+            ll = jnp.take_along_axis(log_post, targets[..., None],
+                                     axis=-1)[..., 0]
+            tot_w = jnp.maximum(jnp.sum(weights), 1.0)
+            loss = -jnp.sum(ll * weights) / tot_w
+            acc = jnp.sum((jnp.argmax(log_post, -1) == targets)
+                          * weights) / tot_w
+            return loss, acc
+
+        @jax.jit
+        def step(p, s):
+            (l, a), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+            updates, s = optimizer.update(g, s, p)
+            return optax.apply_updates(p, updates), s, l, a
+
+        loss = acc = None
+        for i in range(steps):
+            params, opt_state, loss, acc = step(params, opt_state)
+            if log_every and (i % log_every == 0 or i == steps - 1):
+                print(f"stage {k}/{n_layers} step {i}: "
+                      f"loss {float(loss):.3f} acc {float(acc):.3f}")
+        history.append((k, float(loss), float(acc)))
+    return params, history
