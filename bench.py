@@ -307,9 +307,10 @@ def main():
     vocab_words = [f"W{k:06d}" for k in range(1, graph_vocab + 1)]
     for w in vocab_words:
         wtab.add(w)
+    # sampling dedup: ~1.45M requested ngrams survive to ~1.05M distinct
     lm3 = synth_trigram_arpa(vocab_words,
-                             n_bigrams=2_000 if SMOKE else 500_000,
-                             n_trigrams=2_000 if SMOKE else 500_000,
+                             n_bigrams=2_000 if SMOKE else 700_000,
+                             n_trigrams=2_000 if SMOKE else 750_000,
                              rng=np.random.default_rng(7))
     n_ngrams = sum(len(d) for d in lm3.ngrams)
     t0 = time.perf_counter()
