@@ -663,9 +663,19 @@ def cmd_mkgraph(args):
     model = load_gmm_system(args.model)
     with open(args.arpa) as f:
         g = arpa_to_g(ArpaLm.parse(f.read()), model.lang.words)
-    graph = make_hclg(model.lang, g, model.trans_model, model.ctx_dep,
-                      self_loop_scale=args.self_loop_scale)
-    packed = pack_graph(graph.fst, model.trans_model.id2pdf_array)
+    if args.flat:
+        # native/columnar pipeline: vocabulary-scale builds in minutes
+        # (compose/det*/min in C++, AddSelfLoops vectorized)
+        from kaldi_tpu.fst.mkgraph_flat import (make_hclg_flat,
+                                                pack_graph_flat)
+        hclg, stats = make_hclg_flat(
+            model.lang, g, model.trans_model, model.ctx_dep,
+            self_loop_scale=args.self_loop_scale, verbose=args.verbose)
+        packed = pack_graph_flat(hclg, model.trans_model.id2pdf_array)
+    else:
+        graph = make_hclg(model.lang, g, model.trans_model, model.ctx_dep,
+                          self_loop_scale=args.self_loop_scale)
+        packed = pack_graph(graph.fst, model.trans_model.id2pdf_array)
     save_hclg(args.graph_out, packed)
     print(f"HCLG: {packed.num_states} states", file=sys.stderr)
 
@@ -6410,6 +6420,9 @@ def main(argv=None):
     q.add_argument("arpa")
     q.add_argument("graph_out")
     q.add_argument("--self-loop-scale", type=float, default=0.1)
+    q.add_argument("--flat", action="store_true",
+                   help="native columnar pipeline (vocabulary scale)")
+    q.add_argument("--verbose", action="store_true")
     q.set_defaults(func=cmd_mkgraph)
 
     q = sub.add_parser("decode-faster")
