@@ -305,7 +305,7 @@ def main():
     # within-lattice-beam slots beyond the cap are counted exactly and
     # asserted to a <0.1% sliver below
     LATTICE_BEAM = 8.0
-    rec_cap = int(min(K, 2048))
+    rec_cap = int(min(K, 3072))
     lat_dec = CsrBeamDecoder(graph, CsrBeamOpts(
         beam=13.0, max_active=K, acoustic_scale=0.1,
         expand_budget=CB, eps_budget=2048, rec_cap=rec_cap,
