@@ -313,7 +313,7 @@ def main():
     lat_dec = CsrBeamDecoder(graph, CsrBeamOpts(
         beam=13.0, max_active=K, acoustic_scale=0.1,
         expand_budget=CB, eps_budget=2048, rec_cap=rec_cap,
-        rec_beam=LATTICE_BEAM))
+        rec_beam=LATTICE_BEAM, rec_f16=True))
     ll_l = np.asarray(am_scores(waves_test))
     # steady-state pipelined latgen: device decode of batch i+2 overlaps
     # the device->host compacted-record fetch of batch i+1 and the

@@ -97,6 +97,13 @@ class CsrBeamOpts:
     rec_beam: float | None = None  # record prune beam vs frame best
                                    # (None = beam: exactly the search's
                                    # own liveness, no extra pruning)
+    rec_f16: bool = False        # ship snapshot scores as float16
+                                 # RELATIVE to the frame best (exact
+                                 # f32 best shipped per round): halves
+                                 # score bytes on the host link at
+                                 # ~0.008 quantization within the
+                                 # rec_beam range — decode_raw
+                                 # reconstructs f32 absolutes on host
 
 
 @dataclasses.dataclass
@@ -357,7 +364,8 @@ def _dedup_topk(c_state, c_score, c_rec, c_il, K: int):
 @functools.partial(
     jax.jit,
     static_argnames=("start", "K", "CB", "CZ", "n_eps", "beam",
-                     "hub_bounds", "record_full", "Kc", "rec_beam"))
+                     "hub_bounds", "record_full", "Kc", "rec_beam",
+                     "rec_f16"))
 def _csr_decode(
     ll,            # [B, T, P] scaled loglikes
     frame_mask,    # [B, T] bool
@@ -367,6 +375,7 @@ def _csr_decode(
     start: int, K: int, CB: int, CZ: int, n_eps: int, beam: float,
     hub_bounds: tuple, record_full: bool,
     Kc: int = 0, rec_beam: float = 0.0,   # record compaction (see opts)
+    rec_f16: bool = False,
 ):
     B, T, P = ll.shape
     kbits = max((K - 1).bit_length(), 1)
@@ -533,10 +542,18 @@ def _csr_decode(
         score-sorted (dead = BIG last), so the PruneActiveTokens
         analogue costs no sort — kill slots beyond frame_best +
         rec_beam, ship only the first Kc slots, count truncated-alive
-        slots exactly."""
+        slots exactly. -> (states, scores, frame_best, trunc); with
+        rec_f16 the scores are f16 RELATIVE to frame_best (masked =
+        +inf), else absolute f32 (masked = BIG)."""
         keep = c_eff <= c_eff[:, :1] + rec_beam
         n_alive = jnp.sum(keep, axis=1, dtype=jnp.int32)
-        return (s_eff[:, :Kc], jnp.where(keep, c_eff, BIG)[:, :Kc],
+        best = c_eff[:, 0]
+        if rec_f16:
+            rel = jnp.where(keep, c_eff - c_eff[:, :1], jnp.inf)[:, :Kc]
+            sc_out = rel.astype(jnp.float16)
+        else:
+            sc_out = jnp.where(keep, c_eff, BIG)[:, :Kc]
+        return (s_eff[:, :Kc], sc_out, best,
                 jnp.maximum(n_alive - Kc, 0))
 
     def frame_step(carry, inputs):
@@ -571,15 +588,17 @@ def _csr_decode(
             # it enters the scan outputs — HBM and fetch cost scale
             # with Kc, not K.
             trunc = jnp.zeros(B, jnp.int32)
-            cs_l, cc_l = [], []
+            cs_l, cc_l, cb_l = [], [], []
             for (s, c) in full:
-                s_c, c_c, tr = compact_rec(jnp.where(m, s, tok_state),
-                                           jnp.where(m, c, tok_score))
+                s_c, c_c, b_c, tr = compact_rec(
+                    jnp.where(m, s, tok_state),
+                    jnp.where(m, c, tok_score))
                 cs_l.append(s_c)
                 cc_l.append(c_c)
+                cb_l.append(b_c)
                 trunc = trunc + jnp.where(mask_t, tr, 0)
             ys = (jnp.where(mask_t, ovf, 0), sat, jnp.stack(cs_l),
-                  jnp.stack(cc_l), trunc, n_act)
+                  jnp.stack(cc_l), trunc, n_act, jnp.stack(cb_l))
         else:
             recs = jnp.stack([jnp.where(m, r, self_prev) for r in recs])
             il_emit = jnp.where(m, il_emit, 0)
@@ -621,21 +640,25 @@ def _csr_decode(
                           best_any_slot).astype(jnp.int32)
     best_cost = jnp.where(reached_final, best_final_cost, best_any_cost)
     if record_full:
+        rec_dtype = jnp.float16 if rec_f16 else jnp.float32
         if init_full:
             ic = [compact_rec(s, c) for (s, c) in init_full]
-            ist = jnp.stack([s for (s, _c, _t) in ic], axis=1)
-            isc = jnp.stack([c for (_s, c, _t) in ic], axis=1)
-            init_trunc = sum(t for (_s, _c, t) in ic)
+            ist = jnp.stack([s for (s, _c, _b, _t) in ic], axis=1)
+            isc = jnp.stack([c for (_s, c, _b, _t) in ic], axis=1)
+            ibest = jnp.stack([b for (_s, _c, b, _t) in ic], axis=1)
+            init_trunc = sum(t for (_s, _c, _b, t) in ic)
         else:
             ist = jnp.zeros((B, 0, Kc), jnp.int32)
-            isc = jnp.zeros((B, 0, Kc), jnp.float32)
+            isc = jnp.zeros((B, 0, Kc), rec_dtype)
+            ibest = jnp.zeros((B, 0), jnp.float32)
             init_trunc = jnp.zeros(B, jnp.int32)
         fst = jnp.moveaxis(ys[2], 2, 0)         # [B, T, R, Kc]
         fsc_r = jnp.moveaxis(ys[3], 2, 0)
+        fbest = jnp.moveaxis(ys[6], 2, 0)       # [B, T, R]
         rec_trunc = jnp.sum(ys[4], axis=0) + init_trunc   # [B]
         return (fs, fsc, best_slot, best_cost, jnp.sum(ovf, axis=0),
                 jnp.any(sat, axis=0), ist, isc, fst, fsc_r, rec_trunc,
-                act_sum, act_max)
+                act_sum, act_max, fbest, ibest)
     return (init_recs, recs, il_emit, fs, fsc, best_slot, best_cost,
             jnp.sum(ovf, axis=0), jnp.any(sat, axis=0), act_sum, act_max)
 
@@ -791,7 +814,8 @@ class CsrBeamDecoder:
         Kc = min(o.rec_cap or o.max_active, o.max_active)
         rec_beam = o.rec_beam if o.rec_beam is not None else o.beam
         out = _csr_decode(*self._args(jnp.asarray(ll_scaled), mask), True,
-                          Kc=Kc, rec_beam=float(rec_beam))
+                          Kc=Kc, rec_beam=float(rec_beam),
+                          rec_f16=bool(o.rec_f16))
         # ONE device->host transfer for the whole record set (each
         # round trip costs ~40ms over the tunneled link; naive per-array
         # fetching pays it 13x)
@@ -800,12 +824,20 @@ class CsrBeamDecoder:
 
         def finish():
             (fs, fsc, best_slot, best_cost, ovf, sat, ist, isc, fst,
-             fsc_r, rec_trunc, act_sum, act_max) = fetch()
+             fsc_r, rec_trunc, act_sum, act_max, fbest, ibest) = fetch()
             self.last_overflow = ovf
             self.last_saturated = sat
             self.last_rec_trunc = rec_trunc
             self.last_active_sum = act_sum
             self.last_active_max = act_max
+            if o.rec_f16:
+                # reconstruct absolute f32 scores: rel + per-round best
+                # (masked slots were +inf; map back to the BIG sentinel)
+                fsc_r = fsc_r.astype(np.float32) + fbest[..., None]
+                fsc_r = np.where(np.isfinite(fsc_r), fsc_r,
+                                 np.float32(BIG))
+                isc = isc.astype(np.float32) + ibest[..., None]
+                isc = np.where(np.isfinite(isc), isc, np.float32(BIG))
             return dict(
                 init_states=ist, init_scores=isc,       # [B, R0, Kc]
                 states=fst, scores=fsc_r,               # [B, T, R, Kc]

@@ -69,6 +69,16 @@ def _pack_tree_flat(leaves):
         flat = x.reshape(-1)
         if flat.dtype == jnp.float32:
             flat = jax.lax.bitcast_convert_type(flat, jnp.int32)
+        elif flat.dtype == jnp.float16:
+            # two f16 per int32 word (little-endian pairing; host
+            # unpacks with a uint16 view) — keeps half-precision
+            # records at half the wire bytes
+            pad = (-flat.shape[0]) % 2
+            f = jnp.pad(flat, (0, pad))
+            u = jax.lax.bitcast_convert_type(f, jnp.uint16) \
+                .astype(jnp.uint32).reshape(-1, 2)
+            flat = jax.lax.bitcast_convert_type(
+                u[:, 0] | (u[:, 1] << 16), jnp.int32)
         elif flat.dtype == jnp.bool_:
             flat = flat.astype(jnp.int32)
         else:
@@ -94,14 +104,20 @@ def fetch_tree_async(tree):
         pos = 0
         for (shape, dtype) in metas:
             n = int(np.prod(shape)) if shape else 1
-            chunk = buf[pos: pos + n]
-            pos += n
-            if dtype == "float32":
-                arr = chunk.view(np.float32)
-            elif dtype == "bool":
-                arr = chunk.astype(bool)
+            if dtype == "float16":
+                words = (n + 1) // 2
+                chunk = buf[pos: pos + words]
+                pos += words
+                arr = chunk.view(np.float16)[:n]
             else:
-                arr = chunk
+                chunk = buf[pos: pos + n]
+                pos += n
+                if dtype == "float32":
+                    arr = chunk.view(np.float32)
+                elif dtype == "bool":
+                    arr = chunk.astype(bool)
+                else:
+                    arr = chunk
             out.append(arr.reshape(shape))
         return jax.tree_util.tree_unflatten(treedef, out)
 

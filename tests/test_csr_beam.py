@@ -540,3 +540,37 @@ def test_record_compaction_rec_beam(small_big_graph):
         words, tids, cost = lattice_best_path(lat)
         assert words == best[b][0]
         assert abs(cost - best[b][2]) < 1e-2
+
+
+def test_record_compaction_f16_matches_f32(small_big_graph):
+    """rec_f16 ships half-precision RELATIVE scores; reconstructed
+    absolute scores must match the f32 records to f16 quantization
+    (~0.008 within the rec_beam range), and the extracted lattice best
+    path must be identical."""
+    import dataclasses as dc
+    from kaldi_tpu.lat.generate import raw_lattice_from_decode
+    from kaldi_tpu.lat.functions import lattice_best_path
+    g = small_big_graph
+    rng = np.random.RandomState(13)
+    B, T, P = 2, 25, 64
+    ll = (rng.randn(B, T, P) * 3).astype(np.float32)
+    nf = np.array([25, 20], np.int32)
+    base = CsrBeamOpts(beam=10.0, max_active=256, acoustic_scale=0.1,
+                       expand_budget=8192, eps_budget=2048, rec_cap=128,
+                       rec_beam=8.0)
+    d32 = CsrBeamDecoder(g, base)
+    d16 = CsrBeamDecoder(g, dc.replace(base, rec_f16=True))
+    r32 = d32.decode_raw(ll, nf)
+    r16 = d16.decode_raw(ll, nf)
+    assert r16["scores"].dtype == np.float32   # reconstructed on host
+    alive = r32["scores"] < 5e9
+    assert (alive == (r16["scores"] < 5e9)).all()
+    assert np.abs(np.where(alive, r32["scores"] - r16["scores"], 0)
+                  ).max() < 0.02
+    for b in range(B):
+        l32 = raw_lattice_from_decode(d32, r32, nf, b, 6.0)
+        l16 = raw_lattice_from_decode(d16, r16, nf, b, 6.0)
+        w32, t32, c32 = lattice_best_path(l32)
+        w16, t16, c16 = lattice_best_path(l16)
+        assert w32 == w16 and t32 == t16
+        assert abs(c32 - c16) < 0.05
