@@ -53,7 +53,7 @@ def main():
     graph, n_tids = make_big_hclg(BigGraphConfig(
         vocab=300, avg_bigram_succ=20, num_pdfs=64, seed=1))
     rng = np.random.default_rng(0)
-    N_TRAIN, N_TEST, T = 12, 8, 1000
+    N_TRAIN, N_TEST, T = 12, 6, 600
     waves, segs, words = make_corpus(graph, N_TRAIN + N_TEST, T, rng,
                                      noise=0.25)
 
