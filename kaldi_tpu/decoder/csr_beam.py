@@ -361,23 +361,14 @@ def _dedup_topk(c_state, c_score, c_rec, c_il, K: int):
             rec2[:, :K], il2[:, :K])
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("start", "K", "CB", "CZ", "n_eps", "beam",
-                     "hub_bounds", "record_full", "Kc", "rec_beam",
-                     "rec_f16"))
-def _csr_decode(
-    ll,            # [B, T, P] scaled loglikes
-    frame_mask,    # [B, T] bool
-    srow, zrow, brow, zbrow, final,
-    hub_state_arr,  # [H] int32 device (or [1] dummy)
-    hub_rows, hub_cost, hub_onehot, hub_gpdf, hub_pdf,
-    start: int, K: int, CB: int, CZ: int, n_eps: int, beam: float,
-    hub_bounds: tuple, record_full: bool,
-    Kc: int = 0, rec_beam: float = 0.0,   # record compaction (see opts)
-    rec_f16: bool = False,
-):
-    B, T, P = ll.shape
+def _make_rounds(srow, zrow, brow, zbrow,
+                 hub_state_arr, hub_rows, hub_cost, hub_onehot, hub_gpdf,
+                 hub_pdf, hub_bounds: tuple,
+                 B: int, K: int, CB: int, CZ: int, beam: float):
+    """Build the per-frame (emit_round, eps_round) expansion programs over
+    the tier tables for a [B, K] frontier. Shared by the offline batch
+    decoders below and the fused streaming decoder
+    (kaldi_tpu/online/fused.py, B == 1) so both search identically."""
     kbits = max((K - 1).bit_length(), 1)
     H = len(hub_bounds) - 1
     AH = hub_rows.shape[0]
@@ -536,6 +527,32 @@ def _csr_decode(
         cst, csc, crec, cil = merge(cands)
         st, sc, rec, il = _dedup_topk(cst, csc, crec, cil, K)
         return st, sc, rec, il, ovf
+
+    return emit_round, eps_round
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("start", "K", "CB", "CZ", "n_eps", "beam",
+                     "hub_bounds", "record_full", "Kc", "rec_beam",
+                     "rec_f16"))
+def _csr_decode(
+    ll,            # [B, T, P] scaled loglikes
+    frame_mask,    # [B, T] bool
+    srow, zrow, brow, zbrow, final,
+    hub_state_arr,  # [H] int32 device (or [1] dummy)
+    hub_rows, hub_cost, hub_onehot, hub_gpdf, hub_pdf,
+    start: int, K: int, CB: int, CZ: int, n_eps: int, beam: float,
+    hub_bounds: tuple, record_full: bool,
+    Kc: int = 0, rec_beam: float = 0.0,   # record compaction (see opts)
+    rec_f16: bool = False,
+):
+    B, T, P = ll.shape
+    emit_round, eps_round = _make_rounds(
+        srow, zrow, brow, zbrow, hub_state_arr, hub_rows, hub_cost,
+        hub_onehot, hub_gpdf, hub_pdf, hub_bounds, B, K, CB, CZ, beam)
+    self_prev = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :],
+                                 (B, K))
 
     def compact_rec(s_eff, c_eff):
         """Mask + slice one recorded frontier snapshot: the frontier is

@@ -63,12 +63,19 @@ def _advance_chunk(tok_state, tok_score, ll_chunk, frame_mask,
             records.append((st, sc, pv, ol, il))
         out_st = jnp.where(mask_t, st, st0)
         out_sc = jnp.where(mask_t, sc, sc0)
-        rec = tuple(
-            (jnp.where(mask_t, r_st, st0), jnp.where(mask_t, r_sc, sc0),
-             jnp.where(mask_t, r_pv, jnp.arange(K)),
-             jnp.where(mask_t, r_ol, 0),
-             jnp.where(mask_t, r_il, 0))
-            for (r_st, r_sc, r_pv, r_ol, r_il) in records)
+        ident = jnp.arange(K)
+        zero = jnp.zeros(K, jnp.int32)
+        # pack all record fields of all rounds into ONE int32 block so the
+        # host fetch is a single device->host transfer (scores bitcast);
+        # over a high-latency link ~20 separate [chunk,K] fetches per
+        # chunk dominated streaming latency
+        rec = jnp.stack([
+            jnp.stack([jnp.where(mask_t, r_st, st0),
+                       jnp.where(mask_t, r_sc, sc0).view(jnp.int32),
+                       jnp.where(mask_t, r_pv, ident),
+                       jnp.where(mask_t, r_ol, zero),
+                       jnp.where(mask_t, r_il, zero)])
+            for (r_st, r_sc, r_pv, r_ol, r_il) in records])   # [R, 5, K]
         return (out_st, out_sc), rec
 
     return jax.lax.scan(frame_step, (tok_state, tok_score),
@@ -167,12 +174,13 @@ class OnlineDecoder:
                 self.base._tabs["pdf"],
                 o.max_active, self.base.E, o.eps_expansions, o.beam, chunk)
             self._tok = (st, sc)
-            recs = jax.tree.map(np.asarray, recs)
+            recs = np.asarray(recs)        # ONE fetch: [chunk, R, 5, K]
             n_real = int(mask.sum())
             for t in range(n_real):
                 self._records.append(tuple(
-                    (r_st[t], r_sc[t], r_pv[t], r_ol[t], r_il[t])
-                    for (r_st, r_sc, r_pv, r_ol, r_il) in recs))
+                    (recs[t, r, 0], recs[t, r, 1].view(np.float32),
+                     recs[t, r, 2], recs[t, r, 3], recs[t, r, 4])
+                    for r in range(recs.shape[1])))
             self.num_frames_decoded += n_real
 
     def _traceback(self, slot: int):

@@ -1,16 +1,22 @@
 """Streaming (online) decoding latency + RTF benchmark on one chip.
 
-Drives the online2-wav-nnet2-latgen-faster analogue — OnlineMfcc ->
-TDNN -> OnlineDecoder — chunk by chunk over synthetic utterances
-sampled from the decoding graph, and reports:
+Drives the online2-wav-nnet2-latgen-faster analogue chunk by chunk over
+synthetic utterances sampled from the decoding graph, and reports:
 
   online_rtf            total compute / total audio (OnlineTimingStats,
                         ref: online2/online-timing.h:41-83)
   chunk_latency_ms_p50/p95   wall time of one accept_waveform +
-                        advance_decoding call (160 ms audio chunks)
+                        advance (160 ms audio chunks), fully synced
   max_delay_s           worst lag behind the real-time audio clock
   streamed==offline     the parity contract: chunked hypotheses equal
                         whole-utterance decoding of the same audio
+
+Two paths are measured:
+  * fused (headline): FusedOnlineDecoder — framing+fbank+TDNN+token
+    passing as ONE jitted dispatch per chunk, device-resident state,
+    on-device traceback (kaldi_tpu/online/fused.py);
+  * generic: SingleUtteranceNnet2Decoder — the flexible host-driven
+    pipeline (i-vectors, CMVN, endpointing) with per-stage device calls.
 
 Writes STREAMING.json. Run alone on the chip (TPU processes serialize).
 """
@@ -41,6 +47,7 @@ def main():
     from kaldi_tpu.decoder.beam_search import (BeamSearchDecoder,
                                                BeamSearchOpts)
     from kaldi_tpu.online.features import OnlineMfcc
+    from kaldi_tpu.online.fused import FusedOnlineDecoder
     from kaldi_tpu.online.nnet2_decoding import (OnlineNnet2FeaturePipeline,
                                                  SingleUtteranceNnet2Decoder)
     from kaldi_tpu.online.timing import OnlineTimer, OnlineTimingStats
@@ -103,15 +110,48 @@ def main():
     nf = np.full(N_TEST, Tf, np.int32)
     off = base_dec.decode(ll_off, nf)
 
-    stats = OnlineTimingStats()
-    lat_ms = []
     chunk = int(SR * CHUNK_S)
-    mismatches = 0
+
+    # ---------------- fused path (headline) ----------------
+    fused = FusedOnlineDecoder(am, base_dec, fb_opts, chunk_samples=chunk,
+                               t_max=1024)
+    f_stats = OnlineTimingStats()
+    f_lat = []
+    f_mism = 0
     for pass_ in range(2):              # pass 0 = warmup/compile
         if pass_ == 1:
-            stats = OnlineTimingStats()
-            lat_ms = []
+            f_stats = OnlineTimingStats()
+            f_lat = []
         for u in range(N_TEST):
+            wave = waves[N_TRAIN + u]
+            fused.reset()
+            timer = OnlineTimer(f"u{u}")
+            pos = 0
+            while pos < len(wave):
+                t0 = time.perf_counter()
+                fused.accept_waveform(wave[pos: pos + chunk])
+                fused.sync()
+                f_lat.append((time.perf_counter() - t0) * 1e3)
+                pos += chunk
+                timer.wait_until(min(pos, len(wave)) / SR)
+            t0 = time.perf_counter()
+            fused.input_finished()
+            res = fused.best_path()
+            fin_ms = (time.perf_counter() - t0) * 1e3
+            timer.finish(f_stats)
+            if res is None or list(res[0]) != list(off[u][0]):
+                f_mism += 1
+    fp50, fp95 = np.percentile(f_lat, [50, 95])
+
+    # ---------------- generic path ----------------
+    g_stats = OnlineTimingStats()
+    g_lat = []
+    g_mism = 0
+    for pass_ in range(2):
+        if pass_ == 1:
+            g_stats = OnlineTimingStats()
+            g_lat = []
+        for u in range(min(N_TEST, 3)):
             wave = waves[N_TRAIN + u]
             fe = OnlineMfcc(fb_opts, computer=fbank)
             pipe = OnlineNnet2FeaturePipeline(fe)
@@ -123,26 +163,36 @@ def main():
                 t0 = time.perf_counter()
                 dec.pipeline.accept_waveform(wave[pos: pos + chunk])
                 dec.advance_decoding()
-                lat_ms.append((time.perf_counter() - t0) * 1e3)
+                g_lat.append((time.perf_counter() - t0) * 1e3)
                 pos += chunk
                 timer.wait_until(min(pos, len(wave)) / SR)
             dec.finalize_decoding()
-            timer.finish(stats)
+            timer.finish(g_stats)
             res = dec.best_path()
             if res is None or list(res[0]) != list(off[u][0]):
-                mismatches += 1
-    p50, p95 = np.percentile(lat_ms, [50, 95])
+                g_mism += 1
+    gp50, gp95 = np.percentile(g_lat, [50, 95])
+
     out = {
         "metric": ("online nnet2 streaming decode (OnlineFbank+TDNN+"
-                   "beam search), 160ms chunks, 1 chip"),
-        "online_rtf": round(stats.real_time_factor, 4),
-        "inv_rtf_streams_per_chip": round(1.0 / stats.real_time_factor, 1),
-        "chunk_latency_ms_p50": round(float(p50), 2),
-        "chunk_latency_ms_p95": round(float(p95), 2),
-        "max_delay_s": round(stats.max_delay, 3),
-        "audio_s": round(stats.total_audio, 1),
-        "streamed_equals_offline": mismatches == 0,
-        "hyp_mismatches": mismatches,
+                   "beam search), 160ms chunks, 1 chip, fused "
+                   "single-dispatch path"),
+        "online_rtf": round(f_stats.real_time_factor, 4),
+        "inv_rtf_streams_per_chip": round(
+            1.0 / max(f_stats.real_time_factor, 1e-9), 1),
+        "chunk_latency_ms_p50": round(float(fp50), 2),
+        "chunk_latency_ms_p95": round(float(fp95), 2),
+        "finalize_ms": round(fin_ms, 2),
+        "max_delay_s": round(f_stats.max_delay, 3),
+        "audio_s": round(f_stats.total_audio, 1),
+        "streamed_equals_offline": f_mism == 0,
+        "hyp_mismatches": f_mism,
+        "generic_path": {
+            "online_rtf": round(g_stats.real_time_factor, 4),
+            "chunk_latency_ms_p50": round(float(gp50), 2),
+            "chunk_latency_ms_p95": round(float(gp95), 2),
+            "streamed_equals_offline": g_mism == 0,
+        },
         "graph_states": graph.num_states,
         "graph_arcs": graph.num_arcs,
     }

@@ -1,0 +1,112 @@
+"""FusedOnlineDecoder: single-dispatch streaming == offline batch decode.
+
+The contract (ref: online2/online-nnet2-decoding.h:67 +
+online2bin/online2-wav-nnet2-latgen-faster.cc): however the audio is
+chunked, the streamed hypothesis must equal whole-utterance decoding —
+here checked against the offline batch decoder's words, tids and cost.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kaldi_tpu.ops import FbankOpts, FrameOpts, MelOpts, fbank
+from kaldi_tpu.nnet.tdnn import Tdnn, TdnnConfig
+from kaldi_tpu.nnet.am_nnet import AmNnet
+from kaldi_tpu.decoder.biggraph import make_big_hclg, BigGraphConfig
+from kaldi_tpu.decoder.beam_search import BeamSearchDecoder, BeamSearchOpts
+from kaldi_tpu.online.fused import FusedOnlineDecoder
+
+
+@pytest.fixture(scope="module")
+def setup():
+    fb_opts = FbankOpts(frame_opts=FrameOpts(dither=0.0),
+                        mel_opts=MelOpts(num_bins=24))
+    graph, n_tids = make_big_hclg(BigGraphConfig(
+        vocab=40, avg_bigram_succ=6, num_pdfs=16, seed=3))
+    cfg = TdnnConfig(feat_dim=24, num_pdfs=16, hidden_dim=64,
+                     pnorm_output_dim=32, nonlinearity="relu",
+                     splice_indexes=((-2, -1, 0, 1, 2), (-1, 2), (0,)))
+    model = Tdnn(cfg)
+    am = AmNnet(model, model.init(jax.random.PRNGKey(0)))
+    dec = BeamSearchDecoder(graph, BeamSearchOpts(
+        beam=11.0, max_active=128, acoustic_scale=0.1))
+    fused = FusedOnlineDecoder(am, dec, fb_opts, chunk_samples=2560,
+                               t_max=256)
+    return fb_opts, am, dec, fused
+
+
+def _offline(am, dec, wave, fb_opts):
+    feats = np.asarray(fbank(jnp.asarray(wave), fb_opts))
+    ll = am.loglikes_np(feats[None])
+    return dec.decode(ll, np.array([feats.shape[0]], np.int32))[0]
+
+
+def _stream(fused, wave, chunk):
+    fused.reset()
+    pos = 0
+    while pos < len(wave):
+        fused.accept_waveform(wave[pos: pos + chunk])
+        pos += chunk
+    fused.input_finished()
+    return fused.best_path()
+
+
+@pytest.mark.parametrize("chunk", [2560, 1000, 7000])
+def test_fused_equals_offline(setup, chunk):
+    fb_opts, am, dec, fused = setup
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        wave = (rng.standard_normal(rng.integers(9000, 30000))
+                .astype(np.float32) * 4000)
+        off_w, off_t, off_c = _offline(am, dec, wave, fb_opts)
+        got = _stream(fused, wave, chunk)
+        assert got is not None
+        w, t, c = got
+        assert list(w) == list(off_w)
+        assert list(t) == list(off_t)
+        assert c == pytest.approx(off_c, rel=1e-4, abs=1e-2)
+
+
+def test_fused_short_utterance(setup):
+    """Shorter than one dispatch chunk (ramp-up == flush)."""
+    fb_opts, am, dec, fused = setup
+    rng = np.random.default_rng(5)
+    wave = rng.standard_normal(1700).astype(np.float32) * 4000
+    off_w, off_t, off_c = _offline(am, dec, wave, fb_opts)
+    got = _stream(fused, wave, 2560)
+    assert got is not None
+    w, t, c = got
+    assert list(w) == list(off_w)
+    assert list(t) == list(off_t)
+    assert c == pytest.approx(off_c, rel=1e-4, abs=1e-2)
+
+
+def test_fused_partial_best_path(setup):
+    """Mid-stream partial results exist and final cost is finite."""
+    fb_opts, am, dec, fused = setup
+    rng = np.random.default_rng(7)
+    wave = rng.standard_normal(16000).astype(np.float32) * 4000
+    fused.reset()
+    fused.accept_waveform(wave[:8000])
+    partial = fused.best_path(use_final_probs=False)
+    assert partial is not None
+    assert np.isfinite(partial[2])
+    assert np.isfinite(fused.final_relative_cost())
+    fused.accept_waveform(wave[8000:])
+    fused.input_finished()
+    final = fused.best_path()
+    off_w, _t, _c = _offline(am, dec, wave, fb_opts)
+    assert list(final[0]) == list(off_w)
+
+
+def test_fused_subframe_feeds(setup):
+    """Many tiny accept_waveform calls (smaller than one frame)."""
+    fb_opts, am, dec, fused = setup
+    rng = np.random.default_rng(9)
+    wave = rng.standard_normal(12000).astype(np.float32) * 4000
+    off_w, off_t, off_c = _offline(am, dec, wave, fb_opts)
+    got = _stream(fused, wave, 130)
+    assert list(got[0]) == list(off_w)
+    assert list(got[1]) == list(off_t)
