@@ -15,6 +15,12 @@ on-device (reverse scan of gathers) and ships only the label sequence.
 This is what makes streaming viable over a high-latency host<->TPU link:
 per-chunk wall time is one round trip, not one per pipeline stage.
 
+Two search engines plug into the same fused front-end:
+  * CsrBeamDecoder (production): the degree-tiered expansion
+    (csr_beam._make_rounds) — per-frame work O(visited arcs);
+  * BeamSearchDecoder: the padded [S, E] expansion — fine for small
+    max-out-degree graphs, O(K * E_max) per frame otherwise.
+
 Numerical parity with offline decoding is preserved by construction:
   * frames depend only on their own sample window (snip-edges), so
     chunk-relative framing at the same absolute sample offsets is exact;
@@ -29,14 +35,13 @@ Numerical parity with offline decoding is preserved by construction:
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from kaldi_tpu.decoder.beam_search import (BeamSearchDecoder, _dedup_prune,
                                            BIG)
+from kaldi_tpu.decoder.csr_beam import CsrBeamDecoder, _make_rounds
 from kaldi_tpu.ops.features import fbank, FbankOpts
 from kaldi_tpu.ops.window import num_frames
 
@@ -51,7 +56,7 @@ class FusedOnlineDecoder:
     Parameters
     ----------
     am : AmNnet              acoustic model (priors folded on device)
-    dec : BeamSearchDecoder  packed graph + search options
+    dec : CsrBeamDecoder | BeamSearchDecoder   packed graph + search opts
     feat_opts : FbankOpts    frame/mel options (dither must be 0 and
                              snip_edges True for exact offline parity)
     chunk_samples : int      dispatch granularity; multiple of the frame
@@ -60,7 +65,7 @@ class FusedOnlineDecoder:
     computer                 feature fn(wave, opts) -> [T, D] (fbank)
     """
 
-    def __init__(self, am, dec: BeamSearchDecoder, feat_opts: FbankOpts,
+    def __init__(self, am, dec, feat_opts: FbankOpts,
                  chunk_samples: int = 2560, t_max: int = 2048,
                  computer=fbank):
         fo = feat_opts.frame_opts
@@ -92,27 +97,64 @@ class FusedOnlineDecoder:
         o = dec.opts
         self.K = int(o.max_active)
         self.R = 1 + int(o.eps_expansions)
+        self._is_csr = isinstance(dec, CsrBeamDecoder)
         self._log_prior = jnp.asarray(
             np.log(np.maximum(np.asarray(am.priors), 1e-20)), jnp.float32)
         self._feat_dim = model.config.feat_dim
-        self._build_programs()
+        if self._is_csr:
+            self._final_np = np.asarray(dec.tabs.final)
+            self._kbits = max((self.K - 1).bit_length(), 1)
+            self._kmask = np.int32((1 << self._kbits) - 1)
+            self._build_csr()
+        else:
+            self._final_np = np.asarray(dec._final)
+            self._build_padded()
         self._init_closure()
         self.reset()
 
-    # ---------------------------------------------------------------- jit
+    # ---------------------------------------------------- shared front-end
 
-    def _build_programs(self):
+    def _make_feat_am(self):
+        """Sample ring -> fbank -> feature ring -> TDNN window scoring;
+        returns scaled pseudo-loglikes for the chunk's decode block."""
+        C, F, M, Mw, lc = self.C, self.F, self.M, self.Mw, self.lc
+        model = self.am.model
+        computer, feat_opts = self.computer, self.feat_opts
+        ascale = float(self.dec.opts.acoustic_scale)
+
+        def feat_am(buf, fifo, nhist, chunk, nf, v0, d0, total, params,
+                    log_prior):
+            # 1. sample ring: newest C samples enter on the right
+            buf = jnp.concatenate([buf, chunk])[C:]
+            # 2. framing + fbank over the ring (frame grid stays aligned
+            #    to absolute sample offsets because BUF % shift == 0)
+            fr = computer(buf, feat_opts)                  # [F, D]
+            rolled = jnp.roll(fr, -v0, axis=0)             # valid at front
+            cat = jnp.concatenate([fifo, rolled])
+            fifo = jax.lax.dynamic_slice_in_dim(cat, nf, M, axis=0)
+            nhist = jnp.minimum(nhist + nf, M)
+            # 3. AM scoring window: frames [d0-lc, d0+ndmax-1+rc] gathered
+            #    from the ring with edge clamping (== pad_context at the
+            #    true stream edges, exact history elsewhere)
+            gidx = d0 - lc + jnp.arange(Mw)
+            fidx = jnp.clip(gidx - total + M, M - nhist, M - 1)
+            window = fifo[fidx]
+            log_post = model.apply(params, window, pad_context=False)
+            ll = (log_post - log_prior) * ascale           # [ndmax, P]
+            return buf, fifo, nhist, ll
+
+        return feat_am
+
+    # ----------------------------------------------------- padded engine
+
+    def _build_padded(self):
         o = self.dec.opts
         K, E = self.K, self.dec.E
         n_eps = int(o.eps_expansions)
         beam = float(o.beam)
-        ascale = float(o.acoustic_scale)
-        C, BUF, F, M, Mw, ndmax = (self.C, self.BUF, self.F, self.M,
-                                   self.Mw, self.ndmax)
-        lc, R, t_max = self.lc, self.R, self.t_max
-        model = self.am.model
-        computer, feat_opts = self.computer, self.feat_opts
+        ndmax, R, t_max = self.ndmax, self.R, self.t_max
         tabs = self.dec._tabs
+        feat_am = self._make_feat_am()
 
         def expand(st, sc, frame_ll, emitting):
             arcs_i = tabs["ilabel"][st]
@@ -150,7 +192,8 @@ class FusedOnlineDecoder:
                 mpv = jnp.concatenate([jnp.arange(K), epv])
                 mol = jnp.concatenate([jnp.zeros(K, jnp.int32), eol])
                 mil = jnp.concatenate([jnp.zeros(K, jnp.int32), eil])
-                st, sc, pv, ol, il = _dedup_prune(mst, msc, mpv, mol, mil, K)
+                st, sc, pv, ol, il = _dedup_prune(mst, msc, mpv, mol,
+                                                  mil, K)
                 records.append((pv, ol, il))
             out_st = jnp.where(mask_t, st, st0)
             out_sc = jnp.where(mask_t, sc, sc0)
@@ -164,41 +207,24 @@ class FusedOnlineDecoder:
             return (out_st, out_sc), rec
 
         def step(carry, chunk, nf, v0, nd, d0, total, params, log_prior):
-            """One audio chunk: returns the advanced carry. All scalars
-            (nf/v0/nd/d0/total) are traced — one compiled program serves
-            ramp-up, steady state, and the final flush."""
             buf, fifo, nhist, st, sc, arena = carry
-            # 1. sample ring: newest C samples enter on the right
-            buf = jnp.concatenate([buf, chunk])[C:]
-            # 2. framing + fbank over the ring (frame grid stays aligned
-            #    to absolute sample offsets because BUF % shift == 0)
-            fr = computer(buf, feat_opts)                  # [F, D]
-            rolled = jnp.roll(fr, -v0, axis=0)             # valid at front
-            cat = jnp.concatenate([fifo, rolled[:F]])
-            fifo = jax.lax.dynamic_slice_in_dim(cat, nf, M, axis=0)
-            nhist = jnp.minimum(nhist + nf, M)
-            # 3. AM scoring window: frames [d0-lc, d0+ndmax-1+rc] gathered
-            #    from the ring with edge clamping (== pad_context at the
-            #    true stream edges, exact history elsewhere)
-            gidx = d0 - lc + jnp.arange(Mw)
-            fidx = jnp.clip(gidx - total + M, M - nhist, M - 1)
-            window = fifo[fidx]
-            log_post = model.apply(params, window, pad_context=False)
-            ll = (log_post - log_prior) * ascale           # [ndmax, P]
-            # 4. token passing over the nd newly-complete frames
+            buf, fifo, nhist, ll = feat_am(
+                buf, fifo, nhist, chunk, nf, v0, d0, total, params,
+                log_prior)
             mask = jnp.arange(ndmax) < nd
             (st, sc), recs = jax.lax.scan(frame_step, (st, sc), (ll, mask))
             arena = jax.lax.dynamic_update_slice_in_dim(
-                arena, recs, d0, axis=0)                   # [t_max, R, 3, K]
+                arena, recs, d0, axis=0)                   # [t_max,R,3,K]
             return (buf, fifo, nhist, st, sc, arena)
 
         self._step = jax.jit(step, donate_argnums=(0,))
 
         final = self.dec._final
 
-        def traceback(arena, st, sc, total, use_final):
+        def traceback(carry, total, use_final):
             """On-device reverse walk; ships [t_max, R] labels, not the
             arena (ref: lattice-faster-online-decoder.h BestPathIterator)."""
+            _b, _f, _n, st, sc, arena = carry
             costs = sc + final[st]
             has_final = jnp.min(costs) < BIG / 2
             use_f = jnp.logical_and(use_final, has_final)
@@ -217,7 +243,6 @@ class FusedOnlineDecoder:
 
             slot_end, (ols, ils) = jax.lax.scan(
                 tstep, slot0, jnp.arange(t_max), reverse=True)
-            # one flat int32 buffer -> one device->host transfer
             flat = jnp.concatenate([
                 ols.reshape(-1), ils.reshape(-1),
                 slot_end.reshape(1),
@@ -226,6 +251,7 @@ class FusedOnlineDecoder:
             return flat
 
         self._traceback = jax.jit(traceback)
+        self._ils_cols = R
 
         def closure(st, sc):
             recs = []
@@ -237,28 +263,156 @@ class FusedOnlineDecoder:
                 mpv = jnp.concatenate([jnp.arange(K), epv])
                 mol = jnp.concatenate([jnp.zeros(K, jnp.int32), eol])
                 mil = jnp.concatenate([jnp.zeros(K, jnp.int32), eil])
-                st, sc, pv, ol, il = _dedup_prune(mst, msc, mpv, mol, mil, K)
+                st, sc, pv, ol, il = _dedup_prune(mst, msc, mpv, mol,
+                                                  mil, K)
                 recs.append((pv, ol))
             return st, sc, recs
 
         self._closure = jax.jit(closure)
+
+    def _arena_init(self):
+        if self._is_csr:
+            return (jnp.zeros((self.t_max, self.R, self.K), jnp.int32),
+                    jnp.zeros((self.t_max, self.K), jnp.int32))
+        return (jnp.zeros((self.t_max, self.R, 3, self.K), jnp.int32),)
+
+    # -------------------------------------------------------- csr engine
+
+    def _build_csr(self):
+        dec = self.dec
+        o = dec.opts
+        K = self.K
+        n_eps = int(o.eps_expansions)
+        beam = float(o.beam)
+        CB, CZ = int(o.expand_budget), int(o.eps_budget)
+        ndmax, R, t_max = self.ndmax, self.R, self.t_max
+        kbits, kmask = self._kbits, int(self._kmask)
+        t = dec.tabs
+        feat_am = self._make_feat_am()
+
+        def rounds():
+            return _make_rounds(
+                t.srow, t.zrow, t.brow, t.zbrow, dec._hub_state_arr,
+                t.hub_rows, t.hub_cost, t.hub_onehot, t.hub_gpdf,
+                t.hub_pdf, t.hub_bounds, 1, K, CB, CZ, beam)
+
+        self_prev = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None],
+                                     (1, K))
+
+        def frame_step(carry, inputs):
+            st0, sc0 = carry                   # [1, K]
+            ll_t, mask_t = inputs              # [1, P], [1]
+            emit_round, eps_round = rounds()
+            st, sc, rec, il, _ovf = emit_round(st0, sc0, ll_t)
+            recs = [rec]
+            for _ in range(n_eps):
+                st, sc, rec, _il, _o = eps_round(st, sc)
+                recs.append(rec)
+            m = mask_t[:, None]
+            out_st = jnp.where(m, st, st0)
+            out_sc = jnp.where(m, sc, sc0)
+            rec_blob = jnp.stack(
+                [jnp.where(m, r, self_prev)[0] for r in recs])  # [R, K]
+            il_blob = jnp.where(m, il, 0)[0]                    # [K]
+            return (out_st, out_sc), (rec_blob, il_blob)
+
+        def step(carry, chunk, nf, v0, nd, d0, total, params, log_prior):
+            buf, fifo, nhist, st, sc, arena, ilar = carry
+            buf, fifo, nhist, ll = feat_am(
+                buf, fifo, nhist, chunk, nf, v0, d0, total, params,
+                log_prior)
+            mask = jnp.arange(ndmax) < nd
+            (st, sc), (recs, ils) = jax.lax.scan(
+                frame_step, (st, sc), (ll[:, None, :], mask[:, None]))
+            arena = jax.lax.dynamic_update_slice_in_dim(
+                arena, recs, d0, axis=0)                  # [t_max, R, K]
+            ilar = jax.lax.dynamic_update_slice_in_dim(
+                ilar, ils, d0, axis=0)                    # [t_max, K]
+            return (buf, fifo, nhist, st, sc, arena, ilar)
+
+        self._step = jax.jit(step, donate_argnums=(0,))
+
+        final = t.final
+
+        def traceback(carry, total, use_final):
+            _b, _f, _n, st, sc, arena, ilar = carry
+            st0, sc0 = st[0], sc[0]
+            costs = sc0 + final[st0]
+            has_final = jnp.min(costs) < BIG / 2
+            use_f = jnp.logical_and(use_final, has_final)
+            slot0 = jnp.where(use_f, jnp.argmin(costs), jnp.argmin(sc0))
+            cost0 = jnp.where(use_f, jnp.min(costs), jnp.min(sc0))
+            alive = jnp.min(sc0) < BIG / 2
+
+            def tstep(slot, t):
+                # unwind eps rounds first; the transition id is read at
+                # the EMITTING-round slot (matching _csr_decode_traced)
+                active = t < total
+                ols = [None] * R
+                s = slot
+                for r in range(R - 1, 0, -1):
+                    pr = arena[t, r, s]
+                    ols[r] = jnp.where(active, pr >> kbits, 0)
+                    s = jnp.where(active, pr & kmask, s)
+                il = jnp.where(active, ilar[t, s], 0)
+                pr = arena[t, 0, s]
+                ols[0] = jnp.where(active, pr >> kbits, 0)
+                s = jnp.where(active, pr & kmask, s)
+                s = jnp.where(active, s, slot)
+                return s, (jnp.stack(ols), il)
+
+            slot_end, (ols, ils) = jax.lax.scan(
+                tstep, slot0, jnp.arange(t_max), reverse=True)
+            flat = jnp.concatenate([
+                ols.reshape(-1), ils.reshape(-1),
+                slot_end.reshape(1),
+                jnp.asarray(cost0, jnp.float32).reshape(1).view(jnp.int32),
+                alive.astype(jnp.int32).reshape(1)])
+            return flat
+
+        self._traceback = jax.jit(traceback)
+        self._ils_cols = 1
+
+        def closure(st, sc):
+            _emit, eps_round = rounds()
+            recs = []
+            for _ in range(n_eps):
+                st, sc, rec, _il, _o = eps_round(st, sc)
+                recs.append(rec[0])
+            return st, sc, recs
+
+        self._closure = jax.jit(closure)
+
+    # ------------------------------------------------------ init closure
 
     def _init_closure(self):
         """Initial eps closure from the start state — graph-constant, so
         run once on device (same expand/dedup program as offline decode)
         and reuse for every utterance."""
         K = self.K
-        st = np.zeros(K, np.int32)
-        sc = np.full(K, BIG, np.float32)
-        st[0] = self.dec.graph.start
-        sc[0] = 0.0
+        if self._is_csr:
+            start = int(self.dec.csr.start)
+            st = np.zeros((1, K), np.int32)
+            sc = np.full((1, K), BIG, np.float32)
+            st[0, 0] = start
+            sc[0, 0] = 0.0
+        else:
+            st = np.zeros(K, np.int32)
+            sc = np.full(K, BIG, np.float32)
+            st[0] = self.dec.graph.start
+            sc[0] = 0.0
         cst, csc, recs = self._closure(jnp.asarray(st), jnp.asarray(sc))
         # host copies: the per-step carry is donated, so each reset() must
         # materialize FRESH device arrays for the initial frontier
         self._init_st_np = np.asarray(cst)
         self._init_sc_np = np.asarray(csc)
-        self._init_records = [(np.asarray(pv), np.asarray(ol))
-                              for (pv, ol) in recs]
+        if self._is_csr:
+            self._init_records = [
+                (np.asarray(r) & self._kmask,
+                 np.asarray(r) >> self._kbits) for r in recs]
+        else:
+            self._init_records = [(np.asarray(pv), np.asarray(ol))
+                                  for (pv, ol) in recs]
 
     # ------------------------------------------------------------- stream
 
@@ -270,8 +424,7 @@ class FusedOnlineDecoder:
             jnp.asarray(0, jnp.int32),
             jnp.asarray(self._init_st_np),
             jnp.asarray(self._init_sc_np),
-            jnp.zeros((self.t_max, self.R, 3, self.K), jnp.int32),
-        )
+        ) + self._arena_init()
         self._staging = np.zeros(0, np.float32)
         self._samples = 0          # true samples accepted
         self._chunks = 0           # C-sized chunks dispatched
@@ -333,22 +486,23 @@ class FusedOnlineDecoder:
         measurement; the dispatches themselves are async)."""
         jax.block_until_ready(self._carry[4])
 
-    # ----------------------------------------------------------- results
+    # ------------------------------------------------------------ results
 
     def best_path(self, use_final_probs: bool = True):
         """-> (words, tids, cost) or None; partial result when called
         before input_finished() (ref: lattice-faster-online-decoder.h
         BestPathIterator / GetBestPath)."""
-        _b, _f, _n, st, sc, arena = self._carry
         flat = np.asarray(self._traceback(
-            arena, st, sc, jnp.asarray(self._decoded, jnp.int32),
+            self._carry, jnp.asarray(self._decoded, jnp.int32),
             jnp.asarray(use_final_probs)))
-        n = self.t_max * self.R
-        ols = flat[:n].reshape(self.t_max, self.R)
-        ils = flat[n:2 * n].reshape(self.t_max, self.R)
-        slot_end = int(flat[2 * n])
-        cost = float(flat[2 * n + 1:2 * n + 2].view(np.float32)[0])
-        alive = bool(flat[2 * n + 2])
+        n_ol = self.t_max * self.R
+        n_il = self.t_max * self._ils_cols
+        ols = flat[:n_ol].reshape(self.t_max, self.R)
+        ils = flat[n_ol:n_ol + n_il].reshape(self.t_max, self._ils_cols)
+        slot_end = int(flat[n_ol + n_il])
+        cost = float(flat[n_ol + n_il + 1:n_ol + n_il + 2]
+                     .view(np.float32)[0])
+        alive = bool(flat[n_ol + n_il + 2])
         if not alive:
             return None
         t_used = self._decoded
@@ -358,20 +512,18 @@ class FusedOnlineDecoder:
         init_words = []
         slot = slot_end
         for (pv, ol) in reversed(self._init_records):
-            o = int(ol[slot])
+            o = int(ol.reshape(-1)[slot])
             if o != 0:
                 init_words.append(o)
-            slot = int(pv[slot])
+            slot = int(pv.reshape(-1)[slot])
         return init_words[::-1] + words, tids, cost
 
     def final_relative_cost(self) -> float:
         """(ref: lattice-faster-online-decoder FinalRelativeCost; feeds
         the endpointing rules)."""
-        _b, _f, _n, st, sc, _a = self._carry
-        sc = np.asarray(sc)
-        st = np.asarray(st)
-        final = np.asarray(self.dec._final)
+        sc = np.asarray(self._carry[4]).reshape(-1)
+        st = np.asarray(self._carry[3]).reshape(-1)
         best = sc.min()
         if best >= BIG / 2:
             return float("inf")
-        return float((sc + final[st]).min() - best)
+        return float((sc + self._final_np[st]).min() - best)

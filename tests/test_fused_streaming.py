@@ -3,7 +3,8 @@
 The contract (ref: online2/online-nnet2-decoding.h:67 +
 online2bin/online2-wav-nnet2-latgen-faster.cc): however the audio is
 chunked, the streamed hypothesis must equal whole-utterance decoding —
-here checked against the offline batch decoder's words, tids and cost.
+here checked against the offline batch decoders' words, tids and cost,
+for both search engines (padded expand and degree-tiered CSR).
 """
 
 import numpy as np
@@ -16,11 +17,12 @@ from kaldi_tpu.nnet.tdnn import Tdnn, TdnnConfig
 from kaldi_tpu.nnet.am_nnet import AmNnet
 from kaldi_tpu.decoder.biggraph import make_big_hclg, BigGraphConfig
 from kaldi_tpu.decoder.beam_search import BeamSearchDecoder, BeamSearchOpts
+from kaldi_tpu.decoder.csr_beam import CsrBeamDecoder, CsrBeamOpts
 from kaldi_tpu.online.fused import FusedOnlineDecoder
 
 
-@pytest.fixture(scope="module")
-def setup():
+@pytest.fixture(scope="module", params=["padded", "csr"])
+def setup(request):
     fb_opts = FbankOpts(frame_opts=FrameOpts(dither=0.0),
                         mel_opts=MelOpts(num_bins=24))
     graph, n_tids = make_big_hclg(BigGraphConfig(
@@ -30,8 +32,13 @@ def setup():
                      splice_indexes=((-2, -1, 0, 1, 2), (-1, 2), (0,)))
     model = Tdnn(cfg)
     am = AmNnet(model, model.init(jax.random.PRNGKey(0)))
-    dec = BeamSearchDecoder(graph, BeamSearchOpts(
-        beam=11.0, max_active=128, acoustic_scale=0.1))
+    if request.param == "padded":
+        dec = BeamSearchDecoder(graph, BeamSearchOpts(
+            beam=11.0, max_active=128, acoustic_scale=0.1))
+    else:
+        dec = CsrBeamDecoder(graph, CsrBeamOpts(
+            beam=11.0, max_active=128, acoustic_scale=0.1,
+            expand_budget=2048, eps_budget=512, hub_threshold=64))
     fused = FusedOnlineDecoder(am, dec, fb_opts, chunk_samples=2560,
                                t_max=256)
     return fb_opts, am, dec, fused
