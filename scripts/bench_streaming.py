@@ -152,6 +152,46 @@ def main():
                 f_mism += 1
     fp50, fp95 = np.percentile(f_lat, [50, 95])
 
+    # ---------------- batched serving (N lockstep streams) ----------------
+    from kaldi_tpu.online.serving import FusedStreamingServer
+    N_STREAMS = 16
+    srv = FusedStreamingServer(am, csr_dec, fb_opts, n_streams=N_STREAMS,
+                               chunk_samples=chunk, t_max=1024)
+    s_mism = 0
+    step_ms = []
+    for pass_ in range(2):              # pass 0 = warmup/compile
+        if pass_ == 1:
+            step_ms = []
+        slots = [srv.open() for _ in range(N_STREAMS)]
+        utts = [waves[N_TRAIN + (i % N_TEST)] for i in range(N_STREAMS)]
+        pos = [0] * N_STREAMS
+        while any(p < len(w) for p, w in zip(pos, utts)):
+            for i in range(N_STREAMS):
+                if pos[i] < len(utts[i]):
+                    srv.feed(slots[i], utts[i][pos[i]: pos[i] + chunk])
+                    pos[i] += chunk
+                elif pos[i] == len(utts[i]) or pos[i] > len(utts[i]):
+                    if not srv._want_flush[slots[i]]:
+                        srv.input_finished(slots[i])
+            t0 = time.perf_counter()
+            srv.step()
+            srv.sync()
+            step_ms.append((time.perf_counter() - t0) * 1e3)
+        for i in range(N_STREAMS):
+            if not srv._want_flush[slots[i]]:
+                srv.input_finished(slots[i])
+            srv.drain(slots[i])
+            res = srv.best_path(slots[i])
+            if res is None or \
+                    list(res[0]) != list(off_csr[i % N_TEST][0]):
+                s_mism += 1
+            srv.close(slots[i])
+    sp50, sp95 = np.percentile(step_ms, [50, 95])
+    # capacity: streams the chip sustains in real time at this step cost
+    # (each lockstep step advances every stream by one 160 ms chunk)
+    agg_audio_per_s = N_STREAMS * CHUNK_S / (np.mean(step_ms) / 1e3)
+    capacity = int(N_STREAMS * (CHUNK_S * 1e3) / max(sp95, 1e-9))
+
     # ---------------- generic path ----------------
     g_stats = OnlineTimingStats()
     g_lat = []
@@ -196,6 +236,15 @@ def main():
         "audio_s": round(f_stats.total_audio, 1),
         "streamed_equals_offline": f_mism == 0,
         "hyp_mismatches": f_mism,
+        "serving": {
+            "n_streams_lockstep": N_STREAMS,
+            "step_ms_p50": round(float(sp50), 2),
+            "step_ms_p95": round(float(sp95), 2),
+            "aggregate_audio_per_s": round(float(agg_audio_per_s), 1),
+            "realtime_stream_capacity_per_chip": capacity,
+            "streamed_equals_offline": s_mism == 0,
+            "hyp_mismatches": s_mism,
+        },
         "generic_path": {
             "online_rtf": round(g_stats.real_time_factor, 4),
             "chunk_latency_ms_p50": round(float(gp50), 2),
