@@ -310,10 +310,15 @@ def main():
     # shipped slots below, typical ~1.6%)
     LATTICE_BEAM = 8.0
     rec_cap = int(min(K, 3072))
+    # rec_flat: bin-packed alive-prefix records — the wire ships
+    # sum-of-alive slots (~mean occupancy 260/frame measured) instead of
+    # rec_cap-padded rows; 512 slots/frame average = ~2x margin, with
+    # exact dense-mode fallback on overflow
     lat_dec = CsrBeamDecoder(graph, CsrBeamOpts(
         beam=13.0, max_active=K, acoustic_scale=0.1,
         expand_budget=CB, eps_budget=2048, rec_cap=rec_cap,
-        rec_beam=LATTICE_BEAM, rec_f16=True))
+        rec_beam=LATTICE_BEAM, rec_f16=True,
+        rec_flat=True, rec_flat_cap=256 if SMOKE else 512))
     ll_l = np.asarray(am_scores(waves_test))
     # steady-state pipelined latgen: device decode of batch i+2 overlaps
     # the device->host compacted-record fetch of batch i+1 and the
@@ -424,6 +429,7 @@ def main():
         "lattice_rec_cap": rec_cap,
         "lattice_rec_trunc": trunc_total,
         "lattice_rec_trunc_pct_slots": round(trunc_pct, 2),
+        "lattice_rec_flat_fallbacks": lat_dec.last_flat_fallbacks,
         "lattice_arcs_emitted": n_lat_arcs,
         "rescore_const_arpa_audio_per_s": round(resc_audio_per_s, 2),
         "rescore_lm_ngrams": n_ngrams,

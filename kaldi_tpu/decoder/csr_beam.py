@@ -104,6 +104,17 @@ class CsrBeamOpts:
                                  # ~0.008 quantization within the
                                  # rec_beam range — decode_raw
                                  # reconstructs f32 absolutes on host
+    # flat bin-packed records: the alive prefix of every snapshot is
+    # packed contiguously into one per-utterance buffer on device, so
+    # the host link ships ~mean-occupancy slots per frame instead of
+    # rec_cap-padded rows (within-lattice-beam occupancy is typically
+    # ~10x below the cap; the cap only binds on fan-out frames). The
+    # host rebuilds the dense [T, R, Keff] view for the extractors.
+    rec_flat: bool = False
+    rec_flat_cap: int = 512      # flat-buffer slots per (frame, round):
+                                 # CAPB = rec_flat_cap * T * R; overflow
+                                 # triggers a dense-mode re-decode and is
+                                 # counted in last_flat_fallbacks
 
 
 @dataclasses.dataclass
@@ -535,7 +546,7 @@ def _make_rounds(srow, zrow, brow, zbrow,
     jax.jit,
     static_argnames=("start", "K", "CB", "CZ", "n_eps", "beam",
                      "hub_bounds", "record_full", "Kc", "rec_beam",
-                     "rec_f16"))
+                     "rec_f16", "rec_flat", "CAPB"))
 def _csr_decode(
     ll,            # [B, T, P] scaled loglikes
     frame_mask,    # [B, T] bool
@@ -546,6 +557,7 @@ def _csr_decode(
     hub_bounds: tuple, record_full: bool,
     Kc: int = 0, rec_beam: float = 0.0,   # record compaction (see opts)
     rec_f16: bool = False,
+    rec_flat: bool = False, CAPB: int = 0,  # flat bin-packed records
 ):
     B, T, P = ll.shape
     emit_round, eps_round = _make_rounds(
@@ -571,10 +583,13 @@ def _csr_decode(
         else:
             sc_out = jnp.where(keep, c_eff, BIG)[:, :Kc]
         return (s_eff[:, :Kc], sc_out, best,
-                jnp.maximum(n_alive - Kc, 0))
+                jnp.maximum(n_alive - Kc, 0), n_alive)
 
     def frame_step(carry, inputs):
-        tok_state, tok_score = carry
+        if record_full and rec_flat:
+            tok_state, tok_score, fbst, fbsc, cursor, fovf = carry
+        else:
+            tok_state, tok_score = carry
         ll_t, mask_t = inputs                  # [B, P], [B]
         m = mask_t[:, None]
         st, sc, rec, il, ovf = emit_round(tok_state, tok_score, ll_t)
@@ -605,9 +620,40 @@ def _csr_decode(
             # it enters the scan outputs — HBM and fetch cost scale
             # with Kc, not K.
             trunc = jnp.zeros(B, jnp.int32)
+            if rec_flat:
+                # bin-pack the alive prefix of each snapshot into a flat
+                # per-utterance buffer: the frontier is score-sorted, so
+                # within-rec_beam slots are a contiguous prefix; writing
+                # a fixed Kc-slot window at a cursor that advances only
+                # by the alive count lets the next round overwrite the
+                # dead tail — no scatter, and the host link ships the
+                # packed buffer (~mean-occupancy slots/frame) instead of
+                # a Kc-padded one (measured ~12x fewer live bytes at the
+                # bench operating point, rec_cap=3072 vs mean ~260 alive)
+                cnt_l, cb_l = [], []
+                for (s, c) in full:
+                    s_c, c_c, b_c, tr, n_alive = compact_rec(
+                        jnp.where(m, s, tok_state),
+                        jnp.where(m, c, tok_score))
+                    w = jnp.where(mask_t, jnp.minimum(n_alive, Kc), 0)
+                    safe = jnp.minimum(cursor, CAPB - Kc)
+                    fovf = fovf | (mask_t & (cursor > CAPB - Kc))
+                    upd = jax.vmap(
+                        lambda buf, v, s0: jax.lax.
+                        dynamic_update_slice_in_dim(buf, v, s0, axis=0))
+                    fbst = upd(fbst, s_c, safe)
+                    fbsc = upd(fbsc, c_c, safe)
+                    cursor = cursor + w
+                    cnt_l.append(w)
+                    cb_l.append(b_c)
+                    trunc = trunc + jnp.where(mask_t, tr, 0)
+                ys = (jnp.where(mask_t, ovf, 0), sat, jnp.stack(cnt_l),
+                      trunc, n_act, jnp.stack(cb_l))
+                return (out_state, out_score, fbst, fbsc, cursor,
+                        fovf), ys
             cs_l, cc_l, cb_l = [], [], []
             for (s, c) in full:
-                s_c, c_c, b_c, tr = compact_rec(
+                s_c, c_c, b_c, tr, _na = compact_rec(
                     jnp.where(m, s, tok_state),
                     jnp.where(m, c, tok_score))
                 cs_l.append(s_c)
@@ -633,11 +679,21 @@ def _csr_decode(
         init_full.append((st, sc))
     init_recs = (jnp.stack(init_recs, axis=1) if init_recs
                  else jnp.zeros((B, 0, K), jnp.int32))
-    (fs, fsc), ys = jax.lax.scan(
-        frame_step, (st, sc),
+    rec_dtype = jnp.float16 if rec_f16 else jnp.float32
+    carry0 = (st, sc)
+    if record_full and rec_flat:
+        carry0 = (st, sc,
+                  jnp.zeros((B, CAPB), jnp.int32),
+                  jnp.full((B, CAPB), np.inf if rec_f16 else BIG,
+                           rec_dtype),
+                  jnp.zeros(B, jnp.int32), jnp.zeros(B, bool))
+    carry_out, ys = jax.lax.scan(
+        frame_step, carry0,
         (jnp.moveaxis(ll, 1, 0), jnp.moveaxis(frame_mask, 1, 0)))
+    fs, fsc = carry_out[0], carry_out[1]
     if record_full:
-        ovf, sat, n_act = ys[0], ys[1], ys[5]
+        ovf, sat = ys[0], ys[1]
+        n_act = ys[4] if rec_flat else ys[5]
     else:
         recs, il_emit, ovf, sat, n_act = ys     # [T,R,B,K],[T,B,K],[T,B]
         recs = jnp.moveaxis(recs, 2, 0)         # [B, T, R, K]
@@ -657,18 +713,26 @@ def _csr_decode(
                           best_any_slot).astype(jnp.int32)
     best_cost = jnp.where(reached_final, best_final_cost, best_any_cost)
     if record_full:
-        rec_dtype = jnp.float16 if rec_f16 else jnp.float32
         if init_full:
             ic = [compact_rec(s, c) for (s, c) in init_full]
-            ist = jnp.stack([s for (s, _c, _b, _t) in ic], axis=1)
-            isc = jnp.stack([c for (_s, c, _b, _t) in ic], axis=1)
-            ibest = jnp.stack([b for (_s, _c, b, _t) in ic], axis=1)
-            init_trunc = sum(t for (_s, _c, _b, t) in ic)
+            ist = jnp.stack([s for (s, _c, _b, _t, _n) in ic], axis=1)
+            isc = jnp.stack([c for (_s, c, _b, _t, _n) in ic], axis=1)
+            ibest = jnp.stack([b for (_s, _c, b, _t, _n) in ic], axis=1)
+            init_trunc = sum(t for (_s, _c, _b, t, _n) in ic)
         else:
             ist = jnp.zeros((B, 0, Kc), jnp.int32)
             isc = jnp.zeros((B, 0, Kc), rec_dtype)
             ibest = jnp.zeros((B, 0), jnp.float32)
             init_trunc = jnp.zeros(B, jnp.int32)
+        if rec_flat:
+            _st_, _sc_, fbst, fbsc, cursor, fovf = carry_out
+            counts = jnp.moveaxis(ys[2], 2, 0)     # [B, T, R]
+            fbest = jnp.moveaxis(ys[5], 2, 0)      # [B, T, R]
+            rec_trunc = jnp.sum(ys[3], axis=0) + init_trunc
+            return (fs, fsc, best_slot, best_cost, jnp.sum(ovf, axis=0),
+                    jnp.any(sat, axis=0), ist, isc, counts, fbst, fbsc,
+                    rec_trunc, act_sum, act_max, fbest, ibest, fovf,
+                    cursor)
         fst = jnp.moveaxis(ys[2], 2, 0)         # [B, T, R, Kc]
         fsc_r = jnp.moveaxis(ys[3], 2, 0)
         fbest = jnp.moveaxis(ys[6], 2, 0)       # [B, T, R]
@@ -776,6 +840,8 @@ class CsrBeamDecoder:
         self.last_active_max: np.ndarray | None = None  # [B] peak alive
         self.last_rec_trunc: np.ndarray | None = None   # [B] alive slots
         #   dropped by record compaction (decode_raw path only)
+        self.last_flat_fallbacks = 0    # batches re-decoded dense after
+        #   a rec_flat buffer overflow (cumulative)
 
     def _args(self, ll, mask):
         t = self.tabs
@@ -830,14 +896,72 @@ class CsrBeamDecoder:
         ll_scaled = np.asarray(loglikes) * o.acoustic_scale
         Kc = min(o.rec_cap or o.max_active, o.max_active)
         rec_beam = o.rec_beam if o.rec_beam is not None else o.beam
+        R = 1 + int(o.eps_expansions)
+        CAPB = max(int(o.rec_flat_cap) * T * R, 2 * Kc) if o.rec_flat \
+            else 0
         out = _csr_decode(*self._args(jnp.asarray(ll_scaled), mask), True,
                           Kc=Kc, rec_beam=float(rec_beam),
-                          rec_f16=bool(o.rec_f16))
+                          rec_f16=bool(o.rec_f16),
+                          rec_flat=bool(o.rec_flat), CAPB=CAPB)
         # ONE device->host transfer for the whole record set (each
         # round trip costs ~40ms over the tunneled link; naive per-array
         # fetching pays it 13x)
         from kaldi_tpu.decoder.hostpack import fetch_tree_async
         fetch = fetch_tree_async(out)
+
+        def _expand_init(isc, ibest):
+            if o.rec_f16:
+                isc = isc.astype(np.float32) + ibest[..., None]
+                isc = np.where(np.isfinite(isc), isc, np.float32(BIG))
+            return isc
+
+        def finish_flat():
+            (fs, fsc, best_slot, best_cost, ovf, sat, ist, isc, counts,
+             fbst, fbsc, rec_trunc, act_sum, act_max, fbest, ibest,
+             fovf, _cursor) = fetch()
+            if fovf.any():
+                # flat buffer overflowed for some utterance: fall back
+                # to the dense record format for this batch (exact, just
+                # more wire bytes) and remember the event
+                self.last_flat_fallbacks += int(fovf.sum())
+                dense = dataclasses.replace(o, rec_flat=False)
+                saved, self.opts = self.opts, dense
+                try:
+                    return self.decode_raw_async(loglikes, nf)()
+                finally:
+                    self.opts = saved
+            self.last_overflow = ovf
+            self.last_saturated = sat
+            self.last_rec_trunc = rec_trunc
+            self.last_active_sum = act_sum
+            self.last_active_max = act_max
+            # rebuild the dense [B, T, R, Keff] view from the packed
+            # alive prefixes (vectorized; Keff = widest snapshot, which
+            # is far below rec_cap on typical batches)
+            Keff = max(int(counts.max()), 1)
+            fst = np.zeros((B, T * R, Keff), np.int32)
+            fsc_r = np.full((B, T * R, Keff), BIG, np.float32)
+            for b in range(B):
+                cb = counts[b].reshape(-1).astype(np.int64)
+                off = np.concatenate([[0], np.cumsum(cb)])
+                tot = int(off[-1])
+                rows = np.repeat(np.arange(T * R), cb)
+                ks = np.arange(tot) - off[:-1].repeat(cb)
+                fst[b, rows, ks] = fbst[b, :tot]
+                sc = fbsc[b, :tot].astype(np.float32)
+                if o.rec_f16:
+                    sc = sc + fbest[b].reshape(-1)[rows]
+                fsc_r[b, rows, ks] = sc
+            return dict(
+                init_states=ist,
+                init_scores=_expand_init(isc, ibest),   # [B, R0, Kc]
+                states=fst.reshape(B, T, R, Keff),
+                scores=fsc_r.reshape(B, T, R, Keff),
+                final_states=fs, final_scores=fsc,      # [B, K]
+                best_slot=best_slot, best_cost=best_cost,
+                rec_trunc=rec_trunc,
+                rec_wire_slots=int(_cursor.sum()),
+                ll_scaled=ll_scaled)
 
         def finish():
             (fs, fsc, best_slot, best_cost, ovf, sat, ist, isc, fst,
@@ -853,17 +977,16 @@ class CsrBeamDecoder:
                 fsc_r = fsc_r.astype(np.float32) + fbest[..., None]
                 fsc_r = np.where(np.isfinite(fsc_r), fsc_r,
                                  np.float32(BIG))
-                isc = isc.astype(np.float32) + ibest[..., None]
-                isc = np.where(np.isfinite(isc), isc, np.float32(BIG))
             return dict(
-                init_states=ist, init_scores=isc,       # [B, R0, Kc]
+                init_states=ist,
+                init_scores=_expand_init(isc, ibest),   # [B, R0, Kc]
                 states=fst, scores=fsc_r,               # [B, T, R, Kc]
                 final_states=fs, final_scores=fsc,      # [B, K]
                 best_slot=best_slot, best_cost=best_cost,
                 rec_trunc=rec_trunc,
                 ll_scaled=ll_scaled)
 
-        return finish
+        return finish_flat if o.rec_flat else finish
 
     def decode_raw(self, loglikes, num_frames: np.ndarray):
         """Full-record decode for lattice generation: returns a dict with

@@ -574,3 +574,94 @@ def test_record_compaction_f16_matches_f32(small_big_graph):
         w16, t16, c16 = lattice_best_path(l16)
         assert w32 == w16 and t32 == t16
         assert abs(c32 - c16) < 0.05
+
+
+def test_record_flat_matches_dense(small_big_graph):
+    """rec_flat bin-packs the alive prefix of every snapshot into one
+    per-utterance buffer; the host-rebuilt dense view must carry exactly
+    the dense-mode records (same alive slots, same scores), and the
+    extracted lattices must have identical path sets, while the wire
+    ships only sum-of-alive slots."""
+    import dataclasses as dc
+    from kaldi_tpu.lat.generate import raw_lattice_from_decode
+    g = small_big_graph
+    rng = np.random.RandomState(14)
+    B, T, P = 3, 30, 64
+    ll = (rng.randn(B, T, P) * 3).astype(np.float32)
+    nf = np.array([30, 22, 27], np.int32)
+    base = CsrBeamOpts(beam=10.0, max_active=256, acoustic_scale=0.1,
+                       expand_budget=8192, eps_budget=2048, rec_cap=128,
+                       rec_beam=6.0, rec_f16=True)
+    dd = CsrBeamDecoder(g, base)
+    # rec_flat_cap == rec_cap: the flat buffer is exactly large enough
+    # for every frame at the cap, so overflow is impossible
+    df = CsrBeamDecoder(g, dc.replace(base, rec_flat=True,
+                                      rec_flat_cap=128))
+    rd = dd.decode_raw(ll, nf)
+    rf = df.decode_raw(ll, nf)
+    assert df.last_flat_fallbacks == 0
+    assert rf["rec_wire_slots"] > 0
+    # the rebuilt dense view equals the dense-mode records on the alive
+    # prefix (flat Keff may be narrower than rec_cap)
+    Keff = rf["states"].shape[-1]
+    # compare only decoded frames: past num_frames the dense mode
+    # records the stale final frontier while flat records nothing —
+    # extractors read neither
+    T_ = rd["states"].shape[1]
+    valid = (np.arange(T_)[None, :, None, None]
+             < nf[:, None, None, None])
+    alive_d = (rd["scores"][..., :Keff] < 5e9) & valid
+    alive_f = (rf["scores"] < 5e9) & valid
+    assert (alive_d == alive_f).all()
+    # no decoded frame holds alive slots beyond the flat view's width
+    assert not ((rd["scores"][..., Keff:] < 5e9) & valid).any()
+    np.testing.assert_array_equal(
+        np.where(alive_d, rd["states"][..., :Keff], -1),
+        np.where(alive_f, rf["states"], -1))
+    np.testing.assert_allclose(
+        np.where(alive_d, rd["scores"][..., :Keff], 0.0),
+        np.where(alive_f, rf["scores"], 0.0), atol=1e-3)
+    for use_native in (False, True):
+        for b in range(B):
+            ld = raw_lattice_from_decode(dd, rd, nf, b, 6.0,
+                                         use_native=use_native)
+            lf = raw_lattice_from_decode(df, rf, nf, b, 6.0,
+                                         use_native=use_native)
+            assert (ld is None) == (lf is None)
+            if ld is None:
+                continue
+            pd_ = {(w, t): round(c, 2)
+                   for (w, t, c) in ld.paths(max_paths=200000)}
+            pf_ = {(w, t): round(c, 2)
+                   for (w, t, c) in lf.paths(max_paths=200000)}
+            assert pd_ == pf_
+
+
+def test_record_flat_overflow_fallback(small_big_graph):
+    """An under-sized flat buffer must fall back to dense records (exact
+    results) and count the event — never ship corrupt records."""
+    import dataclasses as dc
+    from kaldi_tpu.lat.generate import raw_lattice_from_decode
+    g = small_big_graph
+    rng = np.random.RandomState(15)
+    B, T, P = 2, 25, 64
+    ll = (rng.randn(B, T, P) * 3).astype(np.float32)
+    nf = np.full(B, T, np.int32)
+    base = CsrBeamOpts(beam=10.0, max_active=256, acoustic_scale=0.1,
+                       expand_budget=8192, eps_budget=2048, rec_cap=128,
+                       rec_beam=6.0)
+    dd = CsrBeamDecoder(g, base)
+    # rec_flat_cap=1 slot/frame: guaranteed overflow
+    df = CsrBeamDecoder(g, dc.replace(base, rec_flat=True,
+                                      rec_flat_cap=1))
+    rd = dd.decode_raw(ll, nf)
+    rf = df.decode_raw(ll, nf)
+    assert df.last_flat_fallbacks > 0
+    for b in range(B):
+        ld = raw_lattice_from_decode(dd, rd, nf, b, 6.0)
+        lf = raw_lattice_from_decode(df, rf, nf, b, 6.0)
+        pd_ = {(w, t): round(c, 2)
+               for (w, t, c) in ld.paths(max_paths=100000)}
+        pf_ = {(w, t): round(c, 2)
+               for (w, t, c) in lf.paths(max_paths=100000)}
+        assert pd_ == pf_
