@@ -91,43 +91,65 @@ def host_shard(keys, process_id: int | None = None,
 
 def launch_local(worker: list[str], num_processes: int,
                  log_dir: str, coordinator_port: int = 29411,
-                 env: dict | None = None, timeout: float = 600.0):
+                 env: dict | None = None, timeout: float = 600.0,
+                 max_gang_restarts: int = 0):
     """Run `worker` (argv list) as num_processes local processes with the
     distributed env contract; -> list of return codes. Writes
-    run.pl-style accounting to <log_dir>/worker.<pid>.log."""
+    run.pl-style accounting to <log_dir>/worker.<pid>.log.
+
+    max_gang_restarts: SPMD preemption recovery — an N-process jit
+    program is all-or-nothing (one dead controller hangs the
+    collective), so when ANY worker exits nonzero the WHOLE gang is
+    killed and relaunched (fresh coordinator port; workers are expected
+    to resume from their checkpoints, which utils/checkpoint.py +
+    stage-resumable experiments provide). Up to this many relaunches."""
     os.makedirs(log_dir, exist_ok=True)
-    base_env = dict(os.environ)
-    base_env[COORD_ENV] = f"localhost:{coordinator_port}"
-    base_env[NPROC_ENV] = str(num_processes)
-    if env:
-        base_env.update(env)
-    procs = []
-    logs = []
-    t0 = time.time()
-    for i in range(num_processes):
-        e = dict(base_env)
-        e[PID_ENV] = str(i)
-        log = open(os.path.join(log_dir, f"worker.{i}.log"), "w")
-        log.write(f"# Running on {os.uname().nodename}\n"
-                  f"# Started at {time.ctime()}\n"
-                  f"# {' '.join(worker)}\n")
-        log.flush()
-        procs.append(subprocess.Popen(worker, env=e, stdout=log,
-                                      stderr=subprocess.STDOUT))
-        logs.append(log)
-    codes = []
-    for i, p in enumerate(procs):
-        try:
-            codes.append(p.wait(timeout=timeout))
-        except subprocess.TimeoutExpired:
-            p.kill()
-            codes.append(-9)
-    dt = time.time() - t0
-    for i, log in enumerate(logs):
-        # run.pl accounting line (ref: utils/run.pl's epilogue)
-        log.write(f"# Accounting: time={dt:.0f} threads=1\n"
-                  f"# Finished at {time.ctime()} with status {codes[i]}\n")
-        log.close()
+    for attempt in range(max_gang_restarts + 1):
+        base_env = dict(os.environ)
+        # fresh port per attempt: a dead coordinator's socket may linger
+        base_env[COORD_ENV] = f"localhost:{coordinator_port + attempt}"
+        base_env[NPROC_ENV] = str(num_processes)
+        if env:
+            base_env.update(env)
+        procs = []
+        logs = []
+        t0 = time.time()
+        mode = "w" if attempt == 0 else "a"
+        for i in range(num_processes):
+            e = dict(base_env)
+            e[PID_ENV] = str(i)
+            log = open(os.path.join(log_dir, f"worker.{i}.log"), mode)
+            log.write(f"# Running on {os.uname().nodename}"
+                      + (f" (gang restart {attempt})" if attempt else "")
+                      + f"\n# Started at {time.ctime()}\n"
+                      f"# {' '.join(worker)}\n")
+            log.flush()
+            procs.append(subprocess.Popen(worker, env=e, stdout=log,
+                                          stderr=subprocess.STDOUT))
+            logs.append(log)
+        codes = []
+        for i, p in enumerate(procs):
+            try:
+                codes.append(p.wait(timeout=timeout))
+            except subprocess.TimeoutExpired:
+                p.kill()
+                codes.append(-9)
+            if codes[-1] != 0:
+                # one controller down = the SPMD program cannot finish:
+                # kill the rest of the gang now (don't wait out their
+                # hung collectives)
+                for q in procs:
+                    if q.poll() is None:
+                        q.kill()
+        dt = time.time() - t0
+        for i, log in enumerate(logs):
+            # run.pl accounting line (ref: utils/run.pl's epilogue)
+            log.write(f"# Accounting: time={dt:.0f} threads=1\n"
+                      f"# Finished at {time.ctime()} with status "
+                      f"{codes[i]}\n")
+            log.close()
+        if all(c == 0 for c in codes) or attempt == max_gang_restarts:
+            return codes
     return codes
 
 

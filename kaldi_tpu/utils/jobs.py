@@ -21,7 +21,8 @@ class JobFailure(RuntimeError):
 
 
 def run_jobs(n_jobs: int, task, log_dir: str | None = None,
-             name: str = "job", max_jobs_run: int | None = None):
+             name: str = "job", max_jobs_run: int | None = None,
+             max_retries: int = 0, retry_backoff_s: float = 0.0):
     """Run task(job) for job in 1..n_jobs, in parallel.
 
     task: callable(job_number) -> result, or a shell-command string
@@ -30,6 +31,10 @@ def run_jobs(n_jobs: int, task, log_dir: str | None = None,
     any job fails (after all complete — same semantics as run.pl which
     waits for every job before reporting).
     Returns the list of results (None for shell tasks).
+
+    max_retries: failed jobs are re-run up to this many extra times
+    (transient-failure / preemption recovery — the role SGE requeueing
+    plays behind queue.pl; the retry count is recorded in the job log).
     """
     max_workers = min(n_jobs, max_jobs_run or n_jobs)
     if log_dir:
@@ -68,9 +73,25 @@ def run_jobs(n_jobs: int, task, log_dir: str | None = None,
 
     with ThreadPoolExecutor(max_workers=max_workers) as ex:
         outcomes = list(ex.map(one, range(1, n_jobs + 1)))
+    for attempt in range(1, max_retries + 1):
+        failed_jobs = [j + 1 for j, (ok, _r) in enumerate(outcomes)
+                       if not ok]
+        if not failed_jobs:
+            break
+        if retry_backoff_s:
+            time.sleep(retry_backoff_s * attempt)
+        with ThreadPoolExecutor(max_workers=max_workers) as ex:
+            redone = list(ex.map(one, failed_jobs))
+        for j, out in zip(failed_jobs, redone):
+            outcomes[j - 1] = out
+            if log_dir and out[0]:
+                with open(os.path.join(log_dir, f"{name}.{j}.log"),
+                          "a") as f:
+                    f.write(f"# job {j} recovered on retry {attempt}\n")
     failed = [j + 1 for j, (ok, _r) in enumerate(outcomes) if not ok]
     if failed:
         raise JobFailure(
-            f"{len(failed)}/{n_jobs} jobs failed (jobs {failed}); "
+            f"{len(failed)}/{n_jobs} jobs failed (jobs {failed}) after "
+            f"{max_retries} retries; "
             + (f"see {log_dir}/{name}.*.log" if log_dir else "no logs"))
     return [r for (_ok, r) in outcomes]

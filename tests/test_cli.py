@@ -92,3 +92,26 @@ def test_run_jobs_contract(tmp_path):
     with pytest.raises(JobFailure):
         run_jobs(3, lambda job: 1 / 0 if job == 2 else job,
                  log_dir=log_dir, name="bad")
+
+
+def test_run_jobs_retry_recovers_transient_failure(tmp_path):
+    """max_retries re-runs only the failed jobs (preemption/transient
+    recovery); the recovery is recorded in the job log."""
+    log_dir = str(tmp_path / "logs")
+    flag = tmp_path / "fail_once"
+
+    def task(job):
+        if job == 2 and not flag.exists():
+            flag.write_text("x")
+            raise RuntimeError("transient")
+        return job * 10
+
+    results = run_jobs(3, task, log_dir=log_dir, name="retry",
+                       max_retries=2)
+    assert results == [10, 20, 30]
+    log2 = (tmp_path / "logs" / "retry.2.log").read_text()
+    assert "recovered on retry 1" in log2
+
+    # a permanently-failing job still raises after the retry budget
+    with pytest.raises(JobFailure, match="after 1 retries"):
+        run_jobs(2, lambda j: 1 / 0 if j == 1 else j, max_retries=1)

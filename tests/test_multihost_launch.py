@@ -68,3 +68,40 @@ def test_host_shard_partition():
     assert flat == sorted(utts)
     sizes = [len(s) for s in shards]
     assert max(sizes) - min(sizes) <= 1
+
+
+def test_gang_restart_on_preemption(tmp_path):
+    """SPMD preemption recovery: a worker that dies on the first gang
+    attempt (simulated preemption) brings the whole gang down; the
+    launcher relaunches all processes and the job completes. (ref: the
+    reference's queue.pl leaves requeueing to SGE; an N-controller jit
+    program must gang-restart — one dead controller hangs the
+    collective.)"""
+    flag = tmp_path / "preempted_once"
+    script = (
+        "import os, sys\n"
+        f"flag = {str(flag)!r}\n"
+        "pid = os.environ.get('KALDI_TPU_PROCESS_ID')\n"
+        "if pid == '1' and not os.path.exists(flag):\n"
+        "    open(flag, 'w').close()\n"
+        "    sys.exit(17)   # simulated preemption\n"
+        "print('worker', pid, 'done')\n"
+    )
+    worker = [sys.executable, "-c", script]
+    log_dir = str(tmp_path / "logs")
+    codes = launch_local(worker, 2, log_dir, coordinator_port=29500,
+                         timeout=60.0, max_gang_restarts=1)
+    assert codes == [0, 0]
+    assert flag.exists()
+    log1 = open(os.path.join(log_dir, "worker.1.log")).read()
+    assert "status 17" in log1          # first attempt recorded failed
+    assert "gang restart 1" in log1     # relaunch recorded
+    assert log1.rstrip().endswith("status 0")
+
+    # without restarts the same failure surfaces
+    flag2 = tmp_path / "no_restart_flag"
+    script2 = script.replace(str(flag), str(flag2))
+    codes2 = launch_local([sys.executable, "-c", script2], 2,
+                          str(tmp_path / "logs2"),
+                          coordinator_port=29510, timeout=60.0)
+    assert 17 in codes2
