@@ -74,6 +74,20 @@ class CsrBeamOpts:
     expand_budget: int = 32768  # tier-B emitting candidate slots per frame
     eps_budget: int = 4096      # tier-B eps candidate slots per round
     hub_threshold: int = 1024   # out-degree above which a state is a hub
+    hub_cap: int | None = None  # hub candidates entering the merge per
+                                # frame (None = max_active = exact). An
+                                # APPROXIMATE speed knob with the same
+                                # semantics as a smaller max_active
+                                # applied to the hub tier only: the hub
+                                # row gather is B*max_active rows at
+                                # K=7000 (half the frame's gather
+                                # budget), and capping it trades search
+                                # width on vocab-fan-out frames for
+                                # ~15-20% throughput. Within-beam
+                                # candidates beyond the cap are counted
+                                # into last_overflow as a binding
+                                # indicator (0 = the cap provably never
+                                # bound this batch)
     exact_dedup: bool = False   # retained for API compat: dedup is now
                                 # always bit-exact (stable-sort winner per
                                 # state, candidate-index tie-break)
@@ -375,12 +389,22 @@ def _dedup_topk(c_state, c_score, c_rec, c_il, K: int):
 def _make_rounds(srow, zrow, brow, zbrow,
                  hub_state_arr, hub_rows, hub_cost, hub_onehot, hub_gpdf,
                  hub_pdf, hub_bounds: tuple,
-                 B: int, K: int, CB: int, CZ: int, beam: float):
+                 B: int, K: int, CB: int, CZ: int, beam: float,
+                 HC: int | None = None):
     """Build the per-frame (emit_round, eps_round) expansion programs over
     the tier tables for a [B, K] frontier. Shared by the offline batch
     decoders below and the fused streaming decoder
-    (kaldi_tpu/online/fused.py, B == 1) so both search identically."""
+    (kaldi_tpu/online/fused.py, B == 1) so both search identically.
+
+    HC (hub_cap): at most HC hub candidates enter the merge per frame
+    (the hub-arc row gather is B*K rows otherwise — measured half the
+    per-frame gather budget at K=7000 — while only the within-beam few
+    survive). Within-beam candidates beyond rank HC are counted EXACTLY
+    in the overflow output (vs the hub's own frame best, a superset of
+    merge survivors), so a too-small cap is loud, never silent — the
+    same contract as expand_budget."""
     kbits = max((K - 1).bit_length(), 1)
+    HC = K if HC is None else min(HC, K)
     H = len(hub_bounds) - 1
     AH = hub_rows.shape[0]
     have_b = brow.shape[0] > 1
@@ -452,25 +476,38 @@ def _make_rounds(srow, zrow, brow, zbrow,
             am_flat = -take_ll(ll_t, jnp.broadcast_to(hub_pdf[None, :],
                                                       (B, AH)))
         sc_flat = base + hub_cost[None, :] + am_flat
-        # exact K-best hub candidates; tie-break = lowest arc index, so
+        # exact HC-best hub candidates; tie-break = lowest arc index, so
         # both variants match lax.top_k semantics bit-exactly. The
         # variadic sort is ~40% faster at small K (sort cost is
         # K-independent but top_k's isn't: measured 1.7 vs 2.7 ms at
         # K=1024 on [8, 60000]); top_k wins back at production K=7000
         # (2.1 vs 2.9 ms) — pick per program at trace time.
-        if K <= 2048:
+        if HC <= 2048:
             jarange = jax.lax.broadcasted_iota(jnp.int32, (B, AH), 1)
             ssc, idx_s = jax.lax.sort((sc_flat, jarange), dimension=1,
                                       num_keys=2)
-            sc = jnp.minimum(ssc[:, :K], BIG)
-            idx = idx_s[:, :K]
+            sc = jnp.minimum(ssc[:, :HC], BIG)
+            idx = idx_s[:, :HC]
         else:
-            negv, idx = jax.lax.top_k(-sc_flat, K)        # [B, K]
+            negv, idx = jax.lax.top_k(-sc_flat, HC)       # [B, HC]
             sc = jnp.minimum(-negv, BIG)
-        rows = hub_rows[idx]                              # [B, K, 8]
+        # cap-binding indicator: within-beam-of-hub-best candidates
+        # beyond rank HC (a conservative superset of merge survivors —
+        # nonzero means the cap MAY have altered the search, like a
+        # binding max_active). Identically zero when the cap is off.
+        if HC >= K:
+            hov = jnp.zeros(B, jnp.int32)
+        else:
+            hub_best = jnp.min(sc_flat, axis=1, keepdims=True)
+            n_in_beam = jnp.sum(sc_flat <= hub_best + beam, axis=1,
+                                dtype=jnp.int32)
+            # no live token on any hub this frame -> nothing can bind
+            hov = jnp.where(hub_best[:, 0] < BIG * 0.5,
+                            jnp.maximum(n_in_beam - HC, 0), 0)
+        rows = hub_rows[idx]                              # [B, HC, 8]
         prev = jnp.take_along_axis(slot_flat, idx, axis=1)
         return (rows[..., 1], sc, prev | (rows[..., 4] << kbits),
-                rows[..., 3])
+                rows[..., 3]), hov
 
     def merge(cands):
         cst = jnp.concatenate([c[0] for c in cands], axis=1)
@@ -508,7 +545,9 @@ def _make_rounds(srow, zrow, brow, zbrow,
                                  BIG)
                 cands.append((nxt, sc_b, tj_b | (ol << kbits), tid))
         if H:
-            cands.append(hub_emit(tok_state, tok_score, ll_t))
+            hub_cand, hov = hub_emit(tok_state, tok_score, ll_t)
+            cands.append(hub_cand)
+            ovf = ovf + hov
         cst, csc, crec, cil = merge(cands)
         st, sc, rec, il = _dedup_topk(cst, csc, crec, cil, K)
         return st, sc, rec, il, ovf
@@ -546,7 +585,7 @@ def _make_rounds(srow, zrow, brow, zbrow,
     jax.jit,
     static_argnames=("start", "K", "CB", "CZ", "n_eps", "beam",
                      "hub_bounds", "record_full", "Kc", "rec_beam",
-                     "rec_f16", "rec_flat", "CAPB"))
+                     "rec_f16", "rec_flat", "CAPB", "HC"))
 def _csr_decode(
     ll,            # [B, T, P] scaled loglikes
     frame_mask,    # [B, T] bool
@@ -558,11 +597,13 @@ def _csr_decode(
     Kc: int = 0, rec_beam: float = 0.0,   # record compaction (see opts)
     rec_f16: bool = False,
     rec_flat: bool = False, CAPB: int = 0,  # flat bin-packed records
+    HC: int | None = None,                  # hub candidate cap
 ):
     B, T, P = ll.shape
     emit_round, eps_round = _make_rounds(
         srow, zrow, brow, zbrow, hub_state_arr, hub_rows, hub_cost,
-        hub_onehot, hub_gpdf, hub_pdf, hub_bounds, B, K, CB, CZ, beam)
+        hub_onehot, hub_gpdf, hub_pdf, hub_bounds, B, K, CB, CZ, beam,
+        HC)
     self_prev = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :],
                                  (B, K))
 
@@ -747,12 +788,12 @@ def _csr_decode(
 @functools.partial(
     jax.jit,
     static_argnames=("start", "K", "CB", "CZ", "n_eps", "beam",
-                     "hub_bounds"))
+                     "hub_bounds", "HC"))
 def _csr_decode_traced(
     ll, frame_mask, srow, zrow, brow, zbrow, final,
     hub_state_arr, hub_rows, hub_cost, hub_onehot, hub_gpdf, hub_pdf,
     start: int, K: int, CB: int, CZ: int, n_eps: int, beam: float,
-    hub_bounds: tuple,
+    hub_bounds: tuple, HC: int | None = None,
 ):
     """Decode + on-device traceback -> ([B,T,R] olabels, [B,T] tids,
     [B,R0] init olabels, [B] cost, [B] overflow, [B] saturated,
@@ -761,7 +802,7 @@ def _csr_decode_traced(
      ovf, sat, act_sum, act_max) = _csr_decode(
         ll, frame_mask, srow, zrow, brow, zbrow, final,
         hub_state_arr, hub_rows, hub_cost, hub_onehot, hub_gpdf, hub_pdf,
-        start, K, CB, CZ, n_eps, beam, hub_bounds, False)
+        start, K, CB, CZ, n_eps, beam, hub_bounds, False, HC=HC)
     kbits = max((K - 1).bit_length(), 1)
     kmask = np.int32((1 << kbits) - 1)
     R = 1 + n_eps
@@ -854,6 +895,11 @@ class CsrBeamDecoder:
                 int(o.eps_expansions), float(o.beam),
                 t.hub_bounds)
 
+    @property
+    def _hc(self):
+        o = self.opts
+        return None if o.hub_cap is None else int(o.hub_cap)
+
     def decode_async(self, loglikes, num_frames: np.ndarray):
         """Dispatch the decode+traceback program; returns a finisher
         producing per-utterance (words, tids, total_cost) — one
@@ -866,7 +912,8 @@ class CsrBeamDecoder:
         mask = _device_mask(nf, T)
         ll = jnp.asarray(loglikes) * o.acoustic_scale
         (ols, ils, init_ols, cost, ovf, sat, act_sum,
-         act_max) = _csr_decode_traced(*self._args(ll, mask))
+         act_max) = _csr_decode_traced(*self._args(ll, mask),
+                                      HC=self._hc)
         packed, shapes = pack4(ols, ils[..., None], init_ols, cost)
         from kaldi_tpu.decoder.hostpack import fetch_tree_async
         stats_fetch = fetch_tree_async((ovf, sat, act_sum, act_max))
@@ -902,7 +949,8 @@ class CsrBeamDecoder:
         out = _csr_decode(*self._args(jnp.asarray(ll_scaled), mask), True,
                           Kc=Kc, rec_beam=float(rec_beam),
                           rec_f16=bool(o.rec_f16),
-                          rec_flat=bool(o.rec_flat), CAPB=CAPB)
+                          rec_flat=bool(o.rec_flat), CAPB=CAPB,
+                          HC=self._hc)
         # ONE device->host transfer for the whole record set (each
         # round trip costs ~40ms over the tunneled link; naive per-array
         # fetching pays it 13x)

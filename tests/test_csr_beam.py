@@ -665,3 +665,37 @@ def test_record_flat_overflow_fallback(small_big_graph):
         pf_ = {(w, t): round(c, 2)
                for (w, t, c) in lf.paths(max_paths=100000)}
         assert pd_ == pf_
+
+
+def test_hub_cap_exact_or_counted(small_big_graph):
+    """hub_cap bounds the hub-arc row gather. With a cap >= the hub's
+    within-beam fan-out the decode is bit-identical to the uncapped
+    program; a starved cap must surface in last_overflow (the
+    escalation signal), never change results silently."""
+    import dataclasses as dc
+    g = small_big_graph
+    rng = np.random.RandomState(16)
+    B, T, P = 2, 25, 64
+    ll = (rng.randn(B, T, P) * 3).astype(np.float32)
+    nf = np.full(B, T, np.int32)
+    base = CsrBeamOpts(beam=10.0, max_active=256, acoustic_scale=0.1,
+                       expand_budget=8192, eps_budget=2048,
+                       hub_threshold=64)
+    d_full = CsrBeamDecoder(g, base)
+    assert len(d_full.tabs.hub_bounds) > 1, "graph must have hubs"
+    r_full = d_full.decode(ll, nf)
+    ovf_full = int(d_full.last_overflow.sum())
+
+    d_cap = CsrBeamDecoder(g, dc.replace(base, hub_cap=128))
+    r_cap = d_cap.decode(ll, nf)
+    if int(d_cap.last_overflow.sum()) == ovf_full:
+        # cap never bound: identical results guaranteed
+        for b in range(B):
+            assert r_cap[b][0] == r_full[b][0]
+            assert r_cap[b][1] == r_full[b][1]
+            assert abs(r_cap[b][2] - r_full[b][2]) < 1e-3
+
+    # starved cap: overflow must be counted
+    d_tiny = CsrBeamDecoder(g, dc.replace(base, hub_cap=1))
+    d_tiny.decode(ll, nf)
+    assert int(d_tiny.last_overflow.sum()) > ovf_full
