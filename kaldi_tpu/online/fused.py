@@ -67,7 +67,7 @@ class FusedOnlineDecoder:
 
     def __init__(self, am, dec, feat_opts: FbankOpts,
                  chunk_samples: int = 2560, t_max: int = 2048,
-                 computer=fbank):
+                 computer=fbank, keep_loglikes: bool = False):
         fo = feat_opts.frame_opts
         assert fo.snip_edges, "fused streaming assumes snip-edges framing"
         assert fo.dither == 0.0, (
@@ -94,6 +94,12 @@ class FusedOnlineDecoder:
         self.M = self.F + self.lc + self.rc           # feature ring frames
         self.Mw = self.ndmax + self.lc + self.rc      # scoring window
         self.t_max = t_max
+        # keep_loglikes: store each decoded frame's (unscaled) pseudo
+        # log-likes in a device arena so get_lattice() can run the full
+        # record decode at finalize — the online-latgen role of
+        # online2bin/online2-wav-nnet2-latgen-faster (the reference also
+        # materializes the lattice at EndpointDetected/utterance end)
+        self._keep_ll = bool(keep_loglikes)
         o = dec.opts
         self.K = int(o.max_active)
         self.R = 1 + int(o.eps_expansions)
@@ -140,8 +146,8 @@ class FusedOnlineDecoder:
             fidx = jnp.clip(gidx - total + M, M - nhist, M - 1)
             window = fifo[fidx]
             log_post = model.apply(params, window, pad_context=False)
-            ll = (log_post - log_prior) * ascale           # [ndmax, P]
-            return buf, fifo, nhist, ll
+            ll_raw = log_post - log_prior                  # [ndmax, P]
+            return buf, fifo, nhist, ll_raw * ascale, ll_raw
 
         return feat_am
 
@@ -206,16 +212,21 @@ class FusedOnlineDecoder:
                 for (r_pv, r_ol, r_il) in records])        # [R, 3, K]
             return (out_st, out_sc), rec
 
+        keep_ll = self._keep_ll
+
         def step(carry, chunk, nf, v0, nd, d0, total, params, log_prior):
-            buf, fifo, nhist, st, sc, arena = carry
-            buf, fifo, nhist, ll = feat_am(
+            buf, fifo, nhist, st, sc, arena, llar = carry
+            buf, fifo, nhist, ll, ll_raw = feat_am(
                 buf, fifo, nhist, chunk, nf, v0, d0, total, params,
                 log_prior)
             mask = jnp.arange(ndmax) < nd
             (st, sc), recs = jax.lax.scan(frame_step, (st, sc), (ll, mask))
             arena = jax.lax.dynamic_update_slice_in_dim(
                 arena, recs, d0, axis=0)                   # [t_max,R,3,K]
-            return (buf, fifo, nhist, st, sc, arena)
+            if keep_ll:
+                llar = jax.lax.dynamic_update_slice_in_dim(
+                    llar, ll_raw, d0, axis=0)
+            return (buf, fifo, nhist, st, sc, arena, llar)
 
         self._step = jax.jit(step, donate_argnums=(0,))
 
@@ -224,7 +235,7 @@ class FusedOnlineDecoder:
         def traceback(carry, total, use_final):
             """On-device reverse walk; ships [t_max, R] labels, not the
             arena (ref: lattice-faster-online-decoder.h BestPathIterator)."""
-            _b, _f, _n, st, sc, arena = carry
+            _b, _f, _n, st, sc, arena = carry[:6]
             costs = sc + final[st]
             has_final = jnp.min(costs) < BIG / 2
             use_f = jnp.logical_and(use_final, has_final)
@@ -271,10 +282,14 @@ class FusedOnlineDecoder:
         self._closure = jax.jit(closure)
 
     def _arena_init(self):
+        P = self.am.num_pdfs
+        llar = jnp.zeros((self.t_max if self._keep_ll else 1, P),
+                         jnp.float32)
         if self._is_csr:
             return (jnp.zeros((self.t_max, self.R, self.K), jnp.int32),
-                    jnp.zeros((self.t_max, self.K), jnp.int32))
-        return (jnp.zeros((self.t_max, self.R, 3, self.K), jnp.int32),)
+                    jnp.zeros((self.t_max, self.K), jnp.int32), llar)
+        return (jnp.zeros((self.t_max, self.R, 3, self.K), jnp.int32),
+                llar)
 
     # -------------------------------------------------------- csr engine
 
@@ -316,9 +331,11 @@ class FusedOnlineDecoder:
             il_blob = jnp.where(m, il, 0)[0]                    # [K]
             return (out_st, out_sc), (rec_blob, il_blob)
 
+        keep_ll = self._keep_ll
+
         def step(carry, chunk, nf, v0, nd, d0, total, params, log_prior):
-            buf, fifo, nhist, st, sc, arena, ilar = carry
-            buf, fifo, nhist, ll = feat_am(
+            buf, fifo, nhist, st, sc, arena, ilar, llar = carry
+            buf, fifo, nhist, ll, ll_raw = feat_am(
                 buf, fifo, nhist, chunk, nf, v0, d0, total, params,
                 log_prior)
             mask = jnp.arange(ndmax) < nd
@@ -328,14 +345,17 @@ class FusedOnlineDecoder:
                 arena, recs, d0, axis=0)                  # [t_max, R, K]
             ilar = jax.lax.dynamic_update_slice_in_dim(
                 ilar, ils, d0, axis=0)                    # [t_max, K]
-            return (buf, fifo, nhist, st, sc, arena, ilar)
+            if keep_ll:
+                llar = jax.lax.dynamic_update_slice_in_dim(
+                    llar, ll_raw, d0, axis=0)
+            return (buf, fifo, nhist, st, sc, arena, ilar, llar)
 
         self._step = jax.jit(step, donate_argnums=(0,))
 
         final = t.final
 
         def traceback(carry, total, use_final):
-            _b, _f, _n, st, sc, arena, ilar = carry
+            _b, _f, _n, st, sc, arena, ilar = carry[:7]
             st0, sc0 = st[0], sc[0]
             costs = sc0 + final[st0]
             has_final = jnp.min(costs) < BIG / 2
@@ -527,3 +547,21 @@ class FusedOnlineDecoder:
         if best >= BIG / 2:
             return float("inf")
         return float((sc + self._final_np[st]).min() - best)
+
+    def get_lattice(self, lattice_beam: float = 8.0):
+        """Raw lattice for the utterance so far (the reference's online
+        GetLattice, ref: online2/online-nnet2-decoding.h:96): fetch the
+        stored per-frame log-likes (ONE transfer) and run the offline
+        full-record decode + extraction on them. Because the stored
+        log-likes are bit-identical to offline AM scoring (the parity
+        contract), the lattice is exactly the offline latgen lattice.
+        Requires keep_loglikes=True."""
+        assert self._keep_ll, "construct with keep_loglikes=True"
+        from kaldi_tpu.lat.generate import decode_to_lattices
+        n = self._decoded
+        if n == 0:
+            return None
+        ll = np.asarray(self._carry[-1][:n])
+        return decode_to_lattices(
+            self.dec, ll[None], np.array([n], np.int32),
+            lattice_beam)[0]

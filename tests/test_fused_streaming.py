@@ -117,3 +117,28 @@ def test_fused_subframe_feeds(setup):
     got = _stream(fused, wave, 130)
     assert list(got[0]) == list(off_w)
     assert list(got[1]) == list(off_t)
+
+
+def test_fused_get_lattice_equals_offline(setup):
+    """Online latgen (ref: online2/online-nnet2-decoding.h:96
+    GetLattice): the fused decoder's finalize-time lattice must have the
+    exact path set of offline latgen on the same audio."""
+    from kaldi_tpu.lat.generate import decode_to_lattices
+    fb_opts, am, dec, _fused = setup
+    fused = FusedOnlineDecoder(am, dec, fb_opts, chunk_samples=2560,
+                               t_max=256, keep_loglikes=True)
+    rng = np.random.default_rng(13)
+    wave = rng.standard_normal(14000).astype(np.float32) * 4000
+    feats = np.asarray(fbank(jnp.asarray(wave), fb_opts))
+    ll = am.loglikes_np(feats[None])
+    off = decode_to_lattices(dec, ll,
+                             np.array([feats.shape[0]], np.int32), 6.0)[0]
+    got = _stream(fused, wave, 2560)
+    assert got is not None
+    lat = fused.get_lattice(6.0)
+    assert (lat is None) == (off is None)
+    if lat is None:
+        return
+    po = {(w, t): round(c, 2) for (w, t, c) in off.paths(max_paths=100000)}
+    pg = {(w, t): round(c, 2) for (w, t, c) in lat.paths(max_paths=100000)}
+    assert po == pg
