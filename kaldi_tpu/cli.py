@@ -5729,21 +5729,39 @@ def cmd_online2_wav_nnet2_latgen_faster(args):
     out = open(args.transcription_out, "w") if args.transcription_out \
         else sys.stdout
     chunk = int(args.chunk_secs * args.sample_frequency)
+    fused = None
+    if args.fused:
+        if args.delta_order != 0:
+            raise SystemExit("--fused requires --delta-order=0 (the "
+                             "fused program scores raw base features)")
+        from kaldi_tpu.online.fused import FusedOnlineDecoder
+        from kaldi_tpu.ops.features import mfcc
+        shift = fo.frame_opts.window_shift
+        fused = FusedOnlineDecoder(
+            am, base_dec, fo, computer=mfcc,
+            chunk_samples=max(shift, chunk // shift * shift))
     n = 0
     for utt, path in _read_wav_scp(args.wav_scp):
         wave, sr = read_wave(path)
         w = wave[0]
-        base = OnlineProcessedFeature(OnlineFeaturePipeline(
-            fo, delta_order=args.delta_order))
-        pipe = OnlineNnet2FeaturePipeline(base)
-        sud = SingleUtteranceNnet2Decoder(
-            am, gmm.trans_model, base_dec, pipe,
-            chunk_frames=args.chunk_frames, silence_phones=sil)
-        for lo in range(0, len(w), chunk):
-            pipe.accept_waveform(w[lo: lo + chunk])
-            sud.advance_decoding()
-        sud.finalize_decoding()
-        res = sud.best_path()
+        if fused is not None:
+            fused.reset()
+            for lo in range(0, len(w), chunk):
+                fused.accept_waveform(w[lo: lo + chunk])
+            fused.input_finished()
+            res = fused.best_path()
+        else:
+            base = OnlineProcessedFeature(OnlineFeaturePipeline(
+                fo, delta_order=args.delta_order))
+            pipe = OnlineNnet2FeaturePipeline(base)
+            sud = SingleUtteranceNnet2Decoder(
+                am, gmm.trans_model, base_dec, pipe,
+                chunk_frames=args.chunk_frames, silence_phones=sil)
+            for lo in range(0, len(w), chunk):
+                pipe.accept_waveform(w[lo: lo + chunk])
+                sud.advance_decoding()
+            sud.finalize_decoding()
+            res = sud.best_path()
         words = "" if res is None else " ".join(
             gmm.lang.words.sym(x) for x in res[0])
         out.write(f"{utt} {words}\n")
@@ -7048,6 +7066,11 @@ def main(argv=None):
     q.add_argument("--sil-phone", default="SIL")
     q.add_argument("--chunk-secs", type=float, default=0.4)
     q.add_argument("--chunk-frames", type=int, default=16)
+    q.add_argument("--fused", action="store_true",
+                   help="single-dispatch fused streaming decoder "
+                        "(one XLA program per chunk; requires "
+                        "--delta-order=0: the fused program scores raw "
+                        "base features)")
     q.set_defaults(func=cmd_online2_wav_nnet2_latgen_faster)
 
     q = sub.add_parser("recipe-yesno-files")

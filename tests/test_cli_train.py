@@ -66,3 +66,34 @@ def test_train_nnet3_cli_roundtrip(tmp_path):
     save_am_nnet3(out2, am)
     am2 = load_am_nnet3(out2)
     np.testing.assert_allclose(am2.loglikes_np(x), ll, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_online2_cli_fused_matches_generic(tmp_path):
+    """--fused on online2-wav-nnet2-latgen-faster: the single-dispatch
+    fused decoder must produce the same transcripts as the generic
+    per-stage pipeline at the same settings (delta-order 0)."""
+    work = str(tmp_path / "work")
+    main(["recipe-yesno-files", work])
+    P = lambda *n: os.path.join(work, *n)
+    # a delta-free system (the fused program scores raw base features):
+    # mono GMM + TDNN trained on raw mfcc
+    main(["train-mono", P("lexicon.txt"), P("train", "text"),
+          f"ark:{P('train', 'mfcc.ark')}", P("mono0.npz"),
+          "--num-iters", "12", "--totgauss", "60", "--max-iter-inc", "8"])
+    main(["mkgraph", P("mono0.npz"), P("lm.arpa"), P("hclg0.npz")])
+    main(["train-tdnn", P("mono0.npz"), P("train", "text"),
+          f"ark:{P('train', 'mfcc.ark')}", P("tdnn_nodelta.npz"),
+          "--num-epochs", "30", "--initial-lr", "0.1",
+          "--final-lr", "0.01", "--momentum", "0.9"])
+    common = [P("mono0.npz"), P("tdnn_nodelta.npz"), P("hclg0.npz"),
+              P("test", "wav.scp"), "--sample-frequency", "8000",
+          "--delta-order", "0"]
+    main(["online2-wav-nnet2-latgen-faster", *common,
+          "--transcription-out", P("hyp_generic.txt")])
+    main(["online2-wav-nnet2-latgen-faster", *common, "--fused",
+          "--transcription-out", P("hyp_fused.txt")])
+    a = open(P("hyp_generic.txt")).read().strip().splitlines()
+    b = open(P("hyp_fused.txt")).read().strip().splitlines()
+    assert sorted(a) == sorted(b)
+    assert len(a) == 8
