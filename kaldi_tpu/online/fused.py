@@ -548,6 +548,33 @@ class FusedOnlineDecoder:
             return float("inf")
         return float((sc + self._final_np[st]).min() - best)
 
+    def trailing_silence_frames(self, silence_phones: set,
+                                trans_model) -> int:
+        """Consecutive final frames whose best-path phone is silence
+        (ref: online2/online-endpoint.h TrailingSilenceLength). Costs one
+        partial traceback dispatch."""
+        res = self.best_path(use_final_probs=False)
+        if res is None:
+            return 0
+        _w, tids, _c = res
+        count = 0
+        for tid in reversed(tids):
+            if trans_model.transition_id_to_phone(tid) in silence_phones:
+                count += 1
+            else:
+                break
+        return count
+
+    def endpoint_detected(self, config, silence_phones: set, trans_model,
+                          frame_shift: float = 0.01) -> bool:
+        """(ref: online2/online-endpoint.cc EndpointDetected over the
+        fused decoder's partial state.)"""
+        from kaldi_tpu.online.endpoint import endpoint_detected
+        trailing = self.trailing_silence_frames(silence_phones,
+                                                trans_model)
+        return endpoint_detected(config, frame_shift, self._decoded,
+                                 trailing, self.final_relative_cost())
+
     def get_lattice(self, lattice_beam: float = 8.0):
         """Raw lattice for the utterance so far (the reference's online
         GetLattice, ref: online2/online-nnet2-decoding.h:96): fetch the

@@ -44,8 +44,10 @@ class FusedStreamingServer:
 
     def __init__(self, am, dec: CsrBeamDecoder, feat_opts: FbankOpts,
                  n_streams: int = 8, chunk_samples: int = 2560,
-                 t_max: int = 1024, computer=fbank):
+                 t_max: int = 1024, computer=fbank,
+                 keep_loglikes: bool = False):
         assert isinstance(dec, CsrBeamDecoder)
+        self._keep_ll = bool(keep_loglikes)
         fo = feat_opts.frame_opts
         assert fo.snip_edges and fo.dither == 0.0
         assert getattr(am, "group_ids", None) is None
@@ -121,8 +123,8 @@ class FusedStreamingServer:
             fidx = jnp.clip(gidx - total + M, M - nhist, M - 1)
             window = fifo[fidx]
             log_post = model.apply(params, window, pad_context=False)
-            ll = (log_post - log_prior) * ascale           # [ndmax, P]
-            return buf, fifo, nhist, ll
+            ll_raw = log_post - log_prior                  # [ndmax, P]
+            return buf, fifo, nhist, ll_raw * ascale, ll_raw
 
         def frame_step(carry, inputs):
             st0, sc0 = carry                   # [N, K]
@@ -141,9 +143,11 @@ class FusedStreamingServer:
             il_blob = jnp.where(m, il, 0)                  # [N, K]
             return (out_st, out_sc), (rec_blob, il_blob)   # [N, R, K]
 
+        keep_ll = self._keep_ll
+
         def step(carry, chunks, active, reset, nf, v0, nd, d0, total,
                  init_st, init_sc, params, log_prior):
-            buf, fifo, nhist, st, sc, arena, ilar = carry
+            buf, fifo, nhist, st, sc, arena, ilar, llar = carry
             # slot reuse: re-initialize reset slots in-device
             rm = reset[:, None]
             buf = jnp.where(rm, 0.0, buf)
@@ -151,7 +155,7 @@ class FusedStreamingServer:
             nhist = jnp.where(reset, 0, nhist)
             st = jnp.where(rm, init_st[None, :], st)
             sc = jnp.where(rm, init_sc[None, :], sc)
-            buf, fifo, nhist, ll = jax.vmap(
+            buf, fifo, nhist, ll, ll_raw = jax.vmap(
                 feat_one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, None, None)
             )(buf, fifo, nhist, chunks, active, nf, v0, d0, total,
               params, log_prior)
@@ -170,14 +174,18 @@ class FusedStreamingServer:
                 lambda a, r, d: jax.lax.dynamic_update_slice_in_dim(
                     a, r, d, axis=0)
             )(ilar, jnp.moveaxis(ils, 0, 1), d0)
-            return (buf, fifo, nhist, st, sc, arena, ilar)
+            if keep_ll:
+                llar = jax.vmap(
+                    lambda a, r, d: jax.lax.dynamic_update_slice_in_dim(
+                        a, r, d, axis=0))(llar, ll_raw, d0)
+            return (buf, fifo, nhist, st, sc, arena, ilar, llar)
 
         self._step = jax.jit(step, donate_argnums=(0,))
 
         final = t.final
 
         def traceback_one(carry, n, total, use_final):
-            _b, _f, _n, st, sc, arena, ilar = carry
+            _b, _f, _n, st, sc, arena, ilar = carry[:7]
             st0, sc0 = st[n], sc[n]
             aren, iln = arena[n], ilar[n]
             costs = sc0 + final[st0]
@@ -249,6 +257,8 @@ class FusedStreamingServer:
             jnp.tile(self._init_sc_np[None], (N, 1)),
             jnp.zeros((N, self.t_max, self.R, self.K), jnp.int32),
             jnp.zeros((N, self.t_max, self.K), jnp.int32),
+            jnp.zeros((N, self.t_max if self._keep_ll else 1,
+                       self.am.num_pdfs), jnp.float32),
         )
         self._free = list(range(N))
         self._stage = [np.zeros(0, np.float32) for _ in range(N)]
@@ -392,3 +402,17 @@ class FusedStreamingServer:
                 init_words.append(o)
             slot = int(pv.reshape(-1)[slot])
         return init_words[::-1] + words, tids, cost
+
+    def get_lattice(self, s: int, lattice_beam: float = 8.0):
+        """Raw lattice for stream s (== offline latgen on the same
+        log-likes; see FusedOnlineDecoder.get_lattice). Requires
+        keep_loglikes=True."""
+        assert self._keep_ll, "construct with keep_loglikes=True"
+        from kaldi_tpu.lat.generate import decode_to_lattices
+        n = int(self._decoded[s])
+        if n == 0:
+            return None
+        ll = np.asarray(self._carry[-1][s, :n])
+        return decode_to_lattices(
+            self.dec, ll[None], np.array([n], np.int32),
+            lattice_beam)[0]

@@ -117,3 +117,38 @@ def test_staggered_open_close(setup):
     assert list(g2[0]) == list(o2[0]) and list(g2[1]) == list(o2[1])
     srv.close(s1)
     srv.close(s2)
+
+
+def test_serving_get_lattice(setup):
+    """Per-stream online latgen equals offline latgen exactly."""
+    from kaldi_tpu.lat.generate import decode_to_lattices
+    fb_opts, am, dec, _srv = setup
+    srv = FusedStreamingServer(am, dec, fb_opts, n_streams=2,
+                               chunk_samples=2560, t_max=256,
+                               keep_loglikes=True)
+    rng = np.random.default_rng(51)
+    waves = [rng.standard_normal(L).astype(np.float32) * 4000
+             for L in (12000, 9000)]
+    slots = []
+    for w in waves:
+        s = srv.open()
+        srv.feed(s, w)
+        srv.input_finished(s)
+        slots.append(s)
+    for s in slots:
+        srv.drain(s)
+    for w, s in zip(waves, slots):
+        feats = np.asarray(fbank(jnp.asarray(w), fb_opts))
+        ll = am.loglikes_np(feats[None])
+        off = decode_to_lattices(dec, ll,
+                                 np.array([feats.shape[0]], np.int32),
+                                 6.0)[0]
+        lat = srv.get_lattice(s, 6.0)
+        assert (lat is None) == (off is None)
+        if lat is None:
+            continue
+        po = {(wd, t): round(c, 2)
+              for (wd, t, c) in off.paths(max_paths=100000)}
+        pg = {(wd, t): round(c, 2)
+              for (wd, t, c) in lat.paths(max_paths=100000)}
+        assert po == pg

@@ -142,3 +142,33 @@ def test_fused_get_lattice_equals_offline(setup):
     po = {(w, t): round(c, 2) for (w, t, c) in off.paths(max_paths=100000)}
     pg = {(w, t): round(c, 2) for (w, t, c) in lat.paths(max_paths=100000)}
     assert po == pg
+
+
+def test_fused_endpointing(setup):
+    """Endpoint rules over the fused decoder's partial state: with every
+    phone mapped to silence, trailing silence grows with the stream and
+    rule1 (long trailing silence, no nonsilence required) fires."""
+    import math
+    from kaldi_tpu.online.endpoint import EndpointConfig, EndpointRule
+    fb_opts, am, dec, fused = setup
+    rng = np.random.default_rng(17)
+    wave = rng.standard_normal(16000).astype(np.float32) * 4000
+
+    class _AllSilence:
+        @staticmethod
+        def transition_id_to_phone(tid):
+            return 0
+
+    cfg_fire = EndpointConfig(
+        rule1=EndpointRule(False, 0.05, math.inf, 0.0))
+    cfg_hold = EndpointConfig(
+        rule1=EndpointRule(False, 1e9, math.inf, 0.0),
+        rule2=EndpointRule(True, 1e9, -1e9, 0.0),
+        rule3=EndpointRule(True, 1e9, -1e9, 0.0),
+        rule4=EndpointRule(True, 1e9, math.inf, 0.0),
+        rule5=EndpointRule(False, 0.0, math.inf, 1e9))
+    fused.reset()
+    fused.accept_waveform(wave)
+    assert fused.endpoint_detected(cfg_fire, {0}, _AllSilence)
+    assert not fused.endpoint_detected(cfg_hold, {0}, _AllSilence)
+    fused.input_finished()
