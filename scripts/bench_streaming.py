@@ -123,7 +123,7 @@ def main():
 
     # ---------------- fused path (headline) ----------------
     fused = FusedOnlineDecoder(am, csr_dec, fb_opts, chunk_samples=chunk,
-                               t_max=1024)
+                               t_max=1024, keep_loglikes=True)
     f_stats = OnlineTimingStats()
     f_lat = []
     f_mism = 0
@@ -148,7 +148,15 @@ def main():
             res = fused.best_path()
             fin_ms = (time.perf_counter() - t0) * 1e3
             timer.finish(f_stats)
+            # online latgen: GetLattice at utterance end (== offline
+            # latgen on the same log-likes, by construction); timed
+            # separately so online_rtf stays the decode-path figure
+            t0 = time.perf_counter()
+            lat = fused.get_lattice(8.0)
+            lat_ms = (time.perf_counter() - t0) * 1e3
             if res is None or list(res[0]) != list(off_csr[u][0]):
+                f_mism += 1
+            if lat is None:
                 f_mism += 1
     fp50, fp95 = np.percentile(f_lat, [50, 95])
 
@@ -232,6 +240,7 @@ def main():
         "chunk_latency_ms_p50": round(float(fp50), 2),
         "chunk_latency_ms_p95": round(float(fp95), 2),
         "finalize_ms": round(fin_ms, 2),
+        "get_lattice_ms": round(lat_ms, 2),
         "max_delay_s": round(f_stats.max_delay, 3),
         "audio_s": round(f_stats.total_audio, 1),
         "streamed_equals_offline": f_mism == 0,
