@@ -45,9 +45,19 @@ class FusedStreamingServer:
     def __init__(self, am, dec: CsrBeamDecoder, feat_opts: FbankOpts,
                  n_streams: int = 8, chunk_samples: int = 2560,
                  t_max: int = 1024, computer=fbank,
-                 keep_loglikes: bool = False):
+                 keep_loglikes: bool = False, mesh=None,
+                 mesh_axis: str = "data"):
+        """mesh: an optional jax.sharding.Mesh — the stream axis is
+        sharded over `mesh_axis`, so one lockstep serving batch spans
+        the mesh's chips (GSPMD partitions the per-stream feature/AM
+        front-end and the batched token passing; the graph tables are
+        replicated). n_streams must divide evenly by the axis size."""
         assert isinstance(dec, CsrBeamDecoder)
         self._keep_ll = bool(keep_loglikes)
+        self._mesh = mesh
+        self._mesh_axis = mesh_axis
+        if mesh is not None:
+            assert n_streams % mesh.shape[mesh_axis] == 0
         fo = feat_opts.frame_opts
         assert fo.snip_edges and fo.dither == 0.0
         assert getattr(am, "group_ids", None) is None
@@ -249,7 +259,7 @@ class FusedStreamingServer:
 
     def _reset_all(self):
         N, D = self.N, self._feat_dim
-        self._carry = (
+        carry = (
             jnp.zeros((N, self.BUF), jnp.float32),
             jnp.zeros((N, self.M, D), jnp.float32),
             jnp.zeros(N, jnp.int32),
@@ -260,6 +270,14 @@ class FusedStreamingServer:
             jnp.zeros((N, self.t_max if self._keep_ll else 1,
                        self.am.num_pdfs), jnp.float32),
         )
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            carry = tuple(
+                jax.device_put(c, NamedSharding(
+                    self._mesh,
+                    P(self._mesh_axis, *([None] * (c.ndim - 1)))))
+                for c in carry)
+        self._carry = carry
         self._free = list(range(N))
         self._stage = [np.zeros(0, np.float32) for _ in range(N)]
         self._samples = np.zeros(N, np.int64)

@@ -152,3 +152,31 @@ def test_serving_get_lattice(setup):
         pg = {(wd, t): round(c, 2)
               for (wd, t, c) in lat.paths(max_paths=100000)}
         assert po == pg
+
+
+def test_serving_sharded_over_mesh(setup):
+    """Stream-axis sharding over a device mesh (SURVEY §2.11): one
+    lockstep serving batch spans all 8 virtual devices; results equal
+    the single-device server exactly."""
+    from kaldi_tpu.parallel.mesh import make_mesh
+    fb_opts, am, dec, _srv = setup
+    mesh = make_mesh(data=8, model=1, devices=jax.devices()[:8])
+    srv = FusedStreamingServer(am, dec, fb_opts, n_streams=8,
+                               chunk_samples=2560, t_max=256,
+                               mesh=mesh)
+    rng = np.random.default_rng(61)
+    waves = [rng.standard_normal(int(L)).astype(np.float32) * 4000
+             for L in rng.integers(8000, 16000, size=8)]
+    offline = [_offline(am, dec, w, fb_opts) for w in waves]
+    slots = [srv.open() for _ in waves]
+    for s, w in zip(slots, waves):
+        srv.feed(s, w)
+        srv.input_finished(s)
+    for s in slots:
+        srv.drain(s)
+    for s, (ow, ot, oc) in zip(slots, offline):
+        w, t, c = srv.best_path(s)
+        assert list(w) == list(ow)
+        assert list(t) == list(ot)
+        assert c == pytest.approx(oc, rel=1e-4, abs=1e-2)
+        srv.close(s)
