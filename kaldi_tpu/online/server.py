@@ -61,6 +61,38 @@ class DecodeSession:
         return " ".join(self.words.sym(w) for w in words)
 
 
+class FusedDecodeSession:
+    """DecodeSession over the single-dispatch fused streaming decoder
+    (kaldi_tpu/online/fused.py): one XLA program per audio chunk, one
+    partial-traceback dispatch per hypothesis query — the low-latency
+    serving path for plain base-feature AMs."""
+
+    def __init__(self, fused, words):
+        self.fused = fused
+        fused.reset()
+        self.words = words
+        self._pcm_tail = b""
+
+    def accept_pcm(self, pcm: bytes):
+        data = self._pcm_tail + pcm
+        usable = len(data) - (len(data) % 2)
+        self._pcm_tail = data[usable:]
+        if usable == 0:
+            return
+        wave = np.frombuffer(data[:usable], dtype="<i2").astype(np.float32)
+        self.fused.accept_waveform(wave)
+
+    def finish(self):
+        self.fused.input_finished()
+
+    def hypothesis(self, final: bool = False) -> str:
+        res = self.fused.best_path(use_final_probs=final)
+        if res is None:
+            return ""
+        words, _tids, _c = res
+        return " ".join(self.words.sym(w) for w in words)
+
+
 class AudioServer:
     def __init__(self, host: str, port: int, session_factory,
                  chunk_bytes: int = 8192):

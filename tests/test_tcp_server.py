@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from kaldi_tpu.online.server import AudioServer, DecodeSession, stream_wave
@@ -69,5 +70,51 @@ def test_tcp_server_decodes_stream():
         assert lines[-1] == f"FINAL {want}"
         # at least one partial update arrived before the final
         assert any(ln.startswith("PARTIAL") for ln in lines)
+    finally:
+        server.shutdown()
+
+
+def test_tcp_server_fused_session():
+    """The TCP server over FusedDecodeSession: FINAL equals offline
+    decoding of the same wave through the fused single-dispatch path."""
+    from kaldi_tpu.fst.fst import SymbolTable
+    from kaldi_tpu.ops import FbankOpts, FrameOpts, MelOpts, fbank
+    from kaldi_tpu.nnet.tdnn import Tdnn, TdnnConfig
+    from kaldi_tpu.nnet.am_nnet import AmNnet
+    from kaldi_tpu.decoder.biggraph import make_big_hclg, BigGraphConfig
+    from kaldi_tpu.decoder.csr_beam import CsrBeamDecoder, CsrBeamOpts
+    from kaldi_tpu.online.fused import FusedOnlineDecoder
+    from kaldi_tpu.online.server import FusedDecodeSession
+
+    fb_opts = FbankOpts(frame_opts=FrameOpts(dither=0.0),
+                        mel_opts=MelOpts(num_bins=24))
+    graph, _n = make_big_hclg(BigGraphConfig(
+        vocab=40, avg_bigram_succ=6, num_pdfs=16, seed=3))
+    cfg = TdnnConfig(feat_dim=24, num_pdfs=16, hidden_dim=64,
+                     pnorm_output_dim=32, nonlinearity="relu",
+                     splice_indexes=((-2, -1, 0, 1, 2), (-1, 2), (0,)))
+    model = Tdnn(cfg)
+    am = AmNnet(model, model.init(jax.random.PRNGKey(0)))
+    dec = CsrBeamDecoder(graph, CsrBeamOpts(
+        beam=11.0, max_active=128, acoustic_scale=0.1,
+        expand_budget=2048, eps_budget=512, hub_threshold=64))
+    words = SymbolTable()
+    for k in range(1, 41):
+        words.add(f"W{k}")
+    fused = FusedOnlineDecoder(am, dec, fb_opts, chunk_samples=2560,
+                               t_max=256)
+
+    server = AudioServer(
+        "127.0.0.1", 0, lambda: FusedDecodeSession(fused, words))
+    server.serve_in_background()
+    try:
+        rng = np.random.RandomState(44)
+        wave = (rng.randn(20000) * 4000).astype(np.float32)
+        feats = np.asarray(fbank(jnp.asarray(wave), fb_opts))
+        offline = dec.decode(am.loglikes_np(feats[None]),
+                             np.array([feats.shape[0]]))[0]
+        want = " ".join(words.sym(w) for w in offline[0])
+        lines = stream_wave("127.0.0.1", server.port, wave)
+        assert lines and lines[-1] == f"FINAL {want}"
     finally:
         server.shutdown()
