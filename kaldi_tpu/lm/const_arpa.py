@@ -235,10 +235,15 @@ class ConstArpaLm:
         s = states.copy()
         active = np.ones(N, bool)
         resolved = np.zeros(N, bool)    # next-state already known
+        # word ids outside the packed column domain (word+3 not in [0, W))
+        # would alias into a NEIGHBOURING state's composite-key range and
+        # could exactly match a foreign entry; force them to the impossible
+        # key -1 (all real keys are >= 1) so they take the unk path.
+        in_dom = (words + 3 >= 0) & (words + 3 < W)
         for level in range(self.order + 1):
             if not active.any():
                 break
-            q = s * W + (words + 3)
+            q = np.where(in_dom, s * W + (words + 3), -1)
             pos = np.searchsorted(self._ent_key, q)
             hit = active & (pos < nE) & \
                 (self._ent_key[np.minimum(pos, nE - 1)] == q)
@@ -275,7 +280,7 @@ class ConstArpaLm:
                     hw = hp[:, j - 1]
                     ok &= hw != -3
                     k = k * W + (hw + 3)
-                k = k * W + (words[idx] + 3)
+                k = np.where(in_dom[idx], k * W + (words[idx] + 3), -1)
                 p = np.searchsorted(keys, k)
                 h2 = ok & (p < len(keys)) & \
                     (keys[np.minimum(p, len(keys) - 1)] == k)

@@ -282,13 +282,18 @@ class FusedOnlineDecoder:
         self._closure = jax.jit(closure)
 
     def _arena_init(self):
+        # arenas are padded by ndmax rows: step() writes a fixed
+        # ndmax-row block at d0, and dynamic_update_slice CLAMPS the start
+        # index — without the pad, a final chunk with d0 > t_max - ndmax
+        # would silently shift its writes over earlier frames' records.
+        # Rows [t_max, t_max+ndmax) are scratch; no reader indexes them.
         P = self.am.num_pdfs
-        llar = jnp.zeros((self.t_max if self._keep_ll else 1, P),
-                         jnp.float32)
+        tm = self.t_max + self.ndmax
+        llar = jnp.zeros((tm if self._keep_ll else 1, P), jnp.float32)
         if self._is_csr:
-            return (jnp.zeros((self.t_max, self.R, self.K), jnp.int32),
-                    jnp.zeros((self.t_max, self.K), jnp.int32), llar)
-        return (jnp.zeros((self.t_max, self.R, 3, self.K), jnp.int32),
+            return (jnp.zeros((tm, self.R, self.K), jnp.int32),
+                    jnp.zeros((tm, self.K), jnp.int32), llar)
+        return (jnp.zeros((tm, self.R, 3, self.K), jnp.int32),
                 llar)
 
     # -------------------------------------------------------- csr engine

@@ -265,10 +265,17 @@ class FusedStreamingServer:
             jnp.zeros(N, jnp.int32),
             jnp.tile(self._init_st_np[None], (N, 1)),
             jnp.tile(self._init_sc_np[None], (N, 1)),
-            jnp.zeros((N, self.t_max, self.R, self.K), jnp.int32),
-            jnp.zeros((N, self.t_max, self.K), jnp.int32),
-            jnp.zeros((N, self.t_max if self._keep_ll else 1,
-                       self.am.num_pdfs), jnp.float32),
+            # padded by ndmax rows: per-slot writes are fixed ndmax-row
+            # blocks at d0 and dynamic_update_slice clamps — without the
+            # pad a near-capacity stream's tail records get shifted over
+            # earlier frames (and idle in-use slots, which write identity
+            # records at their d0 every dispatch, would clobber a finished
+            # near-capacity stream's tail). Pad rows are never read.
+            jnp.zeros((N, self.t_max + self.ndmax, self.R, self.K),
+                      jnp.int32),
+            jnp.zeros((N, self.t_max + self.ndmax, self.K), jnp.int32),
+            jnp.zeros((N, (self.t_max + self.ndmax) if self._keep_ll
+                       else 1, self.am.num_pdfs), jnp.float32),
         )
         if self._mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

@@ -701,18 +701,26 @@ void* fst_minimize_encoded(
   OutFst* out = new OutFst();
   if (n == 0 || start < 0) return out;
   const int64_t A = as[n];
-  // encode arc labels
-  std::unordered_map<uint64_t, int32_t> enc;
+  // encode arc labels: the map key must be the EXACT (il, ol, wr)
+  // triple — a folded hash here is an equivalence key, and a collision
+  // would merge non-equivalent labels and silently corrupt the
+  // minimized graph. 16-byte string key, like the signature map below.
+  std::unordered_map<std::string, int32_t> enc;
   enc.reserve(1 << 12);
   std::vector<int32_t> code(A);
-  for (int64_t a = 0; a < A; ++a) {
-    int64_t wr = llround((double)wt[a] / 1e-6);
-    uint64_t key = (uint64_t)(uint32_t)il[a];
-    key = key * 1000003u ^ (uint64_t)(uint32_t)ol[a];
-    key = key * 1000003u ^ (uint64_t)wr;
-    auto it = enc.find(key);
-    if (it == enc.end()) it = enc.emplace(key, (int32_t)enc.size()).first;
-    code[a] = it->second;
+  {
+    char kb[16];
+    for (int64_t a = 0; a < A; ++a) {
+      int64_t wr = llround((double)wt[a] / 1e-6);
+      std::memcpy(kb, &il[a], 4);
+      std::memcpy(kb + 4, &ol[a], 4);
+      std::memcpy(kb + 8, &wr, 8);
+      std::string key(kb, 16);
+      auto it = enc.find(key);
+      if (it == enc.end())
+        it = enc.emplace(std::move(key), (int32_t)enc.size()).first;
+      code[a] = it->second;
+    }
   }
   // initial partition: by (finality, rounded final weight)
   std::vector<int32_t> block(n);

@@ -184,6 +184,35 @@ def test_step_batch_matches_scalar(arpa_file):
         assert abs(clm.final_cost(int(states[i])) - fb[i]) < 1e-4
 
 
+@pytest.mark.parametrize("arpa_file", ["input.arpa", "missing_backoffs.arpa"])
+def test_step_batch_out_of_domain_words(arpa_file):
+    """Word ids beyond the packed column domain (word+3 >= W) must take the
+    unk path, not alias into a neighbouring state's composite-key range.
+    Regression: step_batch(state=0, word=W-3+k) returned a foreign entry's
+    cost/next-state instead of the unk cost. Lattice rescoring passes
+    arbitrary olabels, so this mis-scored any word id above the LM's max."""
+    import os
+    path = os.path.join(REF_LM_DIR, arpa_file)
+    if not os.path.exists(path):
+        pytest.skip("reference lm fixtures unavailable")
+    lm = ArpaLm.parse(open(path).read())
+    words = _words_table("a", "b", "<s>", "</s>")
+    clm = ConstArpaLm(lm, words)
+    clm._batch_tables()
+    W = clm._wspan
+    rng = np.random.RandomState(1)
+    states = rng.randint(0, clm.num_states, 40)
+    # word ids straddling and beyond the aliasing threshold W-3
+    wids = np.concatenate([np.arange(W - 5, W + 10),
+                           rng.randint(W, 4 * W, 25)]).astype(np.int64)
+    states = np.resize(states, len(wids))
+    nb, cb = clm.step_batch(states, wids)
+    for i in range(len(wids)):
+        ns, cs = clm.step(int(states[i]), int(wids[i]))
+        assert ns == nb[i], (i, states[i], wids[i])
+        assert abs(cs - cb[i]) < 1e-4, (i, states[i], wids[i])
+
+
 def test_lattice_lmrescore_batch_matches_scalar():
     """The vectorized rescorer must produce the same weighted path set
     as the scalar reference implementation on random topo lattices."""

@@ -213,3 +213,30 @@ def test_native_minimize_encoded_matches_python():
         assert got.num_states == want.num_states, trial
         assert got.num_arcs == want.num_arcs, trial
         assert want.equivalent_paths(got, tol=1e-3), trial
+
+
+def test_native_minimize_encoded_label_hash_collision():
+    """Distinct (il, ol, w) triples must never share an encoded label.
+
+    Regression: the encoder keyed its map on a folded multiply/xor hash;
+    the triples (0, 0, w=1.000003) and (0, 1, w=0.0) collide under
+    ((il*1000003)^ol)*1000003^round(w/1e-6), so two non-equivalent states
+    distinguished only by these arcs were merged, silently corrupting the
+    minimized graph. The key is now the exact triple."""
+    f = Fst()
+    for _ in range(4):
+        f.add_state()
+    f.start = 0
+    f.add_arc(0, 1, 1, 0.0, 1)
+    f.add_arc(0, 2, 2, 0.0, 2)
+    f.add_arc(1, 0, 0, 1.000003, 3)     # colliding pair under old hash
+    f.add_arc(2, 0, 1, 0.0, 3)
+    f.set_final(3, 0.0)
+    got = native_ops.minimize_encoded_flat(FlatFst.from_fst(f)).to_fst()
+    # states 1 and 2 are NOT equivalent (different arc labels/weights):
+    # nothing may merge, and both paths must survive with their weights
+    assert got.num_states == 4
+    from kaldi_tpu.fst.minimize import minimize_encoded
+    want = minimize_encoded(f.copy())
+    assert got.num_states == want.num_states
+    assert want.equivalent_paths(got, tol=1e-6)

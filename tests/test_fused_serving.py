@@ -180,3 +180,37 @@ def test_serving_sharded_over_mesh(setup):
         assert list(t) == list(ot)
         assert c == pytest.approx(oc, rel=1e-4, abs=1e-2)
         srv.close(s)
+
+
+def test_serving_near_capacity_with_idle_slot(setup):
+    """A stream decoded to within ndmax frames of t_max, with a second
+    in-use-but-idle slot present across dispatches.
+
+    Regression twin of test_fused_near_capacity_utterance: per-slot arena
+    writes are fixed ndmax-row blocks at d0 and clamp without the pad —
+    and an idle in-use slot writes identity records at its d0 on EVERY
+    dispatch, which used to clobber a finished near-capacity stream's
+    tail records."""
+    fb_opts, am, dec, _srv = setup
+    rng = np.random.default_rng(41)
+    wave = rng.standard_normal(40000).astype(np.float32) * 4000
+    total = np.asarray(fbank(jnp.asarray(wave), fb_opts)).shape[0]
+    srv = FusedStreamingServer(am, dec, fb_opts, n_streams=2,
+                               chunk_samples=2560, t_max=total)
+    off_w, off_t, off_c = _offline(am, dec, wave, fb_opts)
+    s_long = srv.open()
+    s_idle = srv.open()          # never fed: idle identity writes
+    srv.feed(s_long, wave)
+    srv.input_finished(s_long)
+    srv.drain(s_long)
+    # extra dispatches after s_long finished: the idle slot writes must
+    # not disturb s_long's finished arena
+    srv.feed(s_idle, rng.standard_normal(6000).astype(np.float32) * 4000)
+    srv.step()
+    srv.step()
+    got = srv.best_path(s_long)
+    assert got is not None
+    w, t, c = got
+    assert list(w) == list(off_w)
+    assert list(t) == list(off_t)
+    assert c == pytest.approx(off_c, rel=1e-4, abs=1e-2)

@@ -172,3 +172,27 @@ def test_fused_endpointing(setup):
     assert fused.endpoint_detected(cfg_fire, {0}, _AllSilence)
     assert not fused.endpoint_detected(cfg_hold, {0}, _AllSilence)
     fused.input_finished()
+
+
+def test_fused_near_capacity_utterance(setup):
+    """Utterance whose final dispatch lands within ndmax frames of t_max.
+
+    Regression: arena writes are fixed ndmax-row blocks at d0 and
+    dynamic_update_slice CLAMPS the start index, so with an unpadded
+    arena the final chunk's records were written at shifted positions,
+    corrupting earlier frames' backpointers. The arena is now padded by
+    ndmax rows; streamed output must equal offline right up to t_max."""
+    fb_opts, am, dec, _fused = setup
+    rng = np.random.default_rng(31)
+    wave = rng.standard_normal(40000).astype(np.float32) * 4000
+    from kaldi_tpu.ops import fbank as _fb
+    total = np.asarray(_fb(jnp.asarray(wave), fb_opts)).shape[0]
+    tight = FusedOnlineDecoder(am, dec, fb_opts, chunk_samples=2560,
+                               t_max=total)      # exactly-full arena
+    off_w, off_t, off_c = _offline(am, dec, wave, fb_opts)
+    got = _stream(tight, wave, 2560)
+    assert got is not None
+    w, t, c = got
+    assert list(w) == list(off_w)
+    assert list(t) == list(off_t)
+    assert c == pytest.approx(off_c, rel=1e-4, abs=1e-2)
