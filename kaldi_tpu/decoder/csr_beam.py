@@ -91,6 +91,10 @@ class CsrBeamOpts:
     exact_dedup: bool = False   # retained for API compat: dedup is now
                                 # always bit-exact (stable-sort winner per
                                 # state, candidate-index tie-break)
+    force_b_triple: bool = False  # pin the tier-B triple row layout even
+                                  # when the quad layout applies (testing
+                                  # knob — quad is bit-exact and 25%
+                                  # fewer row fetches; see TierTables)
     fold_eps: bool = True       # eps-remove the graph at pack time when
                                 # exactly representable (fold_epsilons),
                                 # eliminating all per-frame eps rounds
@@ -141,9 +145,13 @@ class TierTables:
     zrow: jnp.ndarray      # [S, 8] int32 packed per-state eps row:
     #   cols 0-2: arc0 (cost bits, nxt, ol), 3-5: arc1,
     #   col 6: tier-B eps offset, col 7: tier-B eps deg
-    brow: jnp.ndarray      # [ABR, 16] int32 tier-B arc TRIPLES: ceil(deg/3)
-    #   rows per state, 3 arcs x (cost bits, nxt, pdf, tid, ol) at cols
-    #   0/5/10; padding arcs carry cost=BIG
+    brow: jnp.ndarray      # [ABR, 16] int32 tier-B arc rows,
+    #   ceil(deg/b_apr) rows per state; layout per b_apr:
+    #     4 (quad): 4 arcs x (cost bits, nxt, pdf|tid<<16, ol) at cols
+    #       0/4/8/12 — requires pdf/tid/ol < 2^16
+    #     3 (triple): 3 arcs x (cost bits, nxt, pdf, tid, ol) at cols
+    #       0/5/10
+    #   padding arcs carry cost=BIG in both
     zbrow: jnp.ndarray     # [AZB, 8] int32 tier-B eps arc rows
     #   (cost bits, nxt, ol, 0, ...)
     final: jnp.ndarray     # [S] f32
@@ -155,6 +163,7 @@ class TierTables:
     hub_onehot: jnp.ndarray | None  # [AH, Gpad] f32 pdf-group one-hot
     hub_gpdf: jnp.ndarray | None    # [Gpad] int32 distinct pdfs per group
     hub_pdf: jnp.ndarray | None     # [AH] int32 (fallback when G > 128)
+    b_apr: int = 3                  # tier-B arcs per packed row (4 = quad)
 
 
 def _pack_rows(cols: list[np.ndarray], width: int) -> np.ndarray:
@@ -165,8 +174,13 @@ def _pack_rows(cols: list[np.ndarray], width: int) -> np.ndarray:
     return out
 
 
-def build_tier_tables(csr: SplitCsr, hub_threshold: int) -> TierTables:
-    """Vectorized tier partition + row packing (numpy, runs once)."""
+def build_tier_tables(csr: SplitCsr, hub_threshold: int,
+                      force_triple: bool = False) -> TierTables:
+    """Vectorized tier partition + row packing (numpy, runs once).
+
+    force_triple pins the tier-B fallback layout (3 arcs x 5 lanes) even
+    when the quad layout applies — a testing knob for layout-equivalence
+    assertions."""
     S = csr.num_states
     e_deg = np.diff(csr.estart).astype(np.int64)
     z_deg = np.diff(csr.zstart).astype(np.int64)
@@ -190,42 +204,64 @@ def build_tier_tables(csr: SplitCsr, hub_threshold: int) -> TierTables:
         srow[has, base + 2] = csr.e_pdf[a]
         srow[has, base + 3] = csr.e_tid[a]
         srow[has, base + 4] = csr.e_ol[a]
-    # tier B packed arc TRIPLES: ceil(deg/3) rows of 16 int32 per state,
-    # 3 arcs x 5 cols (cols 0-4 / 5-9 / 10-14), padding arcs dead
-    # (cost = BIG). The chip fetches a random row of <=16 int32 lanes
-    # for one flat cost (~13-25 ns/row), so three arcs ride each fetch
-    # — the budgeted expansion visits 3x fewer rows per frame for the
-    # same arc coverage (tier-B row gathers are the decode scan's
-    # measured critical path).
+    # tier B packed arc rows. Two layouts, chosen at pack time:
+    #   QUAD (default when every tier-B pdf/tid/olabel fits 16 bits —
+    #     true for any real vocabulary-scale HCLG: 60k words, ~10k pdfs,
+    #     ~40k tids): 4 arcs x 4 lanes (cost f32 bits, nxt i32,
+    #     pdf | tid << 16, olabel) — 16 lanes exactly. A random row
+    #     fetch costs the same flat ~13-25 ns for any width <= 16
+    #     lanes, so packing 4 arcs/row instead of 3 cuts the tier-B row
+    #     fetches (the decode scan's measured critical path) by 25% at
+    #     identical bit-exact semantics.
+    #   TRIPLE (fallback for huge label spaces): 3 arcs x 5 full lanes
+    #     (cols 0-4 / 5-9 / 10-14).
+    # Padding arcs are dead (cost = BIG) in both.
     b_deg = np.where(tier_b, e_deg, 0)
-    b_rows = -(-b_deg // 3)
-    r_start = np.zeros(S + 1, np.int64)
-    np.cumsum(b_rows, out=r_start[1:])
     b_start = np.zeros(S + 1, np.int64)
     np.cumsum(b_deg, out=b_start[1:])
     AB = int(b_start[-1])
-    ABR = int(r_start[-1])
-    if ABR:
-        brow = np.zeros((ABR, 16), np.int32)
-        brow[:, 0] = BIG_BITS
-        brow[:, 5] = BIG_BITS
-        brow[:, 10] = BIG_BITS
+    if AB:
         bs = np.flatnonzero(tier_b)
         reps = e_deg[bs]
         offs = np.repeat(csr.estart[:-1][bs].astype(np.int64), reps)
         within = np.arange(AB) - np.repeat(b_start[bs], reps)
         src_idx = offs + within
-        rowi = np.repeat(r_start[bs], reps) + within // 3
-        colb = 5 * (within % 3)
-        for c, vals in enumerate((cost_bits[src_idx], csr.e_nxt[src_idx],
-                                  csr.e_pdf[src_idx], csr.e_tid[src_idx],
-                                  csr.e_ol[src_idx])):
-            brow[rowi, colb + c] = vals
+        fits16 = (int(csr.e_pdf[src_idx].max(initial=0)) < (1 << 16)
+                  and int(csr.e_tid[src_idx].max(initial=0)) < (1 << 16)
+                  and int(csr.e_ol[src_idx].max(initial=0)) < (1 << 16))
+        apr = 4 if (fits16 and not force_triple) else 3
+    else:
+        apr = 3
+    b_rows = -(-b_deg // apr)
+    r_start = np.zeros(S + 1, np.int64)
+    np.cumsum(b_rows, out=r_start[1:])
+    ABR = int(r_start[-1])
+    if ABR:
+        brow = np.zeros((ABR, 16), np.int32)
+        for k in range(apr):
+            brow[:, (4 if apr == 4 else 5) * k] = BIG_BITS
+        rowi = np.repeat(r_start[bs], reps) + within // apr
+        if apr == 4:
+            colb = 4 * (within % 4)
+            pt = (csr.e_pdf[src_idx].astype(np.uint32)
+                  | (csr.e_tid[src_idx].astype(np.uint32) << np.uint32(16)))
+            for c, vals in enumerate((cost_bits[src_idx],
+                                      csr.e_nxt[src_idx],
+                                      pt.view(np.int32),
+                                      csr.e_ol[src_idx])):
+                brow[rowi, colb + c] = vals
+        else:
+            colb = 5 * (within % 3)
+            for c, vals in enumerate((cost_bits[src_idx],
+                                      csr.e_nxt[src_idx],
+                                      csr.e_pdf[src_idx],
+                                      csr.e_tid[src_idx],
+                                      csr.e_ol[src_idx])):
+                brow[rowi, colb + c] = vals
     else:
         brow = np.zeros((1, 16), np.int32)
-        brow[0, 0] = BIG_BITS
-        brow[0, 5] = BIG_BITS
-        brow[0, 10] = BIG_BITS
+        for k in range(apr):
+            brow[0, (4 if apr == 4 else 5) * k] = BIG_BITS
     srow[:, 10] = r_start[:-1]
     srow[:, 11] = b_deg
 
@@ -307,7 +343,7 @@ def build_tier_tables(csr: SplitCsr, hub_threshold: int) -> TierTables:
         hub_states=tables_hub[0], hub_bounds=tables_hub[1],
         hub_rows=tables_hub[2], hub_cost=tables_hub[3],
         hub_onehot=tables_hub[4], hub_gpdf=tables_hub[5],
-        hub_pdf=tables_hub[6])
+        hub_pdf=tables_hub[6], b_apr=apr)
 
 
 def _bits_to_f32(x):
@@ -390,7 +426,7 @@ def _make_rounds(srow, zrow, brow, zbrow,
                  hub_state_arr, hub_rows, hub_cost, hub_onehot, hub_gpdf,
                  hub_pdf, hub_bounds: tuple,
                  B: int, K: int, CB: int, CZ: int, beam: float,
-                 HC: int | None = None):
+                 HC: int | None = None, b_apr: int = 3):
     """Build the per-frame (emit_round, eps_round) expansion programs over
     the tier tables for a [B, K] frontier. Shared by the offline batch
     decoders below and the fused streaming decoder
@@ -409,7 +445,7 @@ def _make_rounds(srow, zrow, brow, zbrow,
     AH = hub_rows.shape[0]
     have_b = brow.shape[0] > 1
     have_zb = zbrow.shape[0] > 1
-    CBR = -(-CB // 3)   # tier-B budget in arc-TRIPLE rows
+    CBR = -(-CB // b_apr)   # tier-B budget in packed arc ROWS
     iarange = jnp.arange(K, dtype=jnp.int32)[None, :]
     self_prev = jnp.broadcast_to(iarange, (B, K))
     zeros_bk = jnp.zeros((B, K), jnp.int32)
@@ -422,6 +458,23 @@ def _make_rounds(srow, zrow, brow, zbrow,
                 row[..., base + 4]
         return cost, nxt, row[..., base + 2]
 
+    def b_pdf(arcr, k):
+        """pdf of packed tier-B sub-arc k (layout per b_apr)."""
+        if b_apr == 4:
+            return arcr[..., 4 * k + 2] & 0xFFFF
+        return arcr[..., 5 * k + 2]
+
+    def unpack_b_arc(arcr, k):
+        """(cost, nxt, tid, ol) of packed tier-B sub-arc k."""
+        if b_apr == 4:
+            base = 4 * k
+            tid = (arcr[..., base + 2] >> 16) & 0xFFFF
+            return (_bits_to_f32(arcr[..., base]), arcr[..., base + 1],
+                    tid, arcr[..., base + 3])
+        base = 5 * k
+        return (_bits_to_f32(arcr[..., base]), arcr[..., base + 1],
+                arcr[..., base + 3], arcr[..., base + 4])
+
     def take_ll(ll_t, pdf):
         """Batched acoustic lookup: ll_t [B, P], pdf [B, N] -> [B, N].
         On TPU this is a Pallas kernel holding the small [B, P] table in
@@ -432,14 +485,14 @@ def _make_rounds(srow, zrow, brow, zbrow,
             .reshape(pdf.shape)
 
     def tier_b_emit(tok_score, row):
-        """Row-budgeted expansion over the arc-triple table: CBR =
-        ceil(expand_budget/3) row slots, each yielding 3 candidates
-        from ONE row fetch. Returns the gathered triple rows + per-slot
-        base scores/token slots; the acoustic lookup happens in the
-        caller's fused batch. Overflow is counted exactly in ARCS."""
+        """Row-budgeted expansion over the packed arc table: CBR =
+        ceil(expand_budget/b_apr) row slots, each yielding b_apr
+        candidates from ONE row fetch. Returns the gathered rows +
+        per-slot base scores/token slots; the acoustic lookup happens in
+        the caller's fused batch. Overflow is counted exactly in ARCS."""
         off_all = row[..., 10]                    # brow ROW offsets
         deg = jnp.where(tok_score < BIG * 0.5, row[..., 11], 0)
-        rows_n = (deg + 2) // 3
+        rows_n = (deg + (b_apr - 1)) // b_apr
         roff = jnp.cumsum(rows_n, axis=1) - rows_n
         tj, rj, valid, _ovr = _segment_map(roff, rows_n, CBR, K, B,
                                            base=off_all)
@@ -448,11 +501,11 @@ def _make_rounds(srow, zrow, brow, zbrow,
         base_sc = take_ll(tok_score, tj)
         base_sc = jnp.where(valid, base_sc, BIG)
         rj = jnp.where(valid, rj, 0)
-        arc3 = brow[rj]                     # [B, CBR, 16] one row gather
+        arcr = brow[rj]                     # [B, CBR, 16] one row gather
         # exact dropped-arc count (rows tile token-contiguously)
         kept_rows = jnp.clip(CBR - roff, 0, rows_n)
-        ovf = jnp.sum(deg - jnp.minimum(deg, 3 * kept_rows), axis=1)
-        return (arc3, base_sc, tj), ovf
+        ovf = jnp.sum(deg - jnp.minimum(deg, b_apr * kept_rows), axis=1)
+        return (arcr, base_sc, tj), ovf
 
     def hub_emit(tok_state, tok_score, ll_t):
         """Dense per-hub expansion; returns K best hub candidates per b."""
@@ -522,8 +575,8 @@ def _make_rounds(srow, zrow, brow, zbrow,
         row = srow[tok_state]                             # [B, K, 16]
         pdfs = [row[..., 2], row[..., 7]]                 # tier-A arc pdfs
         if have_b:
-            (arc3, base_b, tj_b), ovf = tier_b_emit(tok_score, row)
-            pdfs.extend([arc3[..., 2], arc3[..., 7], arc3[..., 12]])
+            (arcr, base_b, tj_b), ovf = tier_b_emit(tok_score, row)
+            pdfs.extend(b_pdf(arcr, k) for k in range(b_apr))
         else:
             ovf = jnp.zeros(B, jnp.int32)
         # ONE fused acoustic lookup for every tier-A/B candidate
@@ -537,8 +590,8 @@ def _make_rounds(srow, zrow, brow, zbrow,
             sc = jnp.where(cost < BIG * 0.5, tok_score + cost + am, BIG)
             cands.append((nxt, sc, self_prev | (ol << kbits), tid))
         if have_b:
-            for k in (0, 1, 2):
-                cost, nxt, pdf, tid, ol = unpack_arc(arc3, 5 * k)
+            for k in range(b_apr):
+                cost, nxt, tid, ol = unpack_b_arc(arcr, k)
                 am_b = am_cat[:, off:off + CBR]
                 off += CBR
                 sc_b = jnp.where(cost < BIG * 0.5, base_b + cost + am_b,
@@ -585,7 +638,7 @@ def _make_rounds(srow, zrow, brow, zbrow,
     jax.jit,
     static_argnames=("start", "K", "CB", "CZ", "n_eps", "beam",
                      "hub_bounds", "record_full", "Kc", "rec_beam",
-                     "rec_f16", "rec_flat", "CAPB", "HC"))
+                     "rec_f16", "rec_flat", "CAPB", "HC", "b_apr"))
 def _csr_decode(
     ll,            # [B, T, P] scaled loglikes
     frame_mask,    # [B, T] bool
@@ -598,12 +651,13 @@ def _csr_decode(
     rec_f16: bool = False,
     rec_flat: bool = False, CAPB: int = 0,  # flat bin-packed records
     HC: int | None = None,                  # hub candidate cap
+    b_apr: int = 3,                         # tier-B row layout
 ):
     B, T, P = ll.shape
     emit_round, eps_round = _make_rounds(
         srow, zrow, brow, zbrow, hub_state_arr, hub_rows, hub_cost,
         hub_onehot, hub_gpdf, hub_pdf, hub_bounds, B, K, CB, CZ, beam,
-        HC)
+        HC, b_apr)
     self_prev = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :],
                                  (B, K))
 
@@ -788,12 +842,12 @@ def _csr_decode(
 @functools.partial(
     jax.jit,
     static_argnames=("start", "K", "CB", "CZ", "n_eps", "beam",
-                     "hub_bounds", "HC"))
+                     "hub_bounds", "HC", "b_apr"))
 def _csr_decode_traced(
     ll, frame_mask, srow, zrow, brow, zbrow, final,
     hub_state_arr, hub_rows, hub_cost, hub_onehot, hub_gpdf, hub_pdf,
     start: int, K: int, CB: int, CZ: int, n_eps: int, beam: float,
-    hub_bounds: tuple, HC: int | None = None,
+    hub_bounds: tuple, HC: int | None = None, b_apr: int = 3,
 ):
     """Decode + on-device traceback -> ([B,T,R] olabels, [B,T] tids,
     [B,R0] init olabels, [B] cost, [B] overflow, [B] saturated,
@@ -802,7 +856,8 @@ def _csr_decode_traced(
      ovf, sat, act_sum, act_max) = _csr_decode(
         ll, frame_mask, srow, zrow, brow, zbrow, final,
         hub_state_arr, hub_rows, hub_cost, hub_onehot, hub_gpdf, hub_pdf,
-        start, K, CB, CZ, n_eps, beam, hub_bounds, False, HC=HC)
+        start, K, CB, CZ, n_eps, beam, hub_bounds, False, HC=HC,
+        b_apr=b_apr)
     kbits = max((K - 1).bit_length(), 1)
     kmask = np.int32((1 << kbits) - 1)
     R = 1 + n_eps
@@ -869,7 +924,8 @@ class CsrBeamDecoder:
             raise ValueError(
                 f"olabel range {csr.max_olabel} too large to pack with "
                 f"max_active={opts.max_active}")
-        self.tabs = build_tier_tables(csr, opts.hub_threshold)
+        self.tabs = build_tier_tables(csr, opts.hub_threshold,
+                                      force_triple=opts.force_b_triple)
         t = self.tabs
         self._hub_state_arr = jnp.asarray(
             t.hub_states.astype(np.int32) if t.hub_states.size
@@ -913,7 +969,8 @@ class CsrBeamDecoder:
         ll = jnp.asarray(loglikes) * o.acoustic_scale
         (ols, ils, init_ols, cost, ovf, sat, act_sum,
          act_max) = _csr_decode_traced(*self._args(ll, mask),
-                                      HC=self._hc)
+                                      HC=self._hc,
+                                      b_apr=self.tabs.b_apr)
         packed, shapes = pack4(ols, ils[..., None], init_ols, cost)
         from kaldi_tpu.decoder.hostpack import fetch_tree_async
         stats_fetch = fetch_tree_async((ovf, sat, act_sum, act_max))
@@ -950,7 +1007,7 @@ class CsrBeamDecoder:
                           Kc=Kc, rec_beam=float(rec_beam),
                           rec_f16=bool(o.rec_f16),
                           rec_flat=bool(o.rec_flat), CAPB=CAPB,
-                          HC=self._hc)
+                          HC=self._hc, b_apr=self.tabs.b_apr)
         # ONE device->host transfer for the whole record set (each
         # round trip costs ~40ms over the tunneled link; naive per-array
         # fetching pays it 13x)

@@ -128,14 +128,17 @@ def check_tier_tables(graph, tabs, hub_threshold: int) -> None:
     if (srow[tier_b, 11] != e_deg[tier_b]).any():
         errs.append("tier-B degree mismatch")
     if tier_b.any():
-        # triple layout: ceil(deg/3) rows per state, arc i at row
-        # (row_off + i//3), col 5*(i%3); padding arcs carry cost=BIG
-        b_rows = -(-e_deg[tier_b] // 3)
+        # packed layout (see csr_beam.TierTables): ceil(deg/apr) rows
+        # per state, arc i at row (row_off + i//apr); quad (apr=4) packs
+        # (cost, nxt, pdf|tid<<16, ol) at col 4*(i%4), triple (apr=3)
+        # packs full lanes at col 5*(i%3); padding arcs carry cost=BIG
+        apr = int(getattr(tabs, "b_apr", 3))
+        b_rows = -(-e_deg[tier_b] // apr)
         ends = srow[tier_b, 10].astype(np.int64) + b_rows
         if ends.max(initial=0) > brow.shape[0]:
             errs.append("tier-B offsets overrun brow")
         else:
-            # full content mirror of the tier-B arc triples
+            # full content mirror of the packed tier-B arcs
             bs = np.flatnonzero(tier_b)
             reps = e_deg[bs]
             AB = int(reps.sum())
@@ -144,25 +147,37 @@ def check_tier_tables(graph, tabs, hub_threshold: int) -> None:
             within = np.arange(AB) - np.repeat(
                 np.cumsum(reps) - reps, reps)
             src_idx = offs + within
-            rows_idx = starts + within // 3
-            colb = 5 * (within % 3)
-            for (col, ref, what) in ((0, cost_bits, "cost"),
-                                     (1, csr.e_nxt, "nextstate"),
-                                     (2, csr.e_pdf, "pdf"),
-                                     (3, csr.e_tid, "tid"),
-                                     (4, csr.e_ol, "olabel")):
-                if not (brow[rows_idx, colb + col] == ref[src_idx]).all():
+            rows_idx = starts + within // apr
+            if apr == 4:
+                colb = 4 * (within % 4)
+                pt = (csr.e_pdf[src_idx].astype(np.uint32)
+                      | (csr.e_tid[src_idx].astype(np.uint32)
+                         << np.uint32(16))).view(np.int32)
+                fields = ((0, cost_bits[src_idx], "cost"),
+                          (1, csr.e_nxt[src_idx], "nextstate"),
+                          (2, pt, "pdf|tid"),
+                          (3, csr.e_ol[src_idx], "olabel"))
+            else:
+                colb = 5 * (within % 3)
+                fields = ((0, cost_bits[src_idx], "cost"),
+                          (1, csr.e_nxt[src_idx], "nextstate"),
+                          (2, csr.e_pdf[src_idx], "pdf"),
+                          (3, csr.e_tid[src_idx], "tid"),
+                          (4, csr.e_ol[src_idx], "olabel"))
+            for (col, ref, what) in fields:
+                if not (brow[rows_idx, colb + col] == ref).all():
                     errs.append(f"tier-B rows: {what} mismatch")
             # padding arcs of partially-filled last rows must be dead
-            n_pad = int((3 * b_rows - e_deg[tier_b]).sum())
+            n_pad = int((apr * b_rows - e_deg[tier_b]).sum())
             if n_pad:
                 pad_rows = []
                 pad_cols = []
+                lane_w = 4 if apr == 4 else 5
                 for s, d in zip(bs, e_deg[bs]):
                     r0 = int(srow[s, 10])
-                    for i in range(int(d), int(-(-d // 3) * 3)):
-                        pad_rows.append(r0 + i // 3)
-                        pad_cols.append(5 * (i % 3))
+                    for i in range(int(d), int(-(-d // apr) * apr)):
+                        pad_rows.append(r0 + i // apr)
+                        pad_cols.append(lane_w * (i % apr))
                 if (brow[pad_rows, pad_cols] != BIG_BITS).any():
                     errs.append("tier-B rows: padding arc not dead")
     if is_hub.any():

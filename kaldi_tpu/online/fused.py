@@ -314,7 +314,8 @@ class FusedOnlineDecoder:
             return _make_rounds(
                 t.srow, t.zrow, t.brow, t.zbrow, dec._hub_state_arr,
                 t.hub_rows, t.hub_cost, t.hub_onehot, t.hub_gpdf,
-                t.hub_pdf, t.hub_bounds, 1, K, CB, CZ, beam)
+                t.hub_pdf, t.hub_bounds, 1, K, CB, CZ, beam,
+                b_apr=t.b_apr)
 
         self_prev = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None],
                                      (1, K))

@@ -114,7 +114,8 @@ class FusedStreamingServer:
             return _make_rounds(
                 t.srow, t.zrow, t.brow, t.zbrow, dec._hub_state_arr,
                 t.hub_rows, t.hub_cost, t.hub_onehot, t.hub_gpdf,
-                t.hub_pdf, t.hub_bounds, N, K, CB, CZ, beam)
+                t.hub_pdf, t.hub_bounds, N, K, CB, CZ, beam,
+                b_apr=t.b_apr)
 
         self_prev = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None],
                                      (N, K))
@@ -233,7 +234,8 @@ class FusedStreamingServer:
             emit_round, eps_round = _make_rounds(
                 t.srow, t.zrow, t.brow, t.zbrow, dec._hub_state_arr,
                 t.hub_rows, t.hub_cost, t.hub_onehot, t.hub_gpdf,
-                t.hub_pdf, t.hub_bounds, 1, K, CB, CZ, beam)
+                t.hub_pdf, t.hub_bounds, 1, K, CB, CZ, beam,
+                b_apr=t.b_apr)
             recs = []
             for _ in range(n_eps):
                 st, sc, rec, _il, _o = eps_round(st, sc)

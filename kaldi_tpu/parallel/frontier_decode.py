@@ -81,27 +81,38 @@ def _make_fs_decode(dec: CsrBeamDecoder, mesh: Mesh, axis: str,
                           (lo + jnp.arange(Kl, dtype=jnp.int32))
                           | (row[:, base + 4] << kbits),
                           row[:, base + 3]))
-        # tier B (row-budgeted arc triples) on the local slice
+        # tier B (row-budgeted packed arc rows, triple or quad layout —
+        # see csr_beam.TierTables) on the local slice
+        apr = t.b_apr
         deg = jnp.where(sc < BIG * 0.5, row[:, 11], 0)
-        rows_n = (deg + 2) // 3
+        rows_n = (deg + (apr - 1)) // apr
         roff = jnp.cumsum(rows_n) - rows_n
-        CBR = -(-CB // 3)
+        CBR = -(-CB // apr)
         tj, rj, valid, _ovr = _segment_map(
             roff[None, :], rows_n[None, :], CBR, Kl, 1,
             base=row[None, :, 10])
         tj, rj, valid = tj[0], rj[0], valid[0]
         rj = jnp.where(valid, rj, 0)
-        arc3 = t.brow[rj]                     # [CBR, 16]
+        arcr = t.brow[rj]                     # [CBR, 16]
         base_b = jnp.where(valid, sc[tj], BIG)
-        for k in (0, 1, 2):
-            cost = _bits_to_f32(arc3[:, 5 * k])
-            am = -ll_t[arc3[:, 5 * k + 2]]
+        for k in range(apr):
+            if apr == 4:
+                base = 4 * k
+                pdf = arcr[:, base + 2] & 0xFFFF
+                tid = (arcr[:, base + 2] >> 16) & 0xFFFF
+                ol = arcr[:, base + 3]
+            else:
+                base = 5 * k
+                pdf = arcr[:, base + 2]
+                tid = arcr[:, base + 3]
+                ol = arcr[:, base + 4]
+            cost = _bits_to_f32(arcr[:, base])
+            am = -ll_t[pdf]
             csc = jnp.where(cost < BIG * 0.5, base_b + cost + am, BIG)
-            cands.append((arc3[:, 5 * k + 1], csc,
-                          (lo + tj) | (arc3[:, 5 * k + 4] << kbits),
-                          arc3[:, 5 * k + 3]))
+            cands.append((arcr[:, base + 1], csc,
+                          (lo + tj) | (ol << kbits), tid))
         kept_rows = jnp.clip(CBR - roff, 0, rows_n)
-        ovf_b = jnp.sum(deg - jnp.minimum(deg, 3 * kept_rows),
+        ovf_b = jnp.sum(deg - jnp.minimum(deg, apr * kept_rows),
                         keepdims=True)
         # hubs: scoring is replicated over the FULL frontier (cheap dense
         # work); each device emits its rank slice [d*Kl, (d+1)*Kl) of the

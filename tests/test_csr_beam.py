@@ -699,3 +699,55 @@ def test_hub_cap_exact_or_counted(small_big_graph):
     d_tiny = CsrBeamDecoder(g, dc.replace(base, hub_cap=1))
     d_tiny.decode(ll, nf)
     assert int(d_tiny.last_overflow.sum()) > ovf_full
+
+
+def test_quad_row_layout_equals_triple(small_big_graph):
+    """The quad tier-B row layout (4 arcs x 4 lanes, pdf|tid<<16) must be
+    bit-exact with the triple fallback (3 arcs x 5 lanes): same words,
+    tids, costs, and overflow accounting on the same graph/acoustics."""
+    g = small_big_graph
+    rng = np.random.RandomState(3)
+    B, T, P = 3, 50, 64
+    ll = (rng.randn(B, T, P) * 3).astype(np.float32)
+    nf = np.array([50, 37, 21], np.int32)
+    base = CsrBeamOpts(beam=9.0, max_active=256, acoustic_scale=0.1,
+                       expand_budget=4096, eps_budget=1024,
+                       hub_threshold=64)
+    dq = CsrBeamDecoder(g, base)
+    dt = CsrBeamDecoder(g, __import__("dataclasses").replace(
+        base, force_b_triple=True))
+    assert dq.tabs.b_apr == 4 and dt.tabs.b_apr == 3
+    rq = dq.decode(ll, nf)
+    rt = dt.decode(ll, nf)
+    for b in range(B):
+        assert rq[b] is not None and rt[b] is not None
+        assert list(rq[b][0]) == list(rt[b][0]), b
+        assert list(rq[b][1]) == list(rt[b][1]), b
+        assert rq[b][2] == pytest.approx(rt[b][2], abs=1e-4)
+    # raw-record (latgen) path parity too: identical snapshots
+    q = dq.decode_raw(ll, nf)
+    t = dt.decode_raw(ll, nf)
+    assert np.array_equal(q["states"], t["states"])
+    assert np.allclose(q["scores"], t["scores"], atol=1e-4)
+    np.testing.assert_array_equal(dq.last_overflow, dt.last_overflow)
+
+
+def test_quad_layout_verifier(small_big_graph):
+    """check_tier_tables must validate the quad layout and catch a
+    corrupted packed pdf|tid lane."""
+    from kaldi_tpu.decoder.verify import check_tier_tables
+    import dataclasses as dc
+    import jax.numpy as jnp
+    dec = CsrBeamDecoder(small_big_graph,
+                         CsrBeamOpts(max_active=64, expand_budget=256,
+                                     hub_threshold=64))
+    assert dec.tabs.b_apr == 4
+    check_tier_tables(dec.graph, dec.tabs, 64)
+    brow = np.asarray(dec.tabs.brow)
+    if brow.shape[0] > 1:
+        bad = brow.copy()
+        bad[0, 2] ^= 1 << 16        # flip a tid bit inside the packed lane
+        with pytest.raises(ValueError, match="tier-B rows"):
+            check_tier_tables(dec.graph,
+                              dc.replace(dec.tabs, brow=jnp.asarray(bad)),
+                              64)
