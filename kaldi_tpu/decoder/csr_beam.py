@@ -404,9 +404,14 @@ def _dedup_topk(c_state, c_score, c_rec, c_il, K: int):
     pre-packed backpointer record `prev_slot | olabel << kbits`.
     All arrays are [B, C]."""
     B, C = c_state.shape
-    j = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
-    ss, ssc, _sj, srec, sil = jax.lax.sort(
-        (c_state, c_score, j, c_rec, c_il), dimension=1, num_keys=3)
+    # candidate-index tie-break comes FREE from sort stability (lax.sort
+    # is stable by default): among equal (state, score) pairs the
+    # original candidate order is preserved, which is exactly the
+    # explicit index key this sort used to carry — dropping it saves one
+    # int32 array through every bitonic pass (the sorts are the frame's
+    # largest HBM cost at production NC)
+    ss, ssc, srec, sil = jax.lax.sort(
+        (c_state, c_score, c_rec, c_il), dimension=1, num_keys=2)
     first = jnp.concatenate(
         [jnp.ones((B, 1), bool), ss[:, 1:] != ss[:, :-1]], axis=1)
     sel = jnp.where(first, ssc, BIG)                      # dead sort last
@@ -529,21 +534,14 @@ def _make_rounds(srow, zrow, brow, zbrow,
             am_flat = -take_ll(ll_t, jnp.broadcast_to(hub_pdf[None, :],
                                                       (B, AH)))
         sc_flat = base + hub_cost[None, :] + am_flat
-        # exact HC-best hub candidates; tie-break = lowest arc index, so
-        # both variants match lax.top_k semantics bit-exactly. The
-        # variadic sort is ~40% faster at small K (sort cost is
-        # K-independent but top_k's isn't: measured 1.7 vs 2.7 ms at
-        # K=1024 on [8, 60000]); top_k wins back at production K=7000
-        # (2.1 vs 2.9 ms) — pick per program at trace time.
-        if HC <= 2048:
-            jarange = jax.lax.broadcasted_iota(jnp.int32, (B, AH), 1)
-            ssc, idx_s = jax.lax.sort((sc_flat, jarange), dimension=1,
-                                      num_keys=2)
-            sc = jnp.minimum(ssc[:, :HC], BIG)
-            idx = idx_s[:, :HC]
-        else:
-            negv, idx = jax.lax.top_k(-sc_flat, HC)       # [B, HC]
-            sc = jnp.minimum(-negv, BIG)
+        # exact HC-best hub candidates, tie-break = lowest arc index
+        # (lax.top_k's own tie rule). Re-measured r5 IN the full frame
+        # program: top_k beats the variadic-sort selection at every HC
+        # tried (e.g. 19.5 vs 19.0 audio-s/s at HC=1024 on the headline
+        # shape) — partial selection does ~log(N/K) fewer HBM passes
+        # than a full bitonic sort of [B, AH].
+        negv, idx = jax.lax.top_k(-sc_flat, HC)           # [B, HC]
+        sc = jnp.minimum(-negv, BIG)
         # cap-binding indicator: within-beam-of-hub-best candidates
         # beyond rank HC (a conservative superset of merge survivors —
         # nonzero means the cap MAY have altered the search, like a

@@ -93,7 +93,8 @@ def main():
           f"({dt/T*1e3:.3f} ms/frame)")
     per_frame = dt / T * 1e3
 
-    CBR = -(-CB // 3)
+    apr = int(tabs.b_apr)
+    CBR = -(-CB // apr)
     AH = int(tabs.hub_rows.shape[0])
     H = len(tabs.hub_bounds) - 1
     tok_state = jnp.asarray(rng.randint(0, graph.num_states, (B, K),
@@ -102,14 +103,14 @@ def main():
     ll_t = jnp.asarray(rng.randn(B, P).astype(np.float32))
     rj = jnp.asarray(rng.randint(0, max(int(tabs.brow.shape[0]), 1),
                                  (B, CBR), dtype=np.int32))
-    pdfs = jnp.asarray(rng.randint(0, P, (B, 2 * K + 3 * CBR),
+    pdfs = jnp.asarray(rng.randint(0, P, (B, 2 * K + apr * CBR),
                                    dtype=np.int32))
 
     t_s = bench("srow gather [B,K] rows of 16",
                 jax.jit(lambda s: tabs.srow[s]), tok_state)
     t_b = bench("brow gather [B,CBR] rows of 16",
                 jax.jit(lambda i: tabs.brow[i]), rj)
-    t_ll = bench("take_ll pallas [B,2K+3CBR]",
+    t_ll = bench(f"take_ll pallas [B,2K+{apr}CBR]",
                  jax.jit(lambda t, p: batched_table_gather(t, p)),
                  ll_t, pdfs)
     # tier-B base-score lookup over the [B, K] frontier-score table
@@ -171,8 +172,8 @@ def main():
     # concat + min + beam-mask over scores plus THREE plain int32
     # concats riding along. Each array is distinct so XLA cannot CSE
     # the four concats into one.
-    NC = 2 * K + 3 * CBR + (K if H else 0)
-    widths = (K, K, CBR, CBR, CBR) + ((K,) if H else ())
+    NC = 2 * K + apr * CBR + (K if H else 0)
+    widths = (K, K) + (CBR,) * apr + ((K,) if H else ())
     sc_parts = [jnp.asarray(rng.randn(B, n).astype(np.float32))
                 for n in widths]
     int_parts = [[jnp.asarray(rng.randint(0, 1 << 20, (B, n),
