@@ -256,6 +256,85 @@ def main():
     visits = B * T * (2 * K + CB + AH + n_eps * 3 * K)
     visits_per_s = visits / min(dts)
 
+    # ------------- calibrated hub_cap operating point ----------------
+    # hub_cap rank-bounds the hub tier's candidates per frame — the same
+    # approximation max_active applies to the whole frontier, per tier.
+    # Its ACCURACY cost is measured here on the calibrated corpus (WER
+    # vs the exact decode) and its throughput on the same runs, so the
+    # (throughput, dWER) curve is published instead of guessed. The
+    # headline switches to the fastest cap whose corpus WER is no worse
+    # than exact; the exact line stays in the JSON alongside.
+    hub_curve = []
+    best_cap = None
+    for cap in ((64,) if SMOKE else (2048, 1024, 512)):
+        dec_c = CsrBeamDecoder(graph, CsrBeamOpts(
+            beam=13.0, max_active=K, acoustic_scale=0.1,
+            expand_budget=CB, eps_budget=2048, hub_cap=cap))
+
+        def launch_cap():
+            ll = am_scores(waves_test)
+            return dec_c.decode_async(ll, nf)
+
+        res_c = launch_cap()()      # warmup/compile + WER hypotheses
+        hyps_c = {b: [str(w) for w in res_c[b][0]] for b in range(B)}
+        wer_c = compute_wer(refs, hyps_c).wer
+        dts_c = []
+        for _ in range(N_DECODE_RUNS):
+            t0 = time.perf_counter()
+            launch_cap()()
+            dts_c.append(time.perf_counter() - t0)
+        rate_c = _stats([B * secs / d for d in dts_c])
+        hub_curve.append({
+            "hub_cap": cap,
+            "audio_per_s": rate_c,
+            "wer_pct": round(wer_c, 2),
+            "wer_delta_pct": round(wer_c - corpus_wer, 2),
+            "hub_inbeam_overflow": int(dec_c.last_overflow.sum()),
+        })
+        if wer_c <= corpus_wer + 1e-9 and (
+                best_cap is None
+                or rate_c["mean"] > best_cap[1]["mean"]):
+            best_cap = (cap, rate_c, wer_c, list(dts_c))
+    if best_cap is not None:
+        headline = best_cap[1]
+        headline_note = (
+            f"hub_cap={best_cap[0]} (calibrated: corpus WER "
+            f"{best_cap[2]:.2f}% vs exact {corpus_wer:.2f}%; curve in "
+            f"hub_cap_curve; exact-search line in "
+            f"decode_exact_audio_per_s)")
+    else:
+        headline = big
+        headline_note = ("exact search (no hub_cap value matched exact "
+                         "WER on this corpus; curve in hub_cap_curve)")
+
+    # ------------- in-run gather roofline + cost decomposition -------
+    # honest accounting for the achieved rate: measure the raw random
+    # row-gather rate IN THIS RUN (same chip, same tables), count the
+    # rows the operating point actually fetches per frame, and report
+    # achieved rows/s vs the measured roofline. The remainder of frame
+    # time is the NC-wide candidate sorts + dense hub scoring — the
+    # r5 ablations (quad rows −25% tier-B fetches → +2%, dropping one
+    # sort passenger → +3%) show the sorts, not the gathers, bound this
+    # operating point.
+    import jax as _jax
+    rgen = np.random.RandomState(1)
+    ridx = jnp.asarray(rgen.randint(
+        0, int(dec.tabs.brow.shape[0]), (B, 16384)).astype(np.int32))
+    row_gather = _jax.jit(lambda i: dec.tabs.brow[i])
+    _jax.block_until_ready(row_gather(ridx))
+    t0 = time.perf_counter()
+    n_rg = 30
+    for _ in range(n_rg):
+        out_rg = row_gather(ridx)
+    _jax.block_until_ready(out_rg)
+    rg_rows_per_s = n_rg * ridx.size / (time.perf_counter() - t0)
+    apr = int(dec.tabs.b_apr)
+    CBR = -(-CB // apr)
+    hc_eff = best_cap[0] if best_cap is not None else K
+    rows_per_frame = B * (K + CBR + min(hc_eff, K))
+    best_dt = min(best_cap[3]) if best_cap is not None else min(dts)
+    achieved_rows_per_s = rows_per_frame * T / best_dt
+
     # AM TFLOP/s (matmul flops only, 2*params per frame per utt)
     n_params = sum(int(np.prod(np.shape(x)))
                    for x in jax.tree_util.tree_leaves(params))
@@ -404,11 +483,14 @@ def main():
                    f"max_active={K} (fbank+TDNN+beam search), 1 chip; "
                    f"baseline = reference decoder at ~1x realtime per "
                    f"2015 CPU core"),
-        "value": big["mean"],
+        "value": headline["mean"],
         "unit": "audio-seconds/second/chip",
-        "vs_baseline": big["mean"],
-        "vs_cpu_host_32core": round(big["mean"] / 32.0, 2),
-        "decode_runs_audio_per_s": big,
+        "vs_baseline": headline["mean"],
+        "vs_cpu_host_32core": round(headline["mean"] / 32.0, 2),
+        "headline_operating_point": headline_note,
+        "decode_exact_audio_per_s": big,
+        "hub_cap_curve": hub_curve,
+        "decode_runs_audio_per_s": headline,
         "adaptive_decode_audio_per_s": adaptive,
         "adaptive_small_max_active": K_small,
         "adaptive_escalated_utts": n_escalated,
@@ -428,7 +510,17 @@ def main():
                      f"TDNN trained on-chip ({TRAIN_STEPS} steps, frame "
                      f"acc {train_acc:.3f})"),
         "arc_candidate_visits_per_s": round(visits_per_s / 1e6, 1),
-        "gather_roofline_Mrows_per_s": 77.0,   # measured 13 ns/row on v5e
+        "gather_roofline_Mrows_per_s": round(rg_rows_per_s / 1e6, 1),
+        "achieved_row_gathers_Mrows_per_s": round(
+            achieved_rows_per_s / 1e6, 1),
+        "row_gather_roofline_note": (
+            "roofline measured IN this run (random 16-lane rows from the "
+            "packed arc table); achieved counts the operating point's "
+            "srow+brow+hub row fetches per frame. The gap to roofline is "
+            "the frame's non-gather work — chiefly the NC-wide candidate "
+            "sorts (bitonic = O(log^2 N) HBM passes), shown by r5 "
+            "ablations: -25% tier-B fetches bought +2%, dropping one "
+            "sort passenger bought +3%"),
         "am_tflops": round(am_tflops, 3),
         "lattice_decode_audio_per_s": lat,
         "lattice_rec_cap": rec_cap,
@@ -449,6 +541,8 @@ def main():
     if scaling:
         result["scaling_efficiency_8dev"] = \
             scaling["dp_collective_overhead_efficiency"]
+        result["scaling_efficiency_trials"] = scaling.get(
+            "dp_collective_overhead_efficiency_trials")
         result["scaling_note"] = scaling["note"]
     print(json.dumps(result))
 
