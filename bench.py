@@ -455,6 +455,69 @@ def main():
     resc_audio_per_s = len(lats_in) * secs / dt_resc
     n_resc_arcs = sum(l.num_arcs for l in rescored)
 
+    # ------------- lattice truncation accuracy audit -----------------
+    # rec_cap rank-caps the shipped snapshot width on saturated frames;
+    # unlike the reference's PruneActiveTokens (lossless w.r.t. the
+    # lattice-beam guarantee, ref: lattice-faster-decoder.cc:476) that
+    # is lossy. Measure the PRODUCT cost, not just the slot counter:
+    # decode the same batch UNTRUNCATED (rec_cap=max_active; rec_beam
+    # stays lattice_beam — the lossless bound) and compare lattice
+    # oracle WER, top-N path recall, and trigram-rescored best paths.
+    from kaldi_tpu.lat.align import lattice_oracle
+    from kaldi_tpu.lat.functions import nbest, lattice_best_path
+    from kaldi_tpu.lat.generate import decode_to_lattices
+    unc_dec = CsrBeamDecoder(graph, CsrBeamOpts(
+        beam=13.0, max_active=K, acoustic_scale=0.1,
+        expand_budget=CB, eps_budget=2048, rec_cap=None,
+        rec_beam=LATTICE_BEAM, rec_f16=True,
+        rec_flat=True, rec_flat_cap=256 if SMOKE else 1024))
+    lats_unc = decode_to_lattices(unc_dec, ll_l, nf,
+                                  lattice_beam=LATTICE_BEAM,
+                                  num_threads=8)
+    n_ref_words = 0
+    orc_t_edits = orc_u_edits = 0.0
+    recall_hits = recall_total = 0
+    drift_utts = 0
+    for b in range(B):
+        lt, lu = lats[b], lats_unc[b]
+        if lt is None or lu is None:
+            continue
+        ref = list(ref_words[N_TRAIN + b])
+        n_ref_words += len(ref)
+        orc_t_edits += lattice_oracle(lt, ref)[0]
+        orc_u_edits += lattice_oracle(lu, ref)[0]
+        # top-N path recall: unique word sequences of the untruncated
+        # lattice's N best that survive in the truncated lattice's path
+        # set (truncation can only REMOVE paths)
+        NB = 50
+        seqs_u = {tuple(w for w in p[0] if w != 0)
+                  for p in nbest(lu, NB)}
+        seqs_t = {tuple(w for w in p[0] if w != 0)
+                  for p in nbest(lt, max(NB * 4, 200))}
+        recall_total += len(seqs_u)
+        recall_hits += sum(1 for s in seqs_u if s in seqs_t)
+        # rescored-best-path drift: same trigram rescoring on both
+        rb_t = lattice_best_path(
+            lattice_lmrescore_const_arpa_batch(lt, clm, 0.5))
+        rb_u = lattice_best_path(
+            lattice_lmrescore_const_arpa_batch(lu, clm, 0.5))
+        wt = list(rb_t[0]) if rb_t else None
+        wu = list(rb_u[0]) if rb_u else None
+        if wt != wu:
+            drift_utts += 1
+    trunc_audit = {
+        "oracle_wer_pct_truncated": round(
+            100.0 * orc_t_edits / max(n_ref_words, 1), 3),
+        "oracle_wer_pct_untruncated": round(
+            100.0 * orc_u_edits / max(n_ref_words, 1), 3),
+        "top50_path_recall_pct": round(
+            100.0 * recall_hits / max(recall_total, 1), 2),
+        "rescored_best_path_drift_utts": drift_utts,
+        "note": ("truncated run rec_cap=%d vs untruncated rec_cap=K on "
+                 "the same batch; rec_beam=lattice_beam in both (the "
+                 "lossless PruneActiveTokens bound)" % rec_cap),
+    }
+
     # ------------- small-graph serving -------------------------------
     toy_audio_per_sec = _toy_serving_bench(jax, jnp, am_scores)
 
@@ -528,6 +591,7 @@ def main():
         "lattice_rec_trunc_pct_slots": round(trunc_pct, 2),
         "lattice_rec_flat_fallbacks": lat_dec.last_flat_fallbacks,
         "lattice_arcs_emitted": n_lat_arcs,
+        "lattice_truncation_audit": trunc_audit,
         "rescore_const_arpa_audio_per_s": round(resc_audio_per_s, 2),
         "rescore_lm_ngrams": n_ngrams,
         "rescore_lattice_arcs": n_resc_arcs,
