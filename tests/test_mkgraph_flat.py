@@ -199,3 +199,43 @@ def test_flat_pipeline_triphone_matches_reference_pipeline():
         assert r_ref[b][0] == r_flat[b][0], b
         assert r_ref[b][1] == r_flat[b][1], b
         assert abs(r_ref[b][2] - r_flat[b][2]) < 1e-2
+
+
+def test_flat_pipeline_synthetic_triphone_tree():
+    """The synthetic tied-triphone tree (tree/synth.py) must drive the
+    full flat triphone pipeline: C o LG via the native context
+    composition, Ha composition, and a successful decode — the
+    scale-benchmark configuration at toy size (scripts/mkgraph_scale.py
+    runs the same stack at 60k words)."""
+    from kaldi_tpu.lm.synth import synth_lexicon_text, synth_trigram_arpa
+    from kaldi_tpu.tree.synth import synth_triphone_tree
+    from kaldi_tpu.steps.deltas import transition_model_from_tree
+    from kaldi_tpu.decoder.csr_beam import CsrBeamDecoder, CsrBeamOpts
+    rng = np.random.default_rng(5)
+    text, words = synth_lexicon_text(50, n_phones=10, rng=rng)
+    lex = Lexicon.parse(text)
+    lang = prepare_lang(lex, ["SIL"], "SIL", num_sil_states=3)
+    sil_ids = [lang.phones["SIL"]]
+    ctx = synth_triphone_tree(lang.topo, sil_phones=sil_ids,
+                              n_left_groups=3, n_right_groups=3, rng=rng)
+    assert ctx.context_width == 3
+    tm = transition_model_from_tree(lang, ctx)
+    assert tm.num_pdfs == ctx.num_pdfs
+    lm = synth_trigram_arpa(words, 300, 200, rng=rng)
+    g = arpa_to_g(lm, lang.words)
+    flat, stats = make_hclg_flat(lang, g, tm, ctx, self_loop_scale=0.1)
+    assert "clg_arcs" in stats          # the triphone context branch ran
+    packed = pack_graph_flat(flat, tm.id2pdf_array)
+    dec = CsrBeamDecoder(packed, CsrBeamOpts(beam=14.0, max_active=512,
+                                             acoustic_scale=0.1,
+                                             expand_budget=8192))
+    rng2 = np.random.RandomState(0)
+    ll = (rng2.randn(2, 40, tm.num_pdfs) * 2).astype(np.float32)
+    res = dec.decode(ll, np.full(2, 40, np.int32))
+    assert all(r is not None and r[2] < 1e9 for r in res)
+    # distinct contexts of the same center phone can get distinct pdfs
+    p = [p_ for p_ in lang.topo.phones if p_ not in sil_ids][0]
+    others = [q for q in lang.topo.phones if q != p]
+    outs = {ctx.compute([l, p, r], 0)
+            for l in others[:4] for r in others[:4]}
+    assert len(outs) > 1
