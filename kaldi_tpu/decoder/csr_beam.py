@@ -1098,6 +1098,263 @@ class CsrBeamDecoder:
         return self.decode_raw_async(loglikes, num_frames)()
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("start", "K", "CB", "CZ", "n_eps", "beam",
+                     "hub_bounds", "HC", "b_apr"),
+    donate_argnums=(0,))
+def _csr_chunk_step(
+    carry,          # (st [B,K], sc [B,K], arena [B,Tp,R,K], ilar [B,Tp,K])
+    ll_chunk,       # [B, Tc, P] scaled loglikes
+    mask_chunk,     # [B, Tc]
+    t0,             # scalar int32 global frame offset of this chunk
+    srow, zrow, brow, zbrow, final,
+    hub_state_arr, hub_rows, hub_cost, hub_onehot, hub_gpdf, hub_pdf,
+    start: int, K: int, CB: int, CZ: int, n_eps: int, beam: float,
+    hub_bounds: tuple, HC: int | None = None, b_apr: int = 3,
+):
+    """One chunk of the incremental offline decode: advance the carried
+    frontier Tc frames, writing backpointer records into the
+    device-resident arena at frame offset t0 (the fused streaming
+    decoder's arena pattern applied to offline batches). Returns
+    (carry', (sat [B] any-frame-saturated, ovf [B] dropped arcs,
+    act_sum [B], act_max [B]))."""
+    st, sc, arena, ilar = carry
+    B, Tc, P = ll_chunk.shape
+    emit_round, eps_round = _make_rounds(
+        srow, zrow, brow, zbrow, hub_state_arr, hub_rows, hub_cost,
+        hub_onehot, hub_gpdf, hub_pdf, hub_bounds, B, K, CB, CZ, beam,
+        HC, b_apr)
+    self_prev = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :],
+                                 (B, K))
+
+    def frame_step(carry_f, inputs):
+        tok_state, tok_score = carry_f
+        ll_t, mask_t = inputs
+        m = mask_t[:, None]
+        st_, sc_, rec, il, ovf = emit_round(tok_state, tok_score, ll_t)
+        recs = [rec]
+        for _ in range(n_eps):
+            st_, sc_, rec, _il, ovf_z = eps_round(st_, sc_)
+            recs.append(rec)
+            ovf = ovf + ovf_z
+        out_state = jnp.where(m, st_, tok_state)
+        out_score = jnp.where(m, sc_, tok_score)
+        sat = mask_t & (sc_[:, -1] < BIG * 0.5)
+        n_act = jnp.where(mask_t,
+                          jnp.sum(sc_ < BIG * 0.5, axis=1,
+                                  dtype=jnp.int32), 0)
+        recs = jnp.stack([jnp.where(m, r, self_prev) for r in recs])
+        il_emit = jnp.where(m, il, 0)
+        return (out_state, out_score), \
+            (recs, il_emit, jnp.where(mask_t, ovf, 0), sat, n_act)
+
+    (st, sc), (recs, il_emit, ovf, sat, n_act) = jax.lax.scan(
+        frame_step, (st, sc),
+        (jnp.moveaxis(ll_chunk, 1, 0), jnp.moveaxis(mask_chunk, 1, 0)))
+    arena = jax.lax.dynamic_update_slice_in_dim(
+        arena, jnp.moveaxis(recs, 2, 0), t0, axis=1)    # [B, Tp, R, K]
+    ilar = jax.lax.dynamic_update_slice_in_dim(
+        ilar, jnp.moveaxis(il_emit, 1, 0), t0, axis=1)  # [B, Tp, K]
+    return (st, sc, arena, ilar), \
+        (jnp.any(sat, axis=0), jnp.sum(ovf, axis=0),
+         jnp.sum(n_act, axis=0), jnp.max(n_act, axis=0))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("K", "n_eps"))
+def _csr_chunk_trace(carry, init_recs, final, K: int, n_eps: int):
+    """On-device traceback over the chunk decoder's arena; mirrors
+    _csr_decode_traced exactly (untouched arena rows are identity
+    records, so no frame gating is needed)."""
+    st, sc, arena, ilar = carry
+    kbits = max((K - 1).bit_length(), 1)
+    kmask = np.int32((1 << kbits) - 1)
+    R = 1 + n_eps
+    R0 = init_recs.shape[1]
+    total = sc + final[st]
+    best_final_slot = jnp.argmin(total, axis=1)
+    best_final_cost = jnp.take_along_axis(
+        total, best_final_slot[:, None], axis=1)[:, 0]
+    best_any_slot = jnp.argmin(sc, axis=1)
+    best_any_cost = jnp.take_along_axis(
+        sc, best_any_slot[:, None], axis=1)[:, 0]
+    ok = best_final_cost < BIG * 0.5
+    best_slot = jnp.where(ok, best_final_slot,
+                          best_any_slot).astype(jnp.int32)
+    best_cost = jnp.where(ok, best_final_cost, best_any_cost)
+
+    def trace_one(recs_b, il_b, init_b, slot0):
+        def step(slot, inputs):
+            rec_t, il_t = inputs
+            ols = [None] * R
+            s = slot
+            il = jnp.int32(0)
+            for r in range(R - 1, -1, -1):
+                if r == 0:
+                    il = il_t[s]
+                pr = rec_t[r, s]
+                ols[r] = pr >> kbits
+                s = pr & kmask
+            return s, (jnp.stack(ols), il)
+
+        s0, (ols, ils) = jax.lax.scan(step, slot0, (recs_b, il_b),
+                                      reverse=True)
+        init_ols = [jnp.int32(0)] * R0
+        for r in range(R0 - 1, -1, -1):
+            pr = init_b[r, s0]
+            init_ols[r] = pr >> kbits
+            s0 = pr & kmask
+        init_ols = (jnp.stack(init_ols) if R0
+                    else jnp.zeros((0,), jnp.int32))
+        return ols, ils, init_ols
+
+    ols, ils, init_ols = jax.vmap(trace_one)(arena, ilar, init_recs,
+                                             best_slot)
+    return ols, ils, init_ols, best_cost
+
+
+class ChunkedCsrBeamDecoder:
+    """Incremental offline decode: the utterance batch advances in
+    Tc-frame chunks with the frontier and backpointer arena resident on
+    device, so the host sees per-chunk saturation/overflow flags (a few
+    bytes) while the search runs — and a caller can STOP the decode
+    between chunks.
+
+    This is the detection half of adaptive-capacity decoding: the
+    AdaptiveCsrBeamDecoder runs its small-K program chunked and aborts
+    as soon as every utterance has disqualified itself (saturated
+    frontier or budget overflow), capping the adaptive worst case near
+    one full-K decode instead of small + full. Chunking changes no
+    numerics: the per-frame program is _make_rounds exactly, and
+    chunked == one-shot is asserted bit-exact in tests."""
+
+    def __init__(self, graph: PackedGraph,
+                 opts: CsrBeamOpts = CsrBeamOpts(),
+                 chunk_frames: int = 128):
+        self._dec = CsrBeamDecoder(graph, opts)
+        self.graph = graph
+        self.opts = self._dec.opts
+        self.Tc = int(chunk_frames)
+        self.tabs = self._dec.tabs
+        self.last_overflow: np.ndarray | None = None
+        self.last_saturated: np.ndarray | None = None
+        self.last_active_sum: np.ndarray | None = None
+        self.last_active_max: np.ndarray | None = None
+        self.chunks_run = 0          # chunks executed by the last decode
+
+    def _static_args(self):
+        o, t = self.opts, self.tabs
+        return dict(start=int(self._dec.csr.start), K=int(o.max_active),
+                    CB=int(o.expand_budget), CZ=int(o.eps_budget),
+                    n_eps=int(o.eps_expansions), beam=float(o.beam),
+                    hub_bounds=t.hub_bounds, HC=self._dec._hc,
+                    b_apr=t.b_apr)
+
+    def decode_async(self, loglikes, num_frames: np.ndarray,
+                     stop_when=None):
+        """Chunked decode. stop_when: optional callable
+        (sat_cum [B] bool, ovf_cum [B] int) -> bool evaluated after each
+        chunk's flags arrive; True aborts the remaining chunks (results
+        are then only meaningful for the caller's escalation logic).
+        Returns a finisher -> per-utterance (words, tids, cost)."""
+        from kaldi_tpu.decoder.dense import _device_mask, _parse_label_seqs
+        from kaldi_tpu.decoder.hostpack import pack4, unpack4
+        o = self.opts
+        t = self.tabs
+        K = int(o.max_active)
+        B, T, P = loglikes.shape
+        Tc = self.Tc
+        n_chunks = -(-T // Tc)
+        Tp = n_chunks * Tc
+        nf = np.asarray(num_frames)
+        ll = jnp.asarray(loglikes) * o.acoustic_scale
+        if Tp != T:
+            ll = jnp.pad(ll, ((0, 0), (0, Tp - T), (0, 0)))
+        mask = _device_mask(nf, Tp)
+        R = 1 + int(o.eps_expansions)
+        sargs = self._static_args()
+
+        # init frontier + init eps records (once)
+        st = jnp.zeros((B, K), jnp.int32).at[:, 0].set(sargs["start"])
+        sc = jnp.full((B, K), BIG).at[:, 0].set(0.0)
+        emit_round, eps_round = _make_rounds(
+            t.srow, t.zrow, t.brow, t.zbrow, self._dec._hub_state_arr,
+            t.hub_rows, t.hub_cost, t.hub_onehot, t.hub_gpdf, t.hub_pdf,
+            t.hub_bounds, B, K, sargs["CB"], sargs["CZ"], sargs["beam"],
+            sargs["HC"], sargs["b_apr"])
+        init_recs = []
+        for _ in range(sargs["n_eps"]):
+            st, sc, rec, _il, _ovf = jax.jit(eps_round)(st, sc)
+            init_recs.append(rec)
+        init_recs = (jnp.stack(init_recs, axis=1) if init_recs
+                     else jnp.zeros((B, 0, K), jnp.int32))
+        self_prev = jnp.broadcast_to(
+            jnp.arange(K, dtype=jnp.int32)[None, None, None, :],
+            (B, Tp, R, K))
+        carry = (st, sc, jnp.asarray(self_prev),
+                 jnp.zeros((B, Tp, K), jnp.int32))
+
+        sat_cum = np.zeros(B, bool)
+        ovf_cum = np.zeros(B, np.int64)
+        act_sum = np.zeros(B, np.int64)
+        act_max = np.zeros(B, np.int64)
+        pending = None      # (flags tuple of device arrays)
+        self.chunks_run = 0
+
+        def absorb(flags):
+            nonlocal sat_cum, ovf_cum, act_sum, act_max
+            s_, o_, asum, amax = [np.asarray(x) for x in flags]
+            sat_cum |= s_
+            ovf_cum += o_
+            act_sum += asum
+            np.maximum(act_max, amax, out=act_max)
+
+        aborted = False
+        for c in range(n_chunks):
+            lo = c * Tc
+            carry, flags = _csr_chunk_step(
+                carry, jax.lax.slice_in_dim(ll, lo, lo + Tc, axis=1),
+                jax.lax.slice_in_dim(mask, lo, lo + Tc, axis=1),
+                jnp.asarray(lo, jnp.int32),
+                t.srow, t.zrow, t.brow, t.zbrow, t.final,
+                self._dec._hub_state_arr, t.hub_rows, t.hub_cost,
+                t.hub_onehot, t.hub_gpdf, t.hub_pdf, **sargs)
+            self.chunks_run += 1
+            # pipeline: absorb the PREVIOUS chunk's flags while this one
+            # runs, so the device never waits on the host round-trip
+            if pending is not None:
+                absorb(pending)
+                if stop_when is not None and stop_when(sat_cum, ovf_cum):
+                    aborted = True
+                    break
+            pending = flags
+        if pending is not None and not aborted:
+            absorb(pending)
+            if stop_when is not None and stop_when(sat_cum, ovf_cum):
+                aborted = True
+        self.aborted = aborted
+
+        ols, ils, init_ols, cost = _csr_chunk_trace(
+            carry, init_recs, t.final, K=K, n_eps=sargs["n_eps"])
+        packed, shapes = pack4(ols, ils[..., None], init_ols, cost)
+
+        def finish():
+            from kaldi_tpu.decoder.hostpack import unpack4 as _u
+            o_, i_, n_, c_ = _u(np.asarray(packed), shapes)
+            self.last_overflow = ovf_cum
+            self.last_saturated = sat_cum
+            self.last_active_sum = act_sum
+            self.last_active_max = act_max
+            return _parse_label_seqs(o_, i_, n_, c_, nf)
+
+        return finish
+
+    def decode(self, loglikes, num_frames: np.ndarray):
+        return self.decode_async(loglikes, num_frames)()
+
+
 class AdaptiveCsrBeamDecoder:
     """Two-tier serving wrapper: decode with a SMALL max_active program
     and transparently re-decode any utterance whose frontier saturated
@@ -1110,6 +1367,14 @@ class AdaptiveCsrBeamDecoder:
     peaky (few active tokens), so most batches pay the small price; the
     static-shape cost of a jit program is O(max_active) whether or not
     tokens are alive, which is what this recovers.
+
+    The small program runs CHUNKED (ChunkedCsrBeamDecoder) and ABORTS
+    the moment every utterance in the batch has disqualified itself, so
+    the worst case — a workload that saturates the small frontier from
+    the first frames, like the calibrated bench corpus — costs one
+    full-K decode plus one small chunk, not small + full. Escalation
+    keeps the loglikes on device (round 4 shipped them host-side and
+    back: tens of MB over the tunneled link per escalation).
     (ref: the GetCutoff adaptive-beam idea of faster-decoder.cc:591,
     applied at program granularity under XLA's static shapes.)
     """
@@ -1117,30 +1382,43 @@ class AdaptiveCsrBeamDecoder:
     def __init__(self, graph: PackedGraph,
                  full_opts: CsrBeamOpts = CsrBeamOpts(),
                  small_max_active: int = 1024,
-                 small_expand_budget: int | None = None):
+                 small_expand_budget: int | None = None,
+                 chunk_frames: int = 128):
         self.full = CsrBeamDecoder(graph, full_opts)
         small = dataclasses.replace(
             full_opts, max_active=small_max_active,
             expand_budget=(small_expand_budget
                            or max(small_max_active * 4, 4096)))
-        self.small = CsrBeamDecoder(graph, small)
+        self.small = ChunkedCsrBeamDecoder(graph, small,
+                                           chunk_frames=chunk_frames)
         self.graph = graph
         self.opts = full_opts
         self.last_escalated: np.ndarray | None = None   # [B] bool
+        self.last_small_chunks = 0   # chunks the small program executed
 
     def decode_async(self, loglikes, num_frames: np.ndarray):
         nf = np.asarray(num_frames)
-        fin_small = self.small.decode_async(loglikes, nf)
+        ll_dev = jnp.asarray(loglikes)    # keep acoustics device-resident
+        B = ll_dev.shape[0]
+
+        fin_small = self.small.decode_async(
+            ll_dev, nf,
+            stop_when=lambda sat, ovf: bool((sat | (ovf > 0)).all()))
 
         def finish():
             res = fin_small()
+            self.last_small_chunks = self.small.chunks_run
             redo = (self.small.last_saturated.astype(bool)
                     | (self.small.last_overflow > 0))
             self.last_escalated = redo
+            if redo.all():
+                # whole batch escalates: reuse the full decoder's
+                # already-compiled batch-B program directly
+                return self.full.decode(ll_dev, nf)
             if redo.any():
                 idx = np.flatnonzero(redo)
-                ll = np.asarray(loglikes)[idx]
-                res_big = self.full.decode(ll, nf[idx])
+                ll_sub = jnp.take(ll_dev, jnp.asarray(idx), axis=0)
+                res_big = self.full.decode(ll_sub, nf[idx])
                 for j, b in enumerate(idx):
                     res[b] = res_big[j]
             return res

@@ -751,3 +751,66 @@ def test_quad_layout_verifier(small_big_graph):
             check_tier_tables(dec.graph,
                               dc.replace(dec.tabs, brow=jnp.asarray(bad)),
                               64)
+
+
+def test_chunked_decoder_equals_one_shot(small_big_graph):
+    """ChunkedCsrBeamDecoder must be bit-exact with the one-shot
+    program: the per-frame step is the same _make_rounds program, so
+    words/tids/costs and the saturation/overflow accounting must
+    match for any chunk size (including a non-dividing one)."""
+    from kaldi_tpu.decoder.csr_beam import ChunkedCsrBeamDecoder
+    g = small_big_graph
+    rng = np.random.RandomState(5)
+    B, T, P = 3, 50, 64
+    ll = (rng.randn(B, T, P) * 3).astype(np.float32)
+    nf = np.array([50, 41, 23], np.int32)
+    opts = CsrBeamOpts(beam=9.0, max_active=128, acoustic_scale=0.1,
+                       expand_budget=4096, eps_budget=1024,
+                       hub_threshold=64)
+    ref = CsrBeamDecoder(g, opts)
+    r_ref = ref.decode(ll, nf)
+    for tc in (7, 16, 50):
+        ch = ChunkedCsrBeamDecoder(g, opts, chunk_frames=tc)
+        r_ch = ch.decode(ll, nf)
+        for b in range(B):
+            assert list(r_ch[b][0]) == list(r_ref[b][0]), (tc, b)
+            assert list(r_ch[b][1]) == list(r_ref[b][1]), (tc, b)
+            assert r_ch[b][2] == pytest.approx(r_ref[b][2], abs=1e-3)
+        np.testing.assert_array_equal(ch.last_saturated,
+                                      ref.last_saturated)
+        np.testing.assert_array_equal(ch.last_overflow,
+                                      ref.last_overflow)
+
+
+def test_adaptive_mid_utterance_escalation(small_big_graph):
+    """Saturation appearing mid-utterance (peaky first half, flat noise
+    second half) must escalate and still match the full decoder; the
+    all-escalated early abort must stop the small program's chunks."""
+    from kaldi_tpu.decoder.csr_beam import AdaptiveCsrBeamDecoder
+    g = small_big_graph
+    rng = np.random.RandomState(11)
+    B, T, P = 3, 60, 64
+    ll = np.zeros((B, T, P), np.float32)
+    # first half: one dominant pdf per frame (peaky -> tiny frontier)
+    peak = rng.randint(0, P, (B, T // 2))
+    ll[:, : T // 2, :] = -8.0
+    for b in range(B):
+        ll[b, np.arange(T // 2), peak[b]] = 8.0
+    # second half: flat noise (frontier blows past the small cap)
+    ll[:, T // 2:, :] = (rng.randn(B, T - T // 2, P) * 3)
+    nf = np.full(B, T, np.int32)
+    full_opts = CsrBeamOpts(beam=10.0, max_active=512,
+                            acoustic_scale=0.1, expand_budget=16384,
+                            eps_budget=2048)
+    adec = AdaptiveCsrBeamDecoder(g, full_opts, small_max_active=64,
+                                  small_expand_budget=2048,
+                                  chunk_frames=10)
+    r_full = adec.full.decode(ll, nf)
+    r_ad = adec.decode(ll, nf)
+    assert adec.last_escalated.all()
+    # abort fired before the small program finished all 6 chunks
+    assert adec.last_small_chunks < 6
+    for b in range(B):
+        assert list(r_ad[b][0]) == list(r_full[b][0]), b
+        assert list(r_ad[b][1]) == list(r_full[b][1]), b
+        assert r_ad[b][2] == pytest.approx(r_full[b][2], abs=1e-3)
