@@ -41,15 +41,35 @@ from kaldi_tpu.nnet.train import (NnetTrainOpts, make_optimizer,
 PEAK = 197.0e12
 
 
-def timed_step(step, params, opt_state, feats, tgt, w, n=10):
+RTT = [0.0]
+
+
+def _sync(x):
+    # the axon tunnel ignores block_until_ready: a tiny host fetch is
+    # the only reliable sync (cost measured once and subtracted)
+    np.asarray(x)
+
+
+def measure_rtt():
+    import jax.numpy as _jnp
+    tiny = _jnp.zeros((1,), _jnp.int32)
+    _sync(tiny + 1)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        _sync(tiny + 1)
+    RTT[0] = (time.perf_counter() - t0) / 10
+    print(f"fetch round-trip: {RTT[0]*1e3:.1f} ms (subtracted)")
+
+
+def timed_step(step, params, opt_state, feats, tgt, w, n=30):
     p, st = params, opt_state
     p, st, loss, acc = step(p, st, feats, tgt, w)
-    jax.block_until_ready(loss)
+    _sync(loss)
     t0 = time.perf_counter()
     for _ in range(n):
         p, st, loss, acc = step(p, st, feats, tgt, w)
-    jax.block_until_ready(loss)
-    return (time.perf_counter() - t0) / n
+    _sync(loss)
+    return (time.perf_counter() - t0 - RTT[0]) / n
 
 
 def report(name, dt, frames, n_wparams):
@@ -138,6 +158,7 @@ def run_variant(name, cfg, mode, B, Tt):
 
 
 def main():
+    measure_rtt()
     cfg = TdnnConfig(feat_dim=40, num_pdfs=2048, hidden_dim=1024,
                      pnorm_output_dim=256, nonlinearity="relu")
     B, Tt = 16, 986
@@ -166,12 +187,12 @@ def main():
         return cross_entropy_loss(model, p, feats, tgt, w,
                                   compute_dtype=jnp.bfloat16)
     out = fwd(params, feats, tgt, w)
-    jax.block_until_ready(out)
+    _sync(out[0])
     t0 = time.perf_counter()
-    for _ in range(10):
+    for _ in range(30):
         out = fwd(params, feats, tgt, w)
-    jax.block_until_ready(out)
-    dtf = (time.perf_counter() - t0) / 10
+    _sync(out[0])
+    dtf = (time.perf_counter() - t0 - RTT[0]) / 30
     print(f"{'fwd only':12s} step={dtf*1e3:7.2f} ms")
 
     for name, mode in (("act16", "act16"), ("fsplice", "fsplice"),

@@ -62,6 +62,13 @@ def test_em_improves_loglike(sgmm_setup):
 
 def test_classification_after_training(sgmm_setup):
     model, feats, post, rng = sgmm_setup
+    # train explicitly: the module fixture returns the INIT model, and
+    # relying on a previous test's in-place mutations made this test
+    # order-dependent (it failed when selected alone)
+    for flags in ["vc", "Mc", "vwc"]:
+        accs = Sgmm2Accs(model)
+        accs.accumulate(model, feats, post, num_gselect=4)
+        model = update_sgmm2(model, accs, update_flags=flags)
     # fresh eval data from the same class means (recover via state index)
     _f2, post2, mu = _make_data(np.random.RandomState(0))
     correct = 0
