@@ -528,6 +528,75 @@ def main():
                  "lossless PruneActiveTokens bound)" % rec_cap),
     }
 
+    # ------------- self-built triphone HCLG decode -------------------
+    # The headline graph is array-synthesized (decoder/biggraph.py);
+    # this line decodes a graph BUILT BY THE REPO'S OWN mkgraph stack —
+    # synthetic lexicon + trigram ARPA -> L∘G -> det* -> min -> triphone
+    # C∘LG (native on-the-fly context composition over a ~5k-leaf
+    # tied-triphone tree) -> Ha∘CLG -> det* -> min -> self-loops
+    # (scripts/mkgraph_scale.py) — at the same beam=13/max_active=7000
+    # operating point. A 60k-word build takes ~30+ CPU-minutes, so the
+    # bench reuses a cached build when present (scripts/mkgraph_scale.py
+    # --cache writes it) and otherwise builds a smaller-vocab graph
+    # inline; vocab and build wall time are reported either way.
+    selfbuilt = None
+    cache_dir = os.path.expanduser("~/.cache/kaldi_tpu")
+    cache_npz = os.path.join(cache_dir, "selfbuilt_hclg.npz")
+    cache_stats = os.path.join(cache_dir, "selfbuilt_hclg.stats.json")
+    try:
+        sys_path0 = list(__import__("sys").path)
+        __import__("sys").path.insert(
+            0, os.path.dirname(os.path.abspath(__file__)))
+        from scripts.mkgraph_scale import build as mkg_build
+        if os.path.exists(cache_npz) and os.path.exists(cache_stats):
+            sb_stats = json.load(open(cache_stats))
+            sb_npz = cache_npz
+        else:
+            sb_vocab = 300 if SMOKE else 10000
+            sb_npz = "/tmp/bench_selfbuilt.npz"
+            sb_stats = mkg_build(
+                sb_vocab, n_bigrams=2_000 if SMOKE else 300_000,
+                n_trigrams=1_000 if SMOKE else 150_000,
+                context="tri", out_npz=sb_npz)
+        z = np.load(sb_npz)
+        from kaldi_tpu.decoder.graph_pack import PackedGraph
+        sb_graph = PackedGraph(
+            arc_start=z["arc_start"], ilabel=z["ilabel"],
+            olabel=z["olabel"], cost=z["cost"],
+            nextstate=z["nextstate"], final=z["final"],
+            start=int(z["start"]), pdf=z["pdf"])
+        sb_P = int(z["num_pdfs"])
+        sb_dec = CsrBeamDecoder(sb_graph, CsrBeamOpts(
+            beam=13.0, max_active=K, acoustic_scale=0.1,
+            expand_budget=max(CB, 24576), eps_budget=4096))
+        sb_B, sb_T = (2, 100) if SMOKE else (8, 998)
+        sb_rng = np.random.RandomState(0)
+        sb_ll = (sb_rng.randn(sb_B, sb_T, sb_P) * 2).astype(np.float32)
+        sb_nf = np.full(sb_B, sb_T, np.int32)
+        sb_dec.decode(sb_ll, sb_nf)        # warmup/compile
+        sb_runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sb_dec.decode(sb_ll, sb_nf)
+            sb_runs.append(sb_B * sb_T * 0.01
+                           / (time.perf_counter() - t0))
+        selfbuilt = {
+            "vocab": sb_stats.get("vocab"),
+            "context": sb_stats.get("context"),
+            "num_pdfs": sb_P,
+            "selfbuilt_graph_states": int(len(sb_graph.final)),
+            "selfbuilt_graph_arcs": int(len(sb_graph.ilabel)),
+            "selfbuilt_graph_build_s": sb_stats.get("total_build_s"),
+            "selfbuilt_decode_audio_per_s": _stats(sb_runs),
+            "selfbuilt_overflow_arcs": int(sb_dec.last_overflow.sum()),
+            "note": ("random acoustics (no trained AM at this pdf "
+                     "space): a harder search than the calibrated "
+                     "corpus, same operating point"),
+        }
+        __import__("sys").path[:] = sys_path0
+    except Exception as e:         # the line is additive: never sink the bench
+        selfbuilt = {"error": f"{type(e).__name__}: {e}"}
+
     # ------------- small-graph serving -------------------------------
     toy_audio_per_sec = _toy_serving_bench(jax, jnp, am_scores)
 
@@ -602,6 +671,7 @@ def main():
         "lattice_rec_flat_fallbacks": lat_dec.last_flat_fallbacks,
         "lattice_arcs_emitted": n_lat_arcs,
         "lattice_truncation_audit": trunc_audit,
+        "selfbuilt_graph": selfbuilt,
         "rescore_const_arpa_audio_per_s": round(resc_audio_per_s, 2),
         "rescore_lm_ngrams": n_ngrams,
         "rescore_lattice_arcs": n_resc_arcs,

@@ -121,6 +121,16 @@ if __name__ == "__main__":
     out = args[1] if len(args) > 1 else "MKGRAPH_SCALE.json"
     stats = build(vocab, context=context)
     print(json.dumps(stats), flush=True)
+    if "--cache" in sys.argv:
+        # publish for bench.py's selfbuilt_graph line
+        import shutil
+        cdir = os.path.expanduser("~/.cache/kaldi_tpu")
+        os.makedirs(cdir, exist_ok=True)
+        shutil.copy("/tmp/mkgraph_scale.npz",
+                    os.path.join(cdir, "selfbuilt_hclg.npz"))
+        with open(os.path.join(cdir, "selfbuilt_hclg.stats.json"),
+                  "w") as f:
+            json.dump(stats, f)
     stats = decode(stats)
     with open(out, "w") as f:
         json.dump(stats, f, indent=1)
