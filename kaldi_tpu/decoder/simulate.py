@@ -117,8 +117,8 @@ def _imel(m):
 
 
 class ToneCoder:
-    """pdf -> 3-tone chord, grid points mel-spaced so a 40-bin fbank
-    resolves every used pdf.
+    """pdf -> 3- or 4-tone chord, grid points mel-spaced so a 40-bin
+    fbank resolves every used pdf.
 
     Bands (f1, f2, f3) get (ceil(n/24), 6, 4) grid values over
     200-1500 / 1800-3900 / 4300-7500 Hz — mel spans of ~17 / ~8 / ~5
@@ -129,20 +129,44 @@ class ToneCoder:
         used = np.unique(np.asarray(used_pdfs, np.int64))
         used = used[used >= 0]
         n = max(len(used), 1)
-        n3, n2 = 4, 6
-        n1 = -(-n // (n2 * n3))
-        if n1 > 24:
-            raise ValueError(f"{n} distinct pdfs exceed the tone-grid "
-                             f"capacity ({24 * n2 * n3})")
-        f1s = _imel(np.linspace(_mel(200.0), _mel(1500.0), max(n1, 2)))
-        f2s = _imel(np.linspace(_mel(1800.0), _mel(3900.0), n2))
-        f3s = _imel(np.linspace(_mel(4300.0), _mel(7500.0), n3))
-        idx = np.arange(n)
-        self.freqs = np.stack([
-            f1s[idx // (n2 * n3)],
-            f2s[(idx // n3) % n2],
-            f3s[idx % n3],
-        ], axis=1)                                   # [n, 3]
+        if n <= 24 * 6 * 4:
+            # 3-band layout (bit-compatible with the original corpus)
+            n3, n2 = 4, 6
+            n1 = -(-n // (n2 * n3))
+            f1s = _imel(np.linspace(_mel(200.0), _mel(1500.0),
+                                    max(n1, 2)))
+            f2s = _imel(np.linspace(_mel(1800.0), _mel(3900.0), n2))
+            f3s = _imel(np.linspace(_mel(4300.0), _mel(7500.0), n3))
+            idx = np.arange(n)
+            self.freqs = np.stack([
+                f1s[idx // (n2 * n3)],
+                f2s[(idx // n3) % n2],
+                f3s[idx % n3],
+            ], axis=1)                               # [n, 3]
+        else:
+            # 4-band layout for big tied-state inventories (e.g. ~5k
+            # triphone senones): grids (16, 8, 7, 6) = 5376 chords over
+            # 200-1200 / 1400-2800 / 3000-4800 / 5000-7600 Hz — each
+            # band's values stay ~1 fbank bin apart, so a 40-bin fbank
+            # still resolves every used pdf
+            n4, n3, n2 = 6, 7, 8
+            n1 = -(-n // (n2 * n3 * n4))
+            if n1 > 16:
+                raise ValueError(f"{n} distinct pdfs exceed the "
+                                 f"tone-grid capacity "
+                                 f"({16 * n2 * n3 * n4})")
+            f1s = _imel(np.linspace(_mel(200.0), _mel(1200.0),
+                                    max(n1, 2)))
+            f2s = _imel(np.linspace(_mel(1400.0), _mel(2800.0), n2))
+            f3s = _imel(np.linspace(_mel(3000.0), _mel(4800.0), n3))
+            f4s = _imel(np.linspace(_mel(5000.0), _mel(7600.0), n4))
+            idx = np.arange(n)
+            self.freqs = np.stack([
+                f1s[idx // (n2 * n3 * n4)],
+                f2s[(idx // (n3 * n4)) % n2],
+                f3s[(idx // n4) % n3],
+                f4s[idx % n4],
+            ], axis=1)                               # [n, 4]
         # dense index per pdf id (lookup table over the pdf id space)
         self.pdf_to_idx = np.zeros(int(used.max()) + 1 if n else 1,
                                    np.int64)
@@ -155,10 +179,10 @@ def synth_wave(pdfs: np.ndarray, rng, coder: ToneCoder,
                amplitude: float = 3000.0) -> np.ndarray:
     """Mel-grid 3-tone chord per frame, continuous phase + white noise."""
     T = len(pdfs)
-    f = coder.freqs[coder.pdf_to_idx[pdfs]]          # [T, 3]
-    inst = np.repeat(f, frame_shift, axis=0)         # [T*shift, 3]
+    f = coder.freqs[coder.pdf_to_idx[pdfs]]          # [T, n_bands]
+    inst = np.repeat(f, frame_shift, axis=0)         # [T*shift, n_bands]
     ph = np.cumsum(2 * np.pi * inst / coder.samp_freq, axis=0)
-    w = np.sin(ph).sum(axis=1) / 3.0
+    w = np.sin(ph).sum(axis=1) / f.shape[1]
     w = w + noise * rng.standard_normal(T * frame_shift)
     return (amplitude * w).astype(np.float32)
 
