@@ -105,50 +105,48 @@ class Tdnn:
                 if compute_dtype is not None else (lambda a: a))
         if compute_dtype is not None:
             # bf16 fast path (training AND batched inference): the step
-            # is HBM-bound at these dims, not MXU-bound, so (a) the
-            # splice is folded into the GEMM as a sum of per-offset
-            # slabs — x@W == sum_k slice_k(x) @ W[kD:(k+1)D] — so the
-            # [.., T, D*n] concat buffer never materializes, and (b)
-            # activations stay bf16 THROUGH the nonlinearity/normalize
-            # (reductions still accumulate f32). Measured on v5e at the
-            # bench shapes: 48.7% -> 63.9% bf16 MFU for the full train
-            # step, bit-identical layer math up to bf16 rounding
+            # is HBM-bound at these dims, not MXU-bound, so the splice
+            # is folded into the GEMM as a sum of per-offset slabs —
+            # x@W == sum_k slice_k(x) @ W[kD:(k+1)D] — and the
+            # [.., T, D*n] concat buffer never materializes. Activations
+            # stay f32 through the nonlinearity/normalize: an all-bf16
+            # activation variant measured slightly faster (63.9% vs
+            # ~60% MFU) but quantizing the hidden representation moved
+            # calibrated-corpus WER by >10 points — not a rounding-level
+            # change, so it is not shipped. Measured on v5e at the bench
+            # shapes: 48.7% -> ~60% bf16 MFU for the full train step
             # (WER-level parity with f32 asserted in
             # tests/test_bf16_parity.py).
-            x = cast(x)
             for ctx, layer in zip(cfg.splice_indexes[:num_layers],
                                   params["layers"][:num_layers]):
                 w = cast(layer["w"])
+                xc = cast(x)
                 lo, hi = min(ctx), max(ctx)
-                D = x.shape[-1]
+                D = xc.shape[-1]
                 if pad_context:
                     # edge-clamped splice == edge-replicated pad + slices
-                    T = x.shape[-2]
-                    pads = [(0, 0)] * (x.ndim - 2) + [(-lo, hi), (0, 0)]
-                    xp = jnp.pad(x, pads, mode="edge")
+                    T = xc.shape[-2]
+                    pads = [(0, 0)] * (xc.ndim - 2) + [(-lo, hi), (0, 0)]
+                    xp = jnp.pad(xc, pads, mode="edge")
                     Tout = T
                 else:
-                    xp = x
-                    Tout = x.shape[-2] - (hi - lo)
+                    xp = xc
+                    Tout = xc.shape[-2] - (hi - lo)
                 acc = None
                 for k, off in enumerate(ctx):
                     xs = jax.lax.slice_in_dim(xp, off - lo,
                                               off - lo + Tout, axis=-2)
                     part = jnp.matmul(xs, w[k * D:(k + 1) * D])
                     acc = part if acc is None else acc + part
-                x = acc + cast(layer["b"])
+                x = acc.astype(jnp.float32) + layer["b"]
                 if cfg.nonlinearity == "pnorm":
-                    x = cast(pnorm(x.astype(jnp.float32),
-                                   cfg.pnorm_output_dim))
+                    x = pnorm(x, cfg.pnorm_output_dim)
+                    x = normalize(x)
                 else:
                     x = ACTIVATIONS["relu"](x)
-                # unit-RMS normalize with the reduction in f32 (bf16
-                # IO, f32 accumulation — XLA fuses the casts)
-                scale = jax.lax.rsqrt(
-                    jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1,
-                             keepdims=True) + 1e-20)
-                x = x * cast(scale)
-            logits = jnp.matmul(x, cast(params["final"]["w"])).astype(
+                    x = normalize(x)
+            logits = jnp.matmul(cast(x),
+                                cast(params["final"]["w"])).astype(
                 jnp.float32) + params["final"]["b"]
             return jax.nn.log_softmax(logits, axis=-1)
         for ctx, layer in zip(cfg.splice_indexes[:num_layers],
