@@ -570,16 +570,31 @@ def main():
         # self-built graph, an AM trained on it ON CHIP — so occupancy
         # and cutoff dynamics match a real trained system (random
         # acoustics saturate a 27M-arc triphone graph and overflow any
-        # budget; that regime is not the headline's)
+        # budget; that regime is not the headline's). The ~4.9k-senone
+        # inventory needs an 80-bin fbank (a 40-bin bank cannot give 5k
+        # chords >=1-bin-separated signatures — production big-nnet
+        # systems use high-res banks for the same reason) and more
+        # training utterances for class coverage.
         sb_rng = np.random.default_rng(1)
-        sb_n_utt = (N_TRAIN + N_TEST)
+        sb_n_train = 4 if SMOKE else 32
+        sb_n_utt = sb_n_train + N_TEST
         sb_waves, sb_segs, sb_words = make_corpus(
             sb_graph, sb_n_utt, FRAMES_PER_UTT, sb_rng, noise=0.25)
-        sb_feats = feats_of(jnp.asarray(sb_waves))
+        sb_fb = FbankOpts(frame_opts=FrameOpts(samp_freq=SR, dither=0.0),
+                          mel_opts=MelOpts(num_bins=80))
+
+        @jax.jit
+        def sb_feats_of(waves):
+            f = fbank(waves, sb_fb)
+            mu = jnp.mean(f, axis=1, keepdims=True)
+            sd = jnp.std(f, axis=1, keepdims=True)
+            return (f - mu) / (sd + 1e-5)
+
+        sb_feats = sb_feats_of(jnp.asarray(sb_waves))
         sb_Tf = int(sb_feats.shape[1])
         sb_tgts = np.stack([fbank_targets(sb_segs[n], sb_Tf)
                             for n in range(sb_n_utt)])
-        sb_cfg = TdnnConfig(feat_dim=40, num_pdfs=sb_P,
+        sb_cfg = TdnnConfig(feat_dim=80, num_pdfs=sb_P,
                             hidden_dim=128 if SMOKE else 1024,
                             pnorm_output_dim=256, nonlinearity="relu")
         sb_model = Tdnn(sb_cfg)
@@ -589,8 +604,8 @@ def main():
         sb_step = make_train_step(sb_model, sb_opt,
                                   compute_dtype=jnp.bfloat16)
         slc, src_ = sb_cfg.left_context, sb_cfg.right_context
-        sb_ftr = sb_feats[:N_TRAIN]
-        sb_ttr = jnp.asarray(sb_tgts[:N_TRAIN, slc: sb_Tf - src_])
+        sb_ftr = sb_feats[:sb_n_train]
+        sb_ttr = jnp.asarray(sb_tgts[:sb_n_train, slc: sb_Tf - src_])
         sb_wtr = jnp.ones(sb_ttr.shape, jnp.float32)
         sb_acc = None
         for _ in range(TRAIN_STEPS):
@@ -600,14 +615,14 @@ def main():
 
         @jax.jit
         def sb_scores(waves):
-            f = feats_of.__wrapped__(waves)
+            f = sb_feats_of.__wrapped__(waves)
             return sb_model.apply(sb_params, f, pad_context=True,
                                   compute_dtype=jnp.bfloat16)
 
         sb_dec = CsrBeamDecoder(sb_graph, CsrBeamOpts(
             beam=13.0, max_active=K, acoustic_scale=0.1,
             expand_budget=max(CB, 24576), eps_budget=4096))
-        sb_wt = jnp.asarray(sb_waves[N_TRAIN:])
+        sb_wt = jnp.asarray(sb_waves[sb_n_train:])
         sb_B = N_TEST
         sb_T = int(sb_scores(sb_wt).shape[1])
         sb_nf = np.full(sb_B, sb_T, np.int32)
@@ -617,7 +632,7 @@ def main():
 
         sb_res = sb_launch()()            # warmup/compile + WER
         sb_hyps = {b: [str(w) for w in sb_res[b][0]] for b in range(sb_B)}
-        sb_refs = {b: [str(w) for w in sb_words[N_TRAIN + b]]
+        sb_refs = {b: [str(w) for w in sb_words[sb_n_train + b]]
                    for b in range(sb_B)}
         sb_wer = compute_wer(sb_refs, sb_hyps).wer
         sb_runs = []
@@ -637,6 +652,7 @@ def main():
             "selfbuilt_occupancy_mean": round(
                 float(sb_dec.last_active_sum.sum() / (sb_B * sb_T)), 1),
             "selfbuilt_corpus_wer_pct": round(sb_wer, 2),
+            "selfbuilt_train_frame_acc": round(float(sb_acc), 3),
             "note": ("calibrated like the headline: corpus sampled "
                      "from the self-built graph, AM trained on-chip at "
                      "its pdf space, same operating point"),
