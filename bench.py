@@ -186,14 +186,22 @@ def main():
                                             tgt_tr, w_tr)
     jax.block_until_ready(loss)
     train_acc = float(acc)
-    # timed training steps (program is compiled + warm)
+    # timed training steps (program is compiled + warm). Sync via a tiny
+    # host fetch: block_until_ready is unreliable over the tunneled
+    # runtime, so each timing window ends with a scalar fetch whose
+    # round-trip (measured here) is subtracted.
+    np.asarray(loss)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        np.asarray(loss + 0)
+    fetch_rtt = (time.perf_counter() - t0) / 5
     frames_per_step = int(np.prod(tgt_tr.shape))
     t0 = time.perf_counter()
     for _ in range(TIMED_TRAIN_STEPS):
         params, opt_state, loss, acc = step(params, opt_state, feats_tr,
                                             tgt_tr, w_tr)
-    jax.block_until_ready(loss)
-    dt_step = (time.perf_counter() - t0) / TIMED_TRAIN_STEPS
+    np.asarray(loss)
+    dt_step = (time.perf_counter() - t0 - fetch_rtt) / TIMED_TRAIN_STEPS
     train_fps = frames_per_step / dt_step
     n_wparams = (sum(int(np.prod(l["w"].shape)) for l in params["layers"])
                  + int(np.prod(params["final"]["w"].shape)))
