@@ -237,7 +237,11 @@ def build_tier_tables(csr: SplitCsr, hub_threshold: int,
     np.cumsum(b_rows, out=r_start[1:])
     ABR = int(r_start[-1])
     if ABR:
-        brow = np.zeros((ABR, 16), np.int32)
+        # at least 2 rows: a [1, 16] table is the EMPTY-tier dummy
+        # sentinel (have_b = shape[0] > 1 at trace time), and a real
+        # tier-B fitting exactly one packed row must not be mistaken
+        # for it — the padding row is dead (cost = BIG)
+        brow = np.zeros((max(ABR, 2), 16), np.int32)
         for k in range(apr):
             brow[:, (4 if apr == 4 else 5) * k] = BIG_BITS
         rowi = np.repeat(r_start[bs], reps) + within // apr

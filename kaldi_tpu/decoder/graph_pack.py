@@ -193,9 +193,9 @@ def fold_epsilons(graph: PackedGraph,
       - an eps path would stack two nonzero olabels on one arc,
       - a nonzero-olabel eps arc reaches a final state (the word would
         be lost on the final hop),
-      - the start state has eps arcs (initial tokens would need
-        multi-record seeding),
       - arc growth would exceed `max_growth` x the original count.
+    Eps arcs AT the start state (e.g. a real HCLG's <s>-entry arc) fold
+    too: the start's eps closure is bridged into direct start arcs.
     """
     il = np.asarray(graph.ilabel)
     S = graph.num_states
@@ -211,9 +211,6 @@ def fold_epsilons(graph: PackedGraph,
     znxt = np.asarray(graph.nextstate)[z].astype(np.int64)
     zcost = np.asarray(graph.cost)[z].astype(np.float32)
     zol = np.asarray(graph.olabel)[z].astype(np.int32)
-    if int(np.searchsorted(np.sort(zsrc), graph.start + 1)
-           - np.searchsorted(np.sort(zsrc), graph.start)) > 0:
-        return None                              # start state has eps arcs
     # eps-arc CSR (zsrc is nondecreasing: arcs are CSR-ordered by source)
     order = np.argsort(zsrc, kind="stable")
     zsrc, znxt, zcost, zol = (zsrc[order], znxt[order], zcost[order],
@@ -277,20 +274,27 @@ def fold_epsilons(graph: PackedGraph,
     rep = cdeg[e_nxt]
     j = np.flatnonzero(rep > 0)
     repj = rep[j]
-    base = np.repeat(cstart[e_nxt[j]], repj)
-    within = np.arange(len(base)) - np.repeat(
-        np.concatenate([[0], np.cumsum(repj)[:-1]]), repj)
-    ci = base + within
-    n_ol = col[ci]
-    p_ol = np.repeat(e_ol[j], repj)
-    if np.any((p_ol != 0) & (n_ol != 0)):
-        return None
-    new_src = np.repeat(e_src[j], repj)
-    new_il = np.repeat(e_il[j], repj)
-    new_ol = np.where(p_ol != 0, p_ol, n_ol).astype(np.int32)
-    new_cost = (np.repeat(e_cost[j], repj) + cc[ci]).astype(np.float32)
-    new_nxt = cy[ci]
-    new_pdf = np.repeat(e_pdf[j], repj) if e_pdf is not None else None
+    if len(j):
+        base = np.repeat(cstart[e_nxt[j]], repj)
+        within = np.arange(len(base)) - np.repeat(
+            np.concatenate([[0], np.cumsum(repj)[:-1]]), repj)
+        ci = base + within
+        n_ol = col[ci]
+        p_ol = np.repeat(e_ol[j], repj)
+        if np.any((p_ol != 0) & (n_ol != 0)):
+            return None
+        new_src = np.repeat(e_src[j], repj)
+        new_il = np.repeat(e_il[j], repj)
+        new_ol = np.where(p_ol != 0, p_ol, n_ol).astype(np.int32)
+        new_cost = (np.repeat(e_cost[j], repj) + cc[ci]) \
+            .astype(np.float32)
+        new_nxt = cy[ci]
+        new_pdf = np.repeat(e_pdf[j], repj) if e_pdf is not None else None
+    else:
+        new_src = new_il = np.zeros(0, np.int64)
+        new_ol = new_nxt = np.zeros(0, np.int32)
+        new_cost = np.zeros(0, np.float32)
+        new_pdf = np.zeros(0, np.int32) if e_pdf is not None else None
     A_new = len(e_src) + len(new_src)
     if A_new > max_growth * graph.num_arcs:
         return None
@@ -304,18 +308,64 @@ def fold_epsilons(graph: PackedGraph,
     def _cat(a, b):
         return np.concatenate([a, b])[order]
 
-    arc_start = np.searchsorted(all_src, np.arange(S + 1)).astype(np.int32)
-    pdf = (_cat(e_pdf, new_pdf).astype(np.int32)
-           if e_pdf is not None else None)
+    arc_start = np.searchsorted(all_src, np.arange(S + 1)).astype(np.int64)
+    f_il = _cat(e_il, new_il).astype(np.int32)
+    f_ol = _cat(e_ol, new_ol).astype(np.int32)
+    f_cost = _cat(e_cost, new_cost).astype(np.float32)
+    f_nxt = _cat(e_nxt, new_nxt).astype(np.int32)
+    f_pdf = (_cat(e_pdf, new_pdf).astype(np.int32)
+             if e_pdf is not None else None)
+
+    # --- start-state eps bridge: the start's eps closure becomes direct
+    # start arcs over the (already folded, eps-free) arc sets of the
+    # closure targets, so initial tokens need no eps seeding at all
+    s0 = int(graph.start)
+    c0 = np.arange(cstart[s0], cstart[s0 + 1])
+    if len(c0):
+        ys = cy[c0].astype(np.int64)
+        rep0 = (arc_start[ys + 1] - arc_start[ys]).astype(np.int64)
+        k = np.flatnonzero(rep0 > 0)
+        repk = rep0[k]
+        base = np.repeat(arc_start[ys[k]], repk)
+        within = np.arange(len(base)) - np.repeat(
+            np.concatenate([[0], np.cumsum(repk)[:-1]]), repk)
+        ai = base + within
+        b_pol = np.repeat(col[c0][k], repk)
+        if np.any((b_pol != 0) & (f_ol[ai] != 0)):
+            return None          # word on the bridge AND on the arc
+        b_src = np.full(len(ai), s0, np.int64)
+        b_il = f_il[ai]
+        b_ol = np.where(b_pol != 0, b_pol, f_ol[ai]).astype(np.int32)
+        b_cost = (np.repeat(cc[c0][k], repk) + f_cost[ai]) \
+            .astype(np.float32)
+        b_nxt = f_nxt[ai]
+        b_pdf = f_pdf[ai] if f_pdf is not None else None
+        if len(all_src) + len(b_src) > max_growth * graph.num_arcs:
+            return None
+        all2 = np.concatenate([all_src, b_src])
+        order2 = np.argsort(all2, kind="stable")
+        all_src = all2[order2]
+
+        def _cat2(a, b):
+            return np.concatenate([a, b])[order2]
+
+        arc_start = np.searchsorted(all_src,
+                                    np.arange(S + 1)).astype(np.int64)
+        f_il = _cat2(f_il, b_il)
+        f_ol = _cat2(f_ol, b_ol)
+        f_cost = _cat2(f_cost, b_cost)
+        f_nxt = _cat2(f_nxt, b_nxt)
+        f_pdf = _cat2(f_pdf, b_pdf) if f_pdf is not None else None
+
     return PackedGraph(
-        arc_start=arc_start,
-        ilabel=_cat(e_il, new_il).astype(np.int32),
-        olabel=_cat(e_ol, new_ol).astype(np.int32),
-        cost=_cat(e_cost, new_cost).astype(np.float32),
-        nextstate=_cat(e_nxt, new_nxt).astype(np.int32),
+        arc_start=arc_start.astype(np.int32),
+        ilabel=f_il,
+        olabel=f_ol,
+        cost=f_cost,
+        nextstate=f_nxt,
         final=final,
         start=int(graph.start),
-        pdf=pdf,
+        pdf=f_pdf,
     )
 
 

@@ -814,3 +814,66 @@ def test_adaptive_mid_utterance_escalation(small_big_graph):
         assert list(r_ad[b][0]) == list(r_full[b][0]), b
         assert list(r_ad[b][1]) == list(r_full[b][1]), b
         assert r_ad[b][2] == pytest.approx(r_full[b][2], abs=1e-3)
+
+
+def test_fold_epsilons_start_state_bridge():
+    """fold_epsilons must handle eps arcs AT the start state (a real
+    HCLG's <s>-entry arc) by bridging the start's eps closure into
+    direct start arcs — decode results with fold_eps=True must equal
+    fold_eps=False (per-frame eps rounds) exactly, including a word
+    on the bridged hop."""
+    from kaldi_tpu.decoder.graph_pack import fold_epsilons, PackedGraph
+    import dataclasses as dc
+    rng = np.random.RandomState(7)
+    # hand-built graph: start 0 --eps(ol=5,c=.3)--> 1, 0 --eps--> 2,
+    # plus emitting arcs and deeper eps chains
+    # arcs: (src, il, ol, cost, nxt, pdf)
+    arcs = [
+        (0, 0, 0, 0.3, 1, -1),       # start eps (the <s>-entry shape)
+        (0, 0, 0, 0.1, 2, -1),       # start eps
+        (0, 3, 0, 0.5, 3, 2),        # start emitting
+        (1, 1, 0, 0.2, 3, 0),
+        (1, 2, 7, 0.4, 4, 1),
+        (2, 0, 5, 0.2, 1, -1),       # word-bearing eps mid-graph
+        (2, 2, 0, 0.3, 4, 1),
+        (3, 1, 8, 0.1, 4, 0),
+        (3, 3, 0, 0.6, 1, 2),
+        (4, 2, 0, 0.2, 3, 1),
+    ]
+    S = 5
+    arcs.sort(key=lambda a: a[0])
+    src = np.array([a[0] for a in arcs])
+    arc_start = np.searchsorted(src, np.arange(S + 1)).astype(np.int32)
+    g = PackedGraph(
+        arc_start=arc_start,
+        ilabel=np.array([a[1] for a in arcs], np.int32),
+        olabel=np.array([a[2] for a in arcs], np.int32),
+        cost=np.array([a[3] for a in arcs], np.float32),
+        nextstate=np.array([a[4] for a in arcs], np.int32),
+        final=np.array([np.inf, np.inf, np.inf, 0.5, 0.0], np.float32),
+        start=0,
+        pdf=np.array([a[5] for a in arcs], np.int32))
+    folded = fold_epsilons(g)
+    assert folded is not None
+    assert (np.asarray(folded.ilabel) > 0).all()    # fully eps-free
+    # a word on the bridge AND on the bridged arc cannot fold: the
+    # decoder must gracefully keep eps rounds (None), not mis-stack
+    g_bad = dc.replace(g, olabel=np.where(
+        np.arange(g.num_arcs) == 0, 9, np.asarray(g.olabel)).astype(
+            np.int32))
+    assert fold_epsilons(g_bad) is None
+    opts = dict(beam=1e9, max_active=64, acoustic_scale=1.0,
+                expand_budget=256, eps_budget=64, hub_threshold=64)
+    d_fold = CsrBeamDecoder(g, CsrBeamOpts(fold_eps=True, **opts))
+    d_eps = CsrBeamDecoder(g, CsrBeamOpts(fold_eps=False, **opts))
+    assert d_fold.opts.eps_expansions == 0
+    assert d_eps.opts.eps_expansions > 0
+    ll = (rng.randn(3, 12, 3) * 2).astype(np.float32)
+    nf = np.array([12, 9, 5], np.int32)
+    r_f = d_fold.decode(ll, nf)
+    r_e = d_eps.decode(ll, nf)
+    for b in range(3):
+        assert r_f[b] is not None and r_e[b] is not None, b
+        assert list(r_f[b][0]) == list(r_e[b][0]), b
+        assert list(r_f[b][1]) == list(r_e[b][1]), b
+        assert r_f[b][2] == pytest.approx(r_e[b][2], abs=1e-4)
