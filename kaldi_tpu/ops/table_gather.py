@@ -63,12 +63,23 @@ def _pallas_gather(tab, idx, interpret: bool = False):
 
 
 def batched_table_gather(tab, idx):
-    """tab [B, P] float32, idx [B, N] int32 in [0, P) -> [B, N]."""
+    """tab [B, P] float32, idx [B, N] int32 in [0, P) -> [B, N].
+
+    Non-multiple-of-128 tables are zero-padded (indices never reach the
+    pad). The chunk-merge loop costs O(P/128) dense vector work per
+    128-index row, so very wide tables fall back to the XLA gather —
+    but the crossover is far above typical senone inventories: at
+    P=4917 (a ~5k-leaf triphone system) the kernel measures ~4x faster
+    than the XLA per-element HBM gather that the old P<=4096 cap was
+    silently falling back to."""
     B, P = tab.shape
     _, N = idx.shape
-    if (jax.default_backend() != "tpu" or P % 128 != 0 or P > 4096
+    if (jax.default_backend() != "tpu" or P > 16384
             or tab.dtype != jnp.float32):
         return jnp.take_along_axis(tab, idx, axis=1)
+    P128 = -(-P // 128) * 128
+    if P128 != P:
+        tab = jnp.pad(tab, ((0, 0), (0, P128 - P)))
     Npad = -(-N // _ALIGN) * _ALIGN
     if Npad != N:
         idx = jnp.pad(idx, ((0, 0), (0, Npad - N)))
