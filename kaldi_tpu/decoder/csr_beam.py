@@ -389,7 +389,8 @@ def _segment_map(off, deg, C: int, K: int, B: int, base=None):
     return tj, pos, valid, overflow
 
 
-def _dedup_topk(c_state, c_score, c_rec, c_il, K: int):
+def _dedup_topk(c_state, c_score, c_rec, c_il, K: int,
+                state_sort: bool = False):
     """Best token per state, then best K overall, score-sorted.
 
     The hash-free FindOrAddToken (ref: lattice-faster-decoder.cc:232):
@@ -427,15 +428,28 @@ def _dedup_topk(c_state, c_score, c_rec, c_il, K: int):
     # passenger sorts are near-free)
     sc2, st2, rec2, il2 = jax.lax.sort((sel, ss, srec, sil),
                                        dimension=1, num_keys=1)
-    return (st2[:, :K], jnp.minimum(sc2[:, :K], BIG),
-            rec2[:, :K], il2[:, :K])
+    st2, sc2 = st2[:, :K], jnp.minimum(sc2[:, :K], BIG)
+    rec2, il2 = rec2[:, :K], il2[:, :K]
+    if state_sort:
+        # best-path-only locality pass: order the kept tokens by STATE
+        # (dead slots stay last via the 2^30 key) so the next frame's
+        # srow/brow row gathers hit adjacent table rows — measured
+        # +4.5% on the 1.05M-state headline graph. NOT used when
+        # record compaction or budget-overflow drop-order semantics
+        # need the score-sorted frontier (latgen, streaming arenas):
+        # those keep the canonical order.
+        keyb = jnp.where(sc2 < BIG * 0.5, st2, INT_BIG)
+        _kb, st2, sc2, rec2, il2 = jax.lax.sort(
+            (keyb, st2, sc2, rec2, il2), dimension=1, num_keys=1)
+    return st2, sc2, rec2, il2
 
 
 def _make_rounds(srow, zrow, brow, zbrow,
                  hub_state_arr, hub_rows, hub_cost, hub_onehot, hub_gpdf,
                  hub_pdf, hub_bounds: tuple,
                  B: int, K: int, CB: int, CZ: int, beam: float,
-                 HC: int | None = None, b_apr: int = 3):
+                 HC: int | None = None, b_apr: int = 3,
+                 state_sort: bool = True):
     """Build the per-frame (emit_round, eps_round) expansion programs over
     the tier tables for a [B, K] frontier. Shared by the offline batch
     decoders below and the fused streaming decoder
@@ -604,7 +618,8 @@ def _make_rounds(srow, zrow, brow, zbrow,
             cands.append(hub_cand)
             ovf = ovf + hov
         cst, csc, crec, cil = merge(cands)
-        st, sc, rec, il = _dedup_topk(cst, csc, crec, cil, K)
+        st, sc, rec, il = _dedup_topk(cst, csc, crec, cil, K,
+                                      state_sort=state_sort)
         return st, sc, rec, il, ovf
 
     def eps_round(tok_state, tok_score):
@@ -630,7 +645,8 @@ def _make_rounds(srow, zrow, brow, zbrow,
         else:
             ovf = jnp.zeros(B, jnp.int32)
         cst, csc, crec, cil = merge(cands)
-        st, sc, rec, il = _dedup_topk(cst, csc, crec, cil, K)
+        st, sc, rec, il = _dedup_topk(cst, csc, crec, cil, K,
+                                      state_sort=state_sort)
         return st, sc, rec, il, ovf
 
     return emit_round, eps_round
@@ -656,10 +672,12 @@ def _csr_decode(
     b_apr: int = 3,                         # tier-B row layout
 ):
     B, T, P = ll.shape
+    # record compaction relies on the score-sorted frontier prefix; the
+    # best-path program takes the state-sorted locality layout instead
     emit_round, eps_round = _make_rounds(
         srow, zrow, brow, zbrow, hub_state_arr, hub_rows, hub_cost,
         hub_onehot, hub_gpdf, hub_pdf, hub_bounds, B, K, CB, CZ, beam,
-        HC, b_apr)
+        HC, b_apr, state_sort=not record_full)
     self_prev = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :],
                                  (B, K))
 
