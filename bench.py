@@ -191,6 +191,10 @@ def main():
     # runtime, so each timing window ends with a scalar fetch whose
     # round-trip (measured here) is subtracted.
     np.asarray(loss)
+    np.asarray(loss + 0)   # warm the tiny add program: its first call
+    #                        COMPILES (seconds over the tunneled remote-
+    #                        compile runtime) and must not enter the RTT
+    np.asarray(loss + 0)
     t0 = time.perf_counter()
     for _ in range(5):
         np.asarray(loss + 0)
@@ -201,7 +205,10 @@ def main():
         params, opt_state, loss, acc = step(params, opt_state, feats_tr,
                                             tgt_tr, w_tr)
     np.asarray(loss)
-    dt_step = (time.perf_counter() - t0 - fetch_rtt) / TIMED_TRAIN_STEPS
+    elapsed = time.perf_counter() - t0
+    dt_step = (elapsed - fetch_rtt) / TIMED_TRAIN_STEPS
+    if dt_step <= 0:       # RTT estimate exceeded the window: don't
+        dt_step = elapsed / TIMED_TRAIN_STEPS   # publish nonsense
     train_fps = frames_per_step / dt_step
     n_wparams = (sum(int(np.prod(l["w"].shape)) for l in params["layers"])
                  + int(np.prod(params["final"]["w"].shape)))
@@ -566,6 +573,15 @@ def main():
                 sb_vocab, n_bigrams=2_000 if SMOKE else 300_000,
                 n_trigrams=1_000 if SMOKE else 150_000,
                 context="tri", out_npz=sb_npz)
+            if not SMOKE:           # cache so later runs skip the build
+                try:
+                    os.makedirs(cache_dir, exist_ok=True)
+                    import shutil
+                    shutil.copyfile(sb_npz, cache_npz)
+                    with open(cache_stats, "w") as cf:
+                        json.dump(sb_stats, cf)
+                except OSError:
+                    pass
         z = np.load(sb_npz)
         from kaldi_tpu.decoder.graph_pack import PackedGraph
         sb_graph = PackedGraph(
@@ -584,7 +600,10 @@ def main():
         # systems use high-res banks for the same reason) and more
         # training utterances for class coverage.
         sb_rng = np.random.default_rng(1)
-        sb_n_train = 4 if SMOKE else 32
+        # class coverage bounds the AM here: ~1k usable frames/utt over
+        # ~4.9k senones needs ~100 utts for ~20 frames/class (32 utts
+        # measured acc 0.25 -> saturated search; 96 measured 0.8+)
+        sb_n_train = 4 if SMOKE else 96
         sb_n_utt = sb_n_train + N_TEST
         sb_waves, sb_segs, sb_words = make_corpus(
             sb_graph, sb_n_utt, FRAMES_PER_UTT, sb_rng, noise=0.25)
@@ -607,7 +626,8 @@ def main():
                             pnorm_output_dim=256, nonlinearity="relu")
         sb_model = Tdnn(sb_cfg)
         sb_params = sb_model.init(jax.random.PRNGKey(2))
-        sb_opt = make_optimizer(opts, TRAIN_STEPS)
+        sb_steps = TRAIN_STEPS if SMOKE else 600
+        sb_opt = make_optimizer(opts, sb_steps)
         sb_ostate = sb_opt.init(sb_params)
         sb_step = make_train_step(sb_model, sb_opt,
                                   compute_dtype=jnp.bfloat16)
@@ -616,7 +636,7 @@ def main():
         sb_ttr = jnp.asarray(sb_tgts[:sb_n_train, slc: sb_Tf - src_])
         sb_wtr = jnp.ones(sb_ttr.shape, jnp.float32)
         sb_acc = None
-        for _ in range(TRAIN_STEPS):
+        for _ in range(sb_steps):
             sb_params, sb_ostate, _l, sb_acc = sb_step(
                 sb_params, sb_ostate, sb_ftr, sb_ttr, sb_wtr)
         jax.block_until_ready(sb_acc)
@@ -704,6 +724,16 @@ def main():
         "headline_operating_point": headline_note,
         "decode_exact_audio_per_s": big,
         "hub_cap_curve": hub_curve,
+        "hub_cap_curve_note": (
+            "WER vs cap is NOT monotone at this operating point: the "
+            "frontier saturates K every frame, so a binding cap "
+            "reshapes which tokens survive and trajectories diverge "
+            "chaotically (small-scale probes with calibrated acoustics "
+            "show binding caps leave best paths bit-identical when K "
+            "has slack; equivalence test "
+            "tests/test_csr_beam.py::test_hub_cap_exact_or_counted). "
+            "The headline only ever adopts a cap whose corpus WER is "
+            "within 0.5 abs of exact."),
         "decode_runs_audio_per_s": headline,
         "adaptive_decode_audio_per_s": adaptive,
         "adaptive_small_max_active": K_small,

@@ -14,6 +14,7 @@ tests/test_mkgraph_flat.py asserts both produce equivalent graphs.
 from __future__ import annotations
 
 import dataclasses
+import sys
 
 import numpy as np
 
@@ -150,8 +151,9 @@ def make_hclg_flat(lang, g, trans_model, ctx_dep,
     from kaldi_tpu.fst.hmm_graph import make_h_transducer
 
     def log(msg):
+        # stderr: callers (bench.py) reserve stdout for their JSON line
         if verbose:
-            print(msg, flush=True)
+            print(msg, flush=True, file=sys.stderr)
 
     stats = {}
     t0 = time.time()
